@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference hand-tunes its pipeline parallelism (threads = cores x 0.6,
+ring 256 — parse/.../AbstractEventParser.java:96-98); on Spark the
+equivalents are shuffle partitioning, AQE, and Arrow batching, set here
+once so every job and test shares the same tuned session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "canal_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the maintenance engine.
+
+    Defaults hold at cluster scale: AQE coalesces/splits shuffle
+    partitions at runtime (so ``shuffle_partitions`` is a ceiling, not a
+    bet), skew-join splitting is on for hot ``doc_id`` keys, and Arrow
+    is enabled for the pandas-UDF kernels (Z-order/Hilbert keys).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "*")
+    )
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalesce + skew-join split — replaces the
+        # reference's fixed pk-hash lane count (RdbSyncService.java:46).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDFs (vectorized kernels; zero per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Parquet scan sizing: 128MB splits — keeps ~100TB scans at
+        # ~800k tasks, each fitting executor memory with token arrays.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Broadcast threshold: CDC batches are usually tiny next to the
+        # target table — let Catalyst broadcast them.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

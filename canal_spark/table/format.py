@@ -1,0 +1,574 @@
+"""Mini-lakehouse table format: Parquet data + JSON metadata/manifests.
+
+A self-contained stand-in for Apache Iceberg (the sandbox ships no
+Iceberg runtime jar), implementing the subset of the spec this engine
+needs — modeled on the public Iceberg table-spec concepts:
+
+* **Snapshots**: every commit produces an immutable snapshot; readers
+  pin one, so maintenance never disturbs in-flight scans (snapshot
+  isolation).  Time travel by snapshot id / version / timestamp.
+* **Manifests**: a snapshot references a *list* of manifest JSON files,
+  each listing immutable Parquet data files with per-file row counts,
+  byte sizes, partition values, and column min/max/null stats.
+  Appends reuse parent manifests and add one; overwrites rewrite only
+  the manifests that reference removed files.  ``rewrite_manifests``
+  consolidates small manifests (the metadata analogue of compaction).
+* **Atomic commits**: optimistic concurrency via ``open(path, "x")``
+  (O_EXCL) on the next ``v{N}.metadata.json`` — first writer wins,
+  losers re-read and retry.  On a real deployment this becomes the
+  catalog's compare-and-swap; the protocol is otherwise identical.
+* **Snapshot expiry**: drop old snapshots, then garbage-collect data
+  files and manifests referenced only by dropped snapshots — the
+  analogue of the reference's schema-TSDB "snapshot every 24h, expire
+  at 360h" policy (parse/.../tsdb/DatabaseTableMeta.java:76-77), where
+  ``rollback(position)`` = rebuild state at a past point — here:
+  ``table.scan(spark, snapshot_id=...)``.
+
+Scale notes (100 TB / 10^12 rows): metadata operations are
+O(#files) driver-side JSON, never O(rows).  A 100 TB table at 512 MB
+target files is ~200k files ≈ tens of MB of manifest JSON, split
+across per-commit manifests so a commit touches only its delta.  All
+data-plane work (stat collection, file writes) runs as Spark jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_VERSION = 1
+
+
+# --------------------------------------------------------------------------
+# metadata model
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class DataFile:
+    """One immutable Parquet data file tracked by a manifest."""
+
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    partition: dict[str, Any] = field(default_factory=dict)
+    # col -> {"min": v, "max": v, "nulls": n}; values JSON-native
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(
+            path=d["path"],
+            rows=d["rows"],
+            bytes=d["bytes"],
+            partition=d.get("partition", {}),
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | replace | expire | schema
+    manifests: list[str]  # metadata-relative manifest file names
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifests": self.manifests,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            manifests=d["manifests"],
+            summary=d.get("summary", {}),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same metadata version first."""
+
+
+# --------------------------------------------------------------------------
+# table
+# --------------------------------------------------------------------------
+
+
+class Table:
+    """Handle to a mini-lakehouse table rooted at a local/shared path."""
+
+    def __init__(self, root: str, metadata: dict):
+        self.root = root
+        self.metadata = metadata
+
+    # ---- properties -----------------------------------------------------
+
+    @property
+    def version(self) -> int:
+        return self.metadata["version"]
+
+    @property
+    def schema_json(self) -> dict:
+        return self.metadata["schema"]
+
+    @property
+    def partition_by(self) -> list[str]:
+        return self.metadata.get("partition_by", [])
+
+    @property
+    def properties(self) -> dict:
+        return self.metadata.get("properties", {})
+
+    @property
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self.metadata["snapshots"]]
+
+    @property
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata.get("current_snapshot_id")
+
+    def current_snapshot(self) -> Snapshot | None:
+        sid = self.current_snapshot_id
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        return None
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+
+    def spark_schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(self.schema_json)
+
+    # ---- paths ----------------------------------------------------------
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def new_data_prefix(self) -> str:
+        """A fresh, collision-free directory for one write job's files."""
+        return os.path.join(self._data_dir(), uuid.uuid4().hex[:12])
+
+    # ---- manifest I/O ----------------------------------------------------
+
+    def _read_manifest(self, name: str) -> list[DataFile]:
+        with open(os.path.join(self._meta_dir(), name)) as f:
+            return [DataFile.from_json(d) for d in json.load(f)]
+
+    def _write_manifest(self, files: list[DataFile], tag: str) -> str:
+        name = f"manifest-{tag}-{uuid.uuid4().hex[:8]}.json"
+        path = os.path.join(self._meta_dir(), name)
+        with open(path + ".tmp", "w") as f:
+            json.dump([df.to_json() for df in files], f)
+        os.replace(path + ".tmp", path)
+        return name
+
+    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """All live data files at a snapshot (default: current)."""
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+            if snap is None:
+                return []
+        else:
+            snap = self.snapshot_by_id(snapshot_id)
+        out: list[DataFile] = []
+        for m in snap.manifests:
+            out.extend(self._read_manifest(m))
+        return out
+
+    # ---- snapshot resolution ---------------------------------------------
+
+    def resolve_snapshot(
+        self,
+        snapshot_id: int | None = None,
+        as_of_version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> Snapshot | None:
+        if snapshot_id is not None:
+            return self.snapshot_by_id(snapshot_id)
+        if as_of_version is not None:
+            # versions are metadata versions; map via snapshot order
+            snaps = self.snapshots
+            if not 0 <= as_of_version < len(snaps):
+                raise KeyError(f"version {as_of_version} out of range")
+            return snaps[as_of_version]
+        if as_of_timestamp_ms is not None:
+            cands = [s for s in self.snapshots if s.timestamp_ms <= as_of_timestamp_ms]
+            if not cands:
+                raise KeyError("no snapshot at or before timestamp")
+            return max(cands, key=lambda s: s.timestamp_ms)
+        return self.current_snapshot()
+
+    # ---- scan (with manifest-level pruning) -------------------------------
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+        range_filter: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read of the table as a DataFrame.
+
+        ``partition_filter`` prunes files by partition-value equality;
+        ``range_filter`` ({col: (lo, hi)}) prunes by manifest min/max
+        overlap — the Iceberg-style *metadata* pruning that makes point
+        lookups on a 100 TB table touch only a handful of files.  Spark
+        then applies row-group pushdown inside surviving files.
+        """
+        entries = self.files(
+            self.resolve_snapshot(snapshot_id, as_of_version, as_of_timestamp_ms).snapshot_id
+            if (snapshot_id or as_of_version is not None or as_of_timestamp_ms)
+            else None
+        )
+        entries = prune_files(entries, partition_filter, range_filter)
+        schema = self.spark_schema()
+        if not entries:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e.path) for e in entries]
+        return spark.read.schema(schema).parquet(*paths)
+
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        return sum(e.rows for e in self.files(snapshot_id))
+
+    # ---- commits ----------------------------------------------------------
+
+    def refresh(self) -> "Table":
+        self.metadata = _read_latest_metadata(self.root)
+        return self
+
+    def commit(
+        self,
+        added: list[DataFile],
+        removed_paths: Iterable[str] = (),
+        operation: str = "append",
+        summary: dict[str, Any] | None = None,
+        new_schema_json: dict | None = None,
+        new_properties: dict | None = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Atomically commit a new snapshot (optimistic concurrency).
+
+        Manifest handling mirrors Iceberg: parent manifests that contain
+        no removed file are *reused* by reference; manifests that do are
+        rewritten minus the removed entries; added files land in one new
+        manifest.  So commit cost is O(delta), not O(table).
+        """
+        removed = set(removed_paths)
+        for _ in range(max_retries):
+            self.refresh()
+            parent = self.current_snapshot()
+            manifests: list[str] = []
+            removed_found: set[str] = set()
+            if parent is not None:
+                for m in parent.manifests:
+                    entries = self._read_manifest(m)
+                    hit = [e for e in entries if e.path in removed]
+                    if not hit:
+                        manifests.append(m)  # reuse untouched manifest
+                    else:
+                        removed_found.update(e.path for e in hit)
+                        keep = [e for e in entries if e.path not in removed]
+                        if keep:
+                            manifests.append(self._write_manifest(keep, "rw"))
+            missing = removed - removed_found
+            if missing:
+                raise CommitConflict(
+                    f"files to remove not in current snapshot (concurrent "
+                    f"rewrite?): {sorted(missing)[:3]}..."
+                )
+            if added:
+                manifests.append(self._write_manifest(list(added), "add"))
+
+            now_ms = int(time.time() * 1000)
+            snap = Snapshot(
+                snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+                parent_id=parent.snapshot_id if parent else None,
+                timestamp_ms=now_ms,
+                operation=operation,
+                manifests=manifests,
+                summary={
+                    "added-files": len(added),
+                    "removed-files": len(removed),
+                    "added-rows": sum(f.rows for f in added),
+                    "added-bytes": sum(f.bytes for f in added),
+                    **(summary or {}),
+                },
+            )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = self.metadata["snapshots"] + [snap.to_json()]
+            meta["current_snapshot_id"] = snap.snapshot_id
+            if new_schema_json is not None:
+                meta["schema"] = new_schema_json
+            if new_properties is not None:
+                meta["properties"] = {**self.properties, **new_properties}
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return snap
+            except FileExistsError:
+                continue  # lost the race; re-read and retry
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    # ---- maintenance: snapshot expiry & manifest rewrite -------------------
+
+    def expire_snapshots(
+        self,
+        keep_last: int | None = None,
+        older_than_ms: int | None = None,
+        delete_orphans: bool = True,
+    ) -> dict:
+        """Expire old snapshots and garbage-collect unreferenced files.
+
+        The current snapshot is always retained.  Time travel keeps
+        working for every retained snapshot — the live set is the union
+        of their manifests; only files referenced *exclusively* by
+        expired snapshots are deleted.
+        """
+        snaps = self.snapshots
+        if not snaps:
+            return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
+        current = self.current_snapshot_id
+        keep: set[int] = {current}
+        if keep_last is not None:
+            keep.update(s.snapshot_id for s in snaps[-keep_last:])
+        if older_than_ms is not None:
+            keep.update(s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms)
+        if keep_last is None and older_than_ms is None:
+            keep.update(s.snapshot_id for s in snaps)  # nothing to expire
+
+        retained = [s for s in snaps if s.snapshot_id in keep]
+        expired = [s for s in snaps if s.snapshot_id not in keep]
+        if not expired:
+            return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
+
+        live_manifests: set[str] = set()
+        live_files: set[str] = set()
+        for s in retained:
+            live_manifests.update(s.manifests)
+        for m in live_manifests:
+            live_files.update(e.path for e in self._read_manifest(m))
+
+        dead_manifests: set[str] = set()
+        dead_files: set[str] = set()
+        for s in expired:
+            for m in s.manifests:
+                if m not in live_manifests:
+                    dead_manifests.add(m)
+                    dead_files.update(
+                        e.path
+                        for e in self._read_manifest(m)
+                        if e.path not in live_files
+                    )
+
+        meta = dict(self.metadata)
+        meta["version"] = self.version + 1
+        meta["snapshots"] = [s.to_json() for s in retained]
+        _write_metadata_exclusive(self.root, meta)
+        self.metadata = meta
+
+        deleted_data = deleted_manifests = 0
+        if delete_orphans:
+            for p in dead_files:
+                try:
+                    os.remove(os.path.join(self.root, p))
+                    deleted_data += 1
+                except FileNotFoundError:
+                    pass
+            for m in dead_manifests:
+                try:
+                    os.remove(os.path.join(self._meta_dir(), m))
+                    deleted_manifests += 1
+                except FileNotFoundError:
+                    pass
+        return {
+            "expired": len(expired),
+            "data_files_deleted": deleted_data,
+            "manifests_deleted": deleted_manifests,
+        }
+
+    def rewrite_manifests(self, target_entries_per_manifest: int = 10_000) -> dict:
+        """Consolidate the current snapshot's manifests.
+
+        Groups live entries by partition value (so partition-filtered
+        scans open fewer manifests) and packs them into manifests of
+        ~``target_entries_per_manifest``.  Commits a ``replace``
+        snapshot with identical data — scan output is unchanged.
+        """
+        snap = self.current_snapshot()
+        if snap is None:
+            return {"manifests_before": 0, "manifests_after": 0}
+        entries = self.files()
+        before = len(snap.manifests)
+        entries.sort(key=lambda e: (json.dumps(e.partition, sort_keys=True), e.path))
+        new_manifests = []
+        for i in range(0, len(entries), target_entries_per_manifest):
+            chunk = entries[i : i + target_entries_per_manifest]
+            new_manifests.append(self._write_manifest(chunk, "cons"))
+        if not new_manifests:
+            new_manifests = []
+
+        for _ in range(5):
+            self.refresh()
+            parent = self.current_snapshot()
+            if parent is None or parent.snapshot_id != snap.snapshot_id:
+                raise CommitConflict("table changed during manifest rewrite")
+            new_snap = Snapshot(
+                snapshot_id=parent.snapshot_id + 1,
+                parent_id=parent.snapshot_id,
+                timestamp_ms=int(time.time() * 1000),
+                operation="replace",
+                manifests=new_manifests,
+                summary={"rewritten-manifests": before},
+            )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = self.metadata["snapshots"] + [new_snap.to_json()]
+            meta["current_snapshot_id"] = new_snap.snapshot_id
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                break
+            except FileExistsError:
+                continue
+        return {"manifests_before": before, "manifests_after": len(new_manifests)}
+
+    def history(self) -> list[dict]:
+        return [s.to_json() for s in self.snapshots]
+
+
+# --------------------------------------------------------------------------
+# pruning
+# --------------------------------------------------------------------------
+
+
+def prune_files(
+    entries: list[DataFile],
+    partition_filter: dict[str, Any] | None = None,
+    range_filter: dict[str, tuple] | None = None,
+) -> list[DataFile]:
+    """Manifest-level file pruning by partition equality and stat overlap."""
+    out = entries
+    if partition_filter:
+        out = [
+            e
+            for e in out
+            if all(e.partition.get(k) == v for k, v in partition_filter.items())
+        ]
+    if range_filter:
+
+        def overlaps(e: DataFile) -> bool:
+            for col, (lo, hi) in range_filter.items():
+                st = e.stats.get(col)
+                if st is None or st.get("min") is None:
+                    continue  # no stats -> cannot prune
+                if (hi is not None and st["min"] > hi) or (
+                    lo is not None and st["max"] < lo
+                ):
+                    return False
+            return True
+
+        out = [e for e in out if overlaps(e)]
+    return out
+
+
+# --------------------------------------------------------------------------
+# metadata I/O + catalog functions
+# --------------------------------------------------------------------------
+
+
+def _metadata_path(root: str, version: int) -> str:
+    return os.path.join(root, "metadata", f"v{version}.metadata.json")
+
+
+def _write_metadata_exclusive(root: str, meta: dict) -> None:
+    """Create v{N}.metadata.json with O_EXCL — the atomic CAS of commits."""
+    path = _metadata_path(root, meta["version"])
+    with open(path, "x") as f:
+        json.dump(meta, f)
+    # advisory pointer for humans; listing is the source of truth
+    hint = os.path.join(root, "metadata", "VERSION")
+    tmp = hint + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        f.write(str(meta["version"]))
+    os.replace(tmp, hint)
+
+
+def _read_latest_metadata(root: str) -> dict:
+    mdir = os.path.join(root, "metadata")
+    versions = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".metadata.json"):
+            try:
+                versions.append(int(name[1:].split(".")[0]))
+            except ValueError:
+                pass
+    if not versions:
+        raise FileNotFoundError(f"no metadata in {mdir}")
+    with open(_metadata_path(root, max(versions))) as f:
+        return json.load(f)
+
+
+def create_table(
+    root: str,
+    spark_schema,
+    partition_by: list[str] | None = None,
+    properties: dict | None = None,
+) -> Table:
+    """Create an empty table (version 0, no snapshot)."""
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "table_uuid": uuid.uuid4().hex,
+        "version": 0,
+        "schema": spark_schema.jsonValue(),
+        "partition_by": partition_by or [],
+        "properties": properties or {},
+        "snapshots": [],
+        "current_snapshot_id": None,
+    }
+    _write_metadata_exclusive(root, meta)
+    return Table(root, meta)
+
+
+def load_table(root: str) -> Table:
+    return Table(root, _read_latest_metadata(root))
