@@ -1,0 +1,83 @@
+"""Lineage + checkpoint bookkeeping for maintenance jobs.
+
+Two layers, mirroring the reference's split between *positions*
+(parse/.../index/* LogPositionManagers — the authoritative resume
+token) and *meta* (meta/.../CanalMetaManager.java — per-client cursor
++ batch bookkeeping):
+
+1. **Authoritative checkpoint** — the merge high-water ordinal lives
+   *inside the snapshot summary* (canal_spark.merge.CKPT_KEY), so data
+   and checkpoint commit in one atomic metadata swap.  That is what
+   makes replay idempotent; nothing here is load-bearing for
+   correctness.
+2. **Lineage table** (this module) — an append-only mini-table of
+   per-job metrics rows (FIXTURES.md §3): job_id, phase, partition,
+   ordinal, snapshot_id, files_rewritten, bytes_shuffled,
+   stat-tightness before/after, timestamp.  The observability
+   analogue of the reference's prometheus collectors
+   (prometheus/.../CanalInstanceExports.java).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from canal_spark.schema import LINEAGE_SCHEMA
+from canal_spark.table.format import Table, create_table, load_table
+from canal_spark.table.writer import append
+
+
+def ensure_lineage(root: str) -> Table:
+    if os.path.exists(os.path.join(root, "metadata")):
+        return load_table(root)
+    return create_table(root, LINEAGE_SCHEMA)
+
+
+def record(
+    spark: SparkSession,
+    lineage: Table,
+    job_id: str,
+    phase: str,
+    partition: str | None = None,
+    ordinal: int | None = None,
+    snapshot_id: int | None = None,
+    files_rewritten: int | None = None,
+    bytes_shuffled: int | None = None,
+    tightness_before: float | None = None,
+    tightness_after: float | None = None,
+) -> None:
+    row = [
+        (
+            job_id,
+            phase,
+            partition,
+            ordinal,
+            snapshot_id,
+            files_rewritten,
+            bytes_shuffled,
+            {"before": tightness_before, "after": tightness_after}
+            if tightness_before is not None or tightness_after is not None
+            else None,
+            _dt.datetime.utcnow(),
+        )
+    ]
+    df = spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1)
+    append(spark, lineage, df, summary={"phase": "lineage"})
+
+
+def read_lineage(spark: SparkSession, lineage: Table) -> DataFrame:
+    return lineage.scan(spark)
+
+
+def last_checkpoint(spark: SparkSession, lineage: Table, phase: str) -> dict | None:
+    rows = (
+        lineage.scan(spark)
+        .where(f"phase = '{phase}'")
+        .orderBy("ts", ascending=False)
+        .limit(1)
+        .collect()
+    )
+    return rows[0].asDict() if rows else None

@@ -1,0 +1,227 @@
+"""Data clustering: Z-order (Morton) with Hilbert-curve fallback.
+
+Keys are computed exactly as BASELINE.json.north_star prescribes:
+over ``(source, xxhash64(doc_id))`` — the hash runs JVM-side
+(``F.xxhash64``, zero Python), and the bit-interleave / Hilbert index
+runs in **vectorized pandas/Arrow UDFs** over numpy uint64 arrays
+(no per-row Python).  This is the engine's only custom compute kernel,
+the batched analogue of the reference's pluggable per-row hooks
+(sink/.../CanalEventDownStreamHandler.java).
+
+The clustered rewrite is ``repartitionByRange(zkey)`` (range exchange
+with sampled bounds — balanced output files regardless of key skew)
++ ``sortWithinPartitions(zkey)`` + one file per range, committed as a
+scan-equivalent ``replace`` snapshot.  Locality effect: rows of one
+``source`` with nearby key hashes co-locate, so manifest min/max
+stats on (source, hash) tighten and point/partition scans prune.
+
+Both curves use 31 bits per dimension so the 62-bit key stays positive
+in a signed int64 (ordering-safe in Spark's LongType).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from canal_spark.table.format import Table
+from canal_spark.table.writer import write_datafiles
+
+BITS = 31  # per-dimension
+
+
+# --------------------------------------------------------------------------
+# vectorized curve kernels (numpy, executed inside Arrow batches)
+# --------------------------------------------------------------------------
+
+
+def _spread_bits_u64(x: np.ndarray) -> np.ndarray:
+    """Insert a 0 between each of the low 32 bits (Morton spread)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def morton_interleave(a: np.ndarray, b: np.ndarray, bits: int = BITS) -> np.ndarray:
+    """62-bit Morton key from two arrays, top `bits` of each dim."""
+    mask = np.uint64((1 << bits) - 1)
+    a = a.astype(np.uint64) & mask
+    b = b.astype(np.uint64) & mask
+    return (_spread_bits_u64(a) << np.uint64(1)) | _spread_bits_u64(b)
+
+
+def hilbert_index_2d(x: np.ndarray, y: np.ndarray, bits: int = BITS) -> np.ndarray:
+    """Vectorized 2-D Hilbert curve index (xy -> d), `bits` per dim.
+
+    Classic iterative rotation algorithm, numpy-vectorized: loops over
+    ``bits`` levels (31 iterations), each step O(n) branch-free.
+    """
+    mask = np.uint64((1 << bits) - 1)
+    x = x.astype(np.uint64) & mask
+    y = y.astype(np.uint64) & mask
+    rx = np.zeros_like(x)
+    ry = np.zeros_like(y)
+    d = np.zeros_like(x)
+    s = np.uint64(1 << (bits - 1))
+    one = np.uint64(1)
+    zero = np.uint64(0)
+    while s > 0:
+        rx = np.where((x & s) > 0, one, zero)
+        ry = np.where((y & s) > 0, one, zero)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, (s - one) - x, x)
+        y_f = np.where(flip, (s - one) - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= one
+    return d
+
+
+# --------------------------------------------------------------------------
+# Spark column builders
+# --------------------------------------------------------------------------
+
+
+def with_cluster_key(
+    df: DataFrame,
+    curve: str = "zorder",  # "zorder" | "hilbert"
+    key_col: str = "_ckey",
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Add the clustering key column over (source, xxhash64(doc_id)).
+
+    Dim A = top 31 bits of the JVM xxhash64 of doc_id; dim B = a
+    31-bit hash of source (low-cardinality dim; hashing spreads its
+    codes across the curve without a dictionary lookup/shuffle).
+    """
+    h_doc = F.xxhash64(F.col(doc_col))
+    h_src = F.xxhash64(F.col(source_col))
+
+    if curve == "zorder":
+
+        @pandas_udf("long")
+        def _zkey(a: pd.Series, b: pd.Series) -> pd.Series:
+            av = (a.to_numpy().astype(np.int64).view(np.uint64)) >> np.uint64(33)
+            bv = (b.to_numpy().astype(np.int64).view(np.uint64)) >> np.uint64(33)
+            return pd.Series(morton_interleave(av, bv).view(np.int64))
+
+        return df.withColumn(key_col, _zkey(h_src, h_doc))
+
+    if curve == "hilbert":
+
+        @pandas_udf("long")
+        def _hkey(a: pd.Series, b: pd.Series) -> pd.Series:
+            av = (a.to_numpy().astype(np.int64).view(np.uint64)) >> np.uint64(33)
+            bv = (b.to_numpy().astype(np.int64).view(np.uint64)) >> np.uint64(33)
+            return pd.Series(hilbert_index_2d(av, bv).view(np.int64))
+
+        return df.withColumn(key_col, _hkey(h_src, h_doc))
+
+    raise ValueError(f"unknown curve {curve!r}")
+
+
+# --------------------------------------------------------------------------
+# clustering metrics (stat tightness)
+# --------------------------------------------------------------------------
+
+
+def measure_tightness(spark: SparkSession, table: Table, snapshot_id: int | None = None) -> dict:
+    """Avg normalized per-file min/max width of xxhash64(doc_id), plus
+    avg distinct sources per file.  Lower = tighter stats = better
+    pruning.  Column-pruned scan (doc_id, source only)."""
+    entries = table.files(snapshot_id)
+    if not entries:
+        return {"hash_range": 1.0, "sources_per_file": 0.0, "files": 0}
+    paths = [f"{table.root}/{e.path}" for e in entries]
+    rows = (
+        spark.read.schema(table.spark_schema())
+        .parquet(*paths)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.xxhash64("doc_id").alias("h"),
+            "source",
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("h").alias("mn"),
+            F.max("h").alias("mx"),
+            F.countDistinct("source").alias("nsrc"),
+        )
+        .collect()
+    )
+    width = float(2**64)
+    ranges = [(r["mx"] - r["mn"]) / width for r in rows]
+    return {
+        "hash_range": float(np.mean(ranges)) if ranges else 1.0,
+        "sources_per_file": float(np.mean([r["nsrc"] for r in rows])),
+        "files": len(rows),
+    }
+
+
+# --------------------------------------------------------------------------
+# the clustering job
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ClusterResult:
+    snapshot_id: int
+    curve: str
+    files_before: int
+    files_after: int
+    tightness_before: dict
+    tightness_after: dict
+    job_id: str
+
+
+def cluster(
+    spark: SparkSession,
+    table: Table,
+    curve: str = "zorder",
+    target_file_rows: int = 500_000,
+    measure: bool = True,
+    job_id: str | None = None,
+) -> ClusterResult:
+    """Rewrite the whole table clustered along the chosen curve."""
+    job_id = job_id or uuid.uuid4().hex[:12]
+    entries = table.files()
+    before = measure_tightness(spark, table) if measure else {}
+
+    total_rows = sum(e.rows for e in entries)
+    n_out = max(1, -(-total_rows // target_file_rows))
+    df = with_cluster_key(table.scan(spark), curve=curve)
+    out = (
+        df.repartitionByRange(n_out, "_ckey")
+        .sortWithinPartitions("_ckey")
+        .drop("_ckey")
+    )
+    new_entries = write_datafiles(spark, table, out)
+    snap = table.commit(
+        added=new_entries,
+        removed_paths=[e.path for e in entries],
+        operation="replace",
+        summary={"phase": "cluster", "curve": curve, "job-id": job_id},
+    )
+    after = measure_tightness(spark, table) if measure else {}
+    return ClusterResult(
+        snapshot_id=snap.snapshot_id,
+        curve=curve,
+        files_before=len(entries),
+        files_after=len(new_entries),
+        tightness_before=before,
+        tightness_after=after,
+        job_id=job_id,
+    )

@@ -1,0 +1,191 @@
+"""Small-file compaction: greedy bin-packing into target-size files.
+
+The reference's byte-budgeted batching (MEMSIZE mode: a batch is
+``batchSize x 1024`` *bytes*, not a row count —
+store/.../MemoryEventStoreWithBuffer.java:308-330, BatchMode.java:15)
+reappears here as the compaction sizing rule: data files are packed by
+byte budget into ~512 MB targets (optionally by exact ``sum(n_tok)``
+token budget, per BASELINE.json.north_star).
+
+Plan is computed **driver-side over the manifest** (O(#files), never
+O(rows)); the rewrite is one Spark job: victims are read, every row is
+tagged with its bin via a broadcast path->bin map, and the
+repartition(n, bin) + partitionBy(bin) write emits exactly one file
+per bin, sorted by doc_id within the file so manifest min/max stats
+stay tight for merge pruning.
+
+Resumability: ``max_bins_per_commit`` chunks large compactions into
+several atomic commits; a crash between chunks loses nothing — the
+re-run replans from the current manifest, already-compacted files now
+exceed ``small_file_bytes`` and are skipped (idempotent at bin
+granularity).  A crash *during* a chunk leaves only orphaned staging
+files, never a half-commit.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.table.format import DataFile, Table
+from canal_spark.table.writer import norm_file_path, write_datafiles
+
+TARGET_FILE_BYTES = 512 * 1024 * 1024
+
+
+@dataclass
+class CompactionResult:
+    bins_written: int = 0
+    files_removed: int = 0
+    bytes_compacted: int = 0
+    commits: int = 0
+    snapshot_ids: list[int] = field(default_factory=list)
+    job_id: str = ""
+
+
+def plan_bins(
+    entries: list[DataFile],
+    target_bytes: int = TARGET_FILE_BYTES,
+    small_file_bytes: int | None = None,
+    weights: dict[str, int] | None = None,
+    target_weight: int | None = None,
+) -> list[list[DataFile]]:
+    """Greedy first-fit-decreasing pack of small files into bins.
+
+    Packing never crosses a partition boundary (files of different
+    ``source`` partitions stay separate, like Iceberg's per-partition
+    rewrite groups).  Only bins that actually coalesce (≥2 files) are
+    returned.  ``weights``/``target_weight`` switch the budget from
+    bytes to an arbitrary per-file weight (e.g. exact token sums).
+    """
+    small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
+
+    def w(e: DataFile) -> int:
+        return weights[e.path] if weights is not None else e.bytes
+
+    budget = target_weight if weights is not None else target_bytes
+
+    groups: dict[str, list[DataFile]] = {}
+    for e in entries:
+        if e.bytes < small:
+            groups.setdefault(json.dumps(e.partition, sort_keys=True), []).append(e)
+
+    bins: list[list[DataFile]] = []
+    for _, files in sorted(groups.items()):
+        files.sort(key=w, reverse=True)
+        open_bins: list[tuple[int, list[DataFile]]] = []
+        for e in files:
+            placed = False
+            for i, (tot, members) in enumerate(open_bins):
+                if tot + w(e) <= budget:
+                    open_bins[i] = (tot + w(e), members + [e])
+                    placed = True
+                    break
+            if not placed:
+                open_bins.append((w(e), [e]))
+        bins.extend(members for _, members in open_bins if len(members) >= 2)
+    return bins
+
+
+def token_weights(spark: SparkSession, table: Table, entries: list[DataFile]) -> dict[str, int]:
+    """Exact sum(n_tok) per file — a column-pruned scan of only n_tok
+    (Parquet reads one column; tokens never leave disk)."""
+    paths = [f"{table.root}/{e.path}" for e in entries]
+    rows = (
+        spark.read.schema(table.spark_schema())
+        .parquet(*paths)
+        .select(norm_file_path(F.col("_metadata.file_path")).alias("fp"), "n_tok")
+        .groupBy("fp")
+        .agg(F.sum("n_tok").alias("w"))
+        .collect()
+    )
+    import os
+
+    by_abs = {os.path.abspath(f"{table.root}/{e.path}"): e.path for e in entries}
+    return {by_abs[r["fp"]]: int(r["w"]) for r in rows if r["fp"] in by_abs}
+
+
+def compact(
+    spark: SparkSession,
+    table: Table,
+    target_bytes: int = TARGET_FILE_BYTES,
+    small_file_bytes: int | None = None,
+    pack_by: str = "bytes",  # "bytes" | "n_tok"
+    tokens_per_target: int | None = None,
+    max_bins_per_commit: int = 64,
+    job_id: str | None = None,
+) -> CompactionResult:
+    """Rewrite small files into ~target-size files; scan-equivalent."""
+    job_id = job_id or uuid.uuid4().hex[:12]
+    entries = table.files()
+    if pack_by == "n_tok":
+        small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
+        victims = [e for e in entries if e.bytes < small]
+        weights = token_weights(spark, table, victims)
+        tgt_w = tokens_per_target or target_bytes // 4  # ~4 B/token
+        bins = plan_bins(
+            entries, target_bytes, small_file_bytes, weights=weights, target_weight=tgt_w
+        )
+    else:
+        bins = plan_bins(entries, target_bytes, small_file_bytes)
+
+    result = CompactionResult(job_id=job_id)
+    schema = table.spark_schema()
+    for start in range(0, len(bins), max_bins_per_commit):
+        chunk = bins[start : start + max_bins_per_commit]
+        import os
+
+        path_to_bin = {}
+        removed = []
+        for b, members in enumerate(chunk):
+            for e in members:
+                path_to_bin[os.path.abspath(f"{table.root}/{e.path}")] = b
+                removed.append(e.path)
+
+        bin_map = spark.createDataFrame(
+            [(p, b) for p, b in path_to_bin.items()], ["_fp", "_bin"]
+        )
+        df = (
+            spark.read.schema(schema)
+            .parquet(*path_to_bin.keys())
+            .withColumn("_fp", norm_file_path(F.col("_metadata.file_path")))
+            .join(F.broadcast(bin_map), "_fp")
+            .drop("_fp")
+        )
+        # guard against silent path-join misses: rows in must equal rows out
+        expected_rows = sum(e.rows for m in chunk for e in m)
+        new_entries = write_datafiles(
+            spark,
+            table,
+            df,
+            group_col="_bin",
+            n_groups=len(chunk),
+            sort_within_by=["doc_id"],
+        )
+        got_rows = sum(e.rows for e in new_entries)
+        if got_rows != expected_rows:
+            raise RuntimeError(
+                f"compaction row mismatch: read {expected_rows}, wrote {got_rows} "
+                "(path-join miss?) — aborting before commit"
+            )
+        snap = table.commit(
+            added=new_entries,
+            removed_paths=removed,
+            operation="replace",
+            summary={
+                "phase": "compact",
+                "job-id": job_id,
+                "bins": len(chunk),
+                "pack-by": pack_by,
+            },
+        )
+        result.bins_written += len(chunk)
+        result.files_removed += len(removed)
+        result.bytes_compacted += sum(e.bytes for m in chunk for e in m)
+        result.commits += 1
+        result.snapshot_ids.append(snap.snapshot_id)
+    return result

@@ -1,0 +1,97 @@
+"""The maintenance pass: merge -> compact -> cluster -> expire.
+
+The Spark restatement of the reference's adapter consume loop
+(client-adapter/launcher/.../CanalAdapterWorker.java:83-135 —
+get batch -> apply -> ack, rollback+retry on failure): each phase is
+an atomic snapshot commit; a crash anywhere leaves the table at the
+last committed phase, and a re-run resumes — merge replays filter to
+empty (high-water mark), compaction replans only still-small files,
+clustering and expiry are idempotent rewrites.  Every phase appends a
+lineage row with its metrics.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from canal_spark import cluster as _cluster
+from canal_spark import compact as _compact
+from canal_spark import checkpoint as _ckpt
+from canal_spark import merge as _merge
+from canal_spark.table.format import Table
+
+
+@dataclass
+class MaintenanceReport:
+    job_id: str
+    merge: dict = field(default_factory=dict)
+    compact: dict = field(default_factory=dict)
+    cluster: dict = field(default_factory=dict)
+    expire: dict = field(default_factory=dict)
+
+
+def run_pass(
+    spark: SparkSession,
+    table: Table,
+    changes: DataFrame | None = None,
+    lineage_root: str | None = None,
+    target_file_bytes: int = _compact.TARGET_FILE_BYTES,
+    target_file_rows: int = 500_000,
+    curve: str = "zorder",
+    do_cluster: bool = True,
+    keep_snapshots: int = 5,
+    measure: bool = True,
+    job_id: str | None = None,
+) -> MaintenanceReport:
+    job_id = job_id or uuid.uuid4().hex[:12]
+    lineage = _ckpt.ensure_lineage(lineage_root) if lineage_root else None
+    rep = MaintenanceReport(job_id=job_id)
+
+    if changes is not None:
+        m = _merge.merge_into(
+            spark, table, changes, target_file_rows=target_file_rows, job_id=job_id
+        )
+        rep.merge = m.__dict__
+        if lineage and m.applied:
+            _ckpt.record(
+                spark, lineage, job_id, "merge",
+                ordinal=m.high_water_mark, snapshot_id=m.snapshot_id,
+                files_rewritten=m.files_rewritten, bytes_shuffled=m.bytes_rewritten,
+            )
+
+    c = _compact.compact(spark, table, target_bytes=target_file_bytes, job_id=job_id)
+    rep.compact = c.__dict__
+    if lineage and c.commits:
+        _ckpt.record(
+            spark, lineage, job_id, "compact",
+            snapshot_id=c.snapshot_ids[-1], files_rewritten=c.files_removed,
+            bytes_shuffled=c.bytes_compacted,
+        )
+
+    if do_cluster:
+        z = _cluster.cluster(
+            spark, table, curve=curve, target_file_rows=target_file_rows,
+            measure=measure, job_id=job_id,
+        )
+        rep.cluster = {
+            "snapshot_id": z.snapshot_id, "curve": z.curve,
+            "files_before": z.files_before, "files_after": z.files_after,
+            "tightness_before": z.tightness_before, "tightness_after": z.tightness_after,
+        }
+        if lineage:
+            _ckpt.record(
+                spark, lineage, job_id, "cluster",
+                snapshot_id=z.snapshot_id, files_rewritten=z.files_before,
+                tightness_before=z.tightness_before.get("hash_range"),
+                tightness_after=z.tightness_after.get("hash_range"),
+            )
+
+    e = table.expire_snapshots(keep_last=keep_snapshots)
+    rep.expire = e
+    if lineage and e.get("expired"):
+        _ckpt.record(spark, lineage, job_id, "expire",
+                     snapshot_id=table.current_snapshot_id)
+    return rep

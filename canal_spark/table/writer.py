@@ -37,6 +37,15 @@ _STAT_TYPES = {
 GROUP_COL = "_grp"  # synthetic grouping column, dropped on write
 
 
+def norm_file_path(col):
+    """Normalize ``_metadata.file_path`` (a ``file:///...`` URI on local
+    fs, scheme-prefixed on HDFS/S3 too) to a plain absolute path so it
+    can be equality-joined against manifest paths."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, "^[a-zA-Z0-9]+:/+", "/")
+
+
 def _json_native(v: Any) -> Any:
     if isinstance(v, (datetime, date)):
         return v.isoformat()
