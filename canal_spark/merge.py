@@ -54,13 +54,14 @@ DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
 
 
 def merge_high_water_mark(table: Table) -> int:
-    """Largest changelog ordinal already applied (walk snapshot chain).
+    """Largest changelog ordinal already applied.
 
     Start-position resolution analogue of
     parse/.../MysqlEventParser.findStartPositionInternal:422-521 —
-    precedence: latest snapshot carrying a mark, else 0 (beginning).
+    precedence: table property (survives snapshot expiry) > any
+    retained snapshot summary > 0 (beginning).
     """
-    hwm = 0
+    hwm = int(table.properties.get(CKPT_KEY, 0))
     for s in table.snapshots:
         v = s.summary.get(CKPT_KEY)
         if v is not None:
@@ -208,6 +209,9 @@ def merge_into(
             "keys-changed": int(n_keys),
             "files-pruned": len(untouched),
         },
+        # checkpoint ALSO persisted as a table property so it survives
+        # snapshot expiry — data + checkpoint in one atomic commit.
+        new_properties={CKPT_KEY: int(new_hwm)},
     )
     return MergeResult(
         applied=True,

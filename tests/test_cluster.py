@@ -1,0 +1,91 @@
+"""Clustering: curve-kernel properties + clustered-rewrite invariants."""
+
+import numpy as np
+import pytest
+
+from canal_spark.cluster import (
+    cluster,
+    hilbert_index_2d,
+    morton_interleave,
+    measure_tightness,
+    with_cluster_key,
+)
+from tests.conftest import scan_dict
+
+
+# ---- kernel property tests (pure numpy, no Spark) -------------------------
+
+
+def test_morton_known_values():
+    a = np.array([0, 1, 2, 3], dtype=np.uint64)
+    z = morton_interleave(a, np.zeros(4, dtype=np.uint64), bits=2)
+    assert z.tolist() == [0, 2, 8, 10]  # a-bits land on odd positions
+    z2 = morton_interleave(np.zeros(4, dtype=np.uint64), a, bits=2)
+    assert z2.tolist() == [0, 1, 4, 5]
+
+
+def test_morton_locality_monotone_blocks():
+    """Within one source cell, morton order == hash order (monotone)."""
+    h = np.arange(1024, dtype=np.uint64)
+    z = morton_interleave(np.zeros(1024, dtype=np.uint64), h, bits=31)
+    assert (np.diff(z.astype(np.int64)) > 0).all()
+
+
+def test_hilbert_bijective_and_adjacent():
+    n = 64
+    x, y = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    d = hilbert_index_2d(x.ravel(), y.ravel(), bits=6)
+    assert len(np.unique(d)) == n * n  # bijection
+    # the defining property: consecutive curve positions are grid-adjacent
+    order = np.argsort(d)
+    xs, ys = x.ravel()[order].astype(int), y.ravel()[order].astype(int)
+    step = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    assert (step == 1).all()
+
+
+def test_curve_keys_fit_signed_int64():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 31, size=1000, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, size=1000, dtype=np.uint64)
+    for arr in (morton_interleave(a, b), hilbert_index_2d(a, b)):
+        assert (arr.view(np.int64) >= 0).all()
+
+
+# ---- Spark-side -----------------------------------------------------------
+
+
+def test_cluster_key_column_deterministic(spark, token_table):
+    t, _ = token_table
+    df = with_cluster_key(t.scan(spark), curve="zorder")
+    a = {r["doc_id"]: r["_ckey"] for r in df.select("doc_id", "_ckey").collect()}
+    b = {r["doc_id"]: r["_ckey"] for r in df.select("doc_id", "_ckey").collect()}
+    assert a == b and all(v >= 0 for v in a.values())
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_rewrite_scan_equal_and_tighter(spark, token_table, curve):
+    t, _ = token_table
+    before_state = scan_dict(spark, t)
+    res = cluster(spark, t, curve=curve, target_file_rows=200)
+    assert scan_dict(spark, t) == before_state
+    assert res.files_after >= 1
+    # tightness must improve vs the hash-random base layout
+    assert (
+        res.tightness_after["hash_range"] < res.tightness_before["hash_range"]
+    ), (res.tightness_before, res.tightness_after)
+
+
+def test_cluster_improves_source_locality(spark, token_table):
+    t, _ = token_table
+    res = cluster(spark, t, curve="zorder", target_file_rows=150)
+    assert (
+        res.tightness_after["sources_per_file"]
+        <= res.tightness_before["sources_per_file"]
+    )
+
+
+def test_measure_tightness_shape(spark, token_table):
+    t, _ = token_table
+    m = measure_tightness(spark, t)
+    assert set(m) == {"hash_range", "sources_per_file", "files"}
+    assert 0.0 <= m["hash_range"] <= 1.0

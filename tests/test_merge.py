@@ -1,0 +1,175 @@
+"""MERGE INTO golden-scan tests — the event-replication correctness
+pattern of the reference (client-adapter/rdb/src/test/.../sync/Common.java:
+hand-built DMLs in -> target rows out), with the single-threaded Python
+oracle as ground truth and per-row token-array equality as the invariant.
+"""
+
+import datetime as dt
+
+import pytest
+
+from canal_spark.changelog import (
+    changelog_df,
+    dedupe_last_wins,
+    synth_changelog_rows,
+)
+from canal_spark.merge import dedupe_max_by, dedupe_two_phase_salted, merge_into
+from tests.conftest import oracle_dict, scan_dict
+
+E = dt.datetime(2026, 1, 1)
+
+
+def _apply_and_check(spark, token_table, rows):
+    t, base = token_table
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+    return res
+
+
+def test_insert_only(spark, token_table):
+    t, base = token_table
+    rows = synth_changelog_rows(base, 100, p_insert=1.0, p_update=0.0, p_delete=0.0)
+    _apply_and_check(spark, token_table, rows)
+    assert t.row_count() == 1200 + 100
+
+
+def test_update_only(spark, token_table):
+    rows = synth_changelog_rows(token_table[1], 150, p_insert=0.0, p_update=1.0, p_delete=0.0)
+    _apply_and_check(spark, token_table, rows)
+
+
+def test_delete_only_including_ghosts(spark, token_table):
+    rows = synth_changelog_rows(token_table[1], 80, p_insert=0.0, p_update=0.0, p_delete=1.0)
+    _apply_and_check(spark, token_table, rows)
+
+
+def test_mixed_ops(spark, token_table):
+    rows = synth_changelog_rows(token_table[1], 300)
+    _apply_and_check(spark, token_table, rows)
+
+
+def test_multi_op_same_key_last_wins(spark, token_table):
+    t, base = token_table
+    k = base[0][0]
+    src = base[0][3]
+    rows = [
+        (1, "U", k, [1, 2, 3], 3, src, E, 1),
+        (2, "D", k, None, None, None, E, 1),
+        (3, "I", k, [9, 9], 2, src, E, 1),  # delete then re-insert: insert wins
+        (4, "U", k, [7], 1, src, E, 1),
+    ]
+    _apply_and_check(spark, token_table, rows)
+    got = scan_dict(spark, t)
+    assert got[k] == ([7], 1, src)
+
+
+def test_delete_last_wins(spark, token_table):
+    t, base = token_table
+    k = base[1][0]
+    rows = [
+        (1, "U", k, [5, 5], 2, base[1][3], E, 1),
+        (2, "D", k, None, None, None, E, 1),
+    ]
+    _apply_and_check(spark, token_table, rows)
+    assert k not in scan_dict(spark, t)
+
+
+def test_pk_change_as_delete_plus_insert(spark, token_table):
+    """PK update modeled as D(old)+I(new) — the reference applies a
+    PK-change UPDATE by hashing on the OLD pk (RdbSyncService.java:441-455);
+    set-based CDC expresses it as two ops (SURVEY.md §2.6 A2)."""
+    t, base = token_table
+    old = base[2][0]
+    new = "moved:0000000001"
+    toks = [4, 4, 4]
+    rows = [
+        (1, "D", old, None, None, None, E, 1),
+        (2, "I", new, toks, 3, "web", E, 1),
+    ]
+    _apply_and_check(spark, token_table, rows)
+    got = scan_dict(spark, t)
+    assert old not in got and got[new] == (toks, 3, "web")
+
+
+def test_upsert_on_existing_key(spark, token_table):
+    t, base = token_table
+    k, _, _, src = base[3]
+    rows = [(1, "I", k, [8, 8, 8], 3, src, E, 1)]  # insert of existing key
+    _apply_and_check(spark, token_table, rows)
+    assert scan_dict(spark, t)[k] == ([8, 8, 8], 3, src)
+
+
+def test_noop_update_preserved(spark, token_table):
+    t, base = token_table
+    k, toks, n, src = base[4]
+    rows = [(1, "U", k, list(toks), n, src, E, 1)]
+    _apply_and_check(spark, token_table, rows)
+    assert scan_dict(spark, t)[k] == (list(toks), n, src)
+
+
+def test_zipf_skewed_changelog(spark, token_table):
+    rows = synth_changelog_rows(token_table[1], 500, zipf_a=1.2)
+    _apply_and_check(spark, token_table, rows)
+
+
+def test_idempotent_replay(spark, token_table):
+    t, base = token_table
+    rows = synth_changelog_rows(base, 200)
+    merge_into(spark, t, changelog_df(spark, rows))
+    v = t.version
+    state = scan_dict(spark, t)
+    res2 = merge_into(spark, t, changelog_df(spark, rows))
+    assert not res2.applied and t.version == v
+    assert scan_dict(spark, t) == state
+
+
+def test_incremental_batches_match_one_shot(spark, token_table):
+    t, base = token_table
+    rows = synth_changelog_rows(base, 400)
+    cut = 200
+    merge_into(spark, t, changelog_df(spark, rows[:cut]))
+    # second batch delivered with overlap (at-least-once): replayed rows ignored
+    merge_into(spark, t, changelog_df(spark, rows[100:]))
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+
+def test_snapshot_isolation_during_merge(spark, token_table):
+    t, base = token_table
+    pre_snap = t.current_snapshot_id
+    pre_state = scan_dict(spark, t, snapshot_id=pre_snap)
+    rows = synth_changelog_rows(base, 200)
+    merge_into(spark, t, changelog_df(spark, rows))
+    # reader pinned to the pre-merge snapshot sees unchanged data
+    assert scan_dict(spark, t, snapshot_id=pre_snap) == pre_state
+
+
+def test_dedupe_variants_agree(spark, token_table):
+    rows = synth_changelog_rows(token_table[1], 300, zipf_a=1.2)
+    cdf = changelog_df(spark, rows)
+    a = {r["doc_id"]: r["ordinal"] for r in dedupe_max_by(cdf).collect()}
+    b = {r["doc_id"]: r["ordinal"] for r in dedupe_two_phase_salted(cdf).collect()}
+    c = {r["doc_id"]: r["ordinal"] for r in dedupe_last_wins(cdf).collect()}
+    assert a == b == c
+
+
+def test_merge_prunes_untouched_files(spark, tmp_table_root):
+    """After a clustered (range) layout, a point-y batch must rewrite
+    only overlapping files — manifest pruning at work."""
+    from canal_spark import create_table
+    from canal_spark.changelog import base_table_df, synth_token_rows
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import write_datafiles
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(2000)
+    df = base_table_df(spark, 2000).repartitionByRange(10, "doc_id")
+    entries = write_datafiles(spark, t, df, sort_within_by=["doc_id"])
+    t.commit(entries, operation="append")
+    # touch keys from one narrow range only
+    ks = sorted(r[0] for r in base)[:5]
+    rows = [(i + 1, "U", k, [1], 1, k.split(":")[0], E, 1) for i, k in enumerate(ks)]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.files_pruned > 0, "expected manifest pruning to skip files"
+    assert res.files_rewritten < 10
+    assert scan_dict(spark, t) == oracle_dict(base, rows)

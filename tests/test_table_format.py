@@ -1,0 +1,132 @@
+"""Table-format semantics: the cursor/commit algebra of the storage layer.
+
+Mirrors the reference's store/meta test strategy (SURVEY.md §5 —
+MemoryEventStorePutAndGetTest / RollbackAndAckTest: put/get/ack/rollback
+cursor algebra) restated for snapshots: commit/read/expire/time-travel.
+"""
+
+import pytest
+
+from canal_spark import create_table, load_table
+from canal_spark.schema import TOKEN_TABLE_SCHEMA
+from canal_spark.table.format import CommitConflict, prune_files
+from canal_spark.table.writer import append
+from canal_spark.changelog import base_table_df
+
+
+def test_create_and_append(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    assert t.version == 0 and t.current_snapshot() is None
+    snap, entries = append(spark, t, base_table_df(spark, 100).repartition(4))
+    assert snap.snapshot_id == 1
+    assert t.row_count() == 100
+    assert sum(e.rows for e in entries) == 100
+    assert all(e.stats.get("doc_id", {}).get("min") for e in entries)
+
+
+def test_append_accumulates_and_time_travel(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 50).repartition(2))
+    append(spark, t, base_table_df(spark, 30, seed=9).repartition(1))
+    assert t.row_count() == 80
+    assert t.scan(spark, snapshot_id=1).count() == 50
+    assert t.scan(spark).count() == 80
+    # timestamp travel: latest snapshot wins at now
+    import time
+
+    now_ms = int(time.time() * 1000) + 1000
+    assert t.scan(spark, as_of_timestamp_ms=now_ms).count() == 80
+
+
+def test_commit_conflict_on_double_remove(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 40).repartition(2))
+    victim = t.files()[0].path
+    t.commit([], removed_paths=[victim], operation="overwrite")
+    stale = load_table(tmp_table_root)
+    with pytest.raises(CommitConflict):
+        stale.commit([], removed_paths=[victim], operation="overwrite")
+
+
+def test_stale_handle_retries_and_succeeds(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 40).repartition(2))
+    stale = load_table(tmp_table_root)
+    append(spark, t, base_table_df(spark, 10, seed=5).repartition(1))  # moves version
+    # stale handle appends; optimistic retry must land it on the new tip
+    snap, _ = append(spark, stale, base_table_df(spark, 5, seed=6).repartition(1))
+    assert snap.parent_id is not None
+    assert load_table(tmp_table_root).row_count() == 55
+
+
+def test_partition_and_range_pruning(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    df = base_table_df(spark, 400)
+    # partition-aligned layout: repartition by source so files are pure
+    append(spark, t, df.repartition(4, "source"))
+    entries = t.files()
+    pure = [e for e in entries if "source" in e.partition]
+    assert pure, "expected at least one single-source file to carry a partition value"
+    only_web = prune_files(entries, partition_filter={"source": "web"})
+    assert all(e.partition.get("source") == "web" for e in only_web)
+    # range pruning on doc_id
+    some = prune_files(entries, range_filter={"doc_id": ("books:", "books:~")})
+    assert len(some) <= len(entries)
+
+
+def test_expire_keeps_time_travel_for_retained(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    for seed in (1, 2, 3, 4):
+        append(spark, t, base_table_df(spark, 10, seed=seed).repartition(1))
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired"] == 2
+    ids = [s.snapshot_id for s in t.snapshots]
+    assert ids == [3, 4]
+    # retained snapshot still scans (all its files live)
+    assert t.scan(spark, snapshot_id=3).count() == 30
+    with pytest.raises(KeyError):
+        t.scan(spark, snapshot_id=1).count()
+
+
+def test_expire_gc_deletes_only_dead_files(spark, tmp_table_root):
+    import os
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 40).repartition(2))
+    old_paths = [e.path for e in t.files()]
+    # overwrite everything -> old files dead once snapshot 1 expires
+    df = base_table_df(spark, 40, seed=8).repartition(1)
+    from canal_spark.table.writer import write_datafiles
+
+    new_entries = write_datafiles(spark, t, df)
+    t.commit(new_entries, removed_paths=old_paths, operation="replace")
+    res = t.expire_snapshots(keep_last=1)
+    assert res["data_files_deleted"] == len(old_paths)
+    for p in old_paths:
+        assert not os.path.exists(os.path.join(t.root, p))
+    assert t.row_count() == 40
+
+
+def test_rewrite_manifests_preserves_scan(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    for seed in (1, 2, 3):
+        append(spark, t, base_table_df(spark, 20, seed=seed).repartition(2))
+    before = t.scan(spark).count()
+    n_manifests_before = len(t.current_snapshot().manifests)
+    info = t.rewrite_manifests()
+    assert info["manifests_before"] == n_manifests_before
+    assert len(t.current_snapshot().manifests) <= n_manifests_before
+    assert t.scan(spark).count() == before
+
+
+def test_schema_evolution_add_column(spark, tmp_table_root):
+    from pyspark.sql.types import StringType, StructField
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 20).repartition(1))
+    new_schema = TOKEN_TABLE_SCHEMA.add(StructField("lang", StringType(), True))
+    # DDL-isolation analogue (B3): schema change is its own commit
+    t.commit([], operation="schema", new_schema_json=new_schema.jsonValue())
+    df = t.scan(spark)
+    assert "lang" in df.columns
+    assert df.where("lang is null").count() == 20  # old files read as null
