@@ -1,0 +1,23 @@
+"""Operator library exposed through the driver contract.
+
+Each module defines ``QUERIES`` ({name: fn(spark, sf_dir) -> DataFrame})
+and ``ORACLES`` ({name: DuckDB SQL string}) pairs with identical output
+column names, aggregated by ``all_queries()`` / ``all_oracles()`` for
+``__spark_entry__.py``.
+"""
+
+from canal_spark.operators import dedup, relational, similarity, text
+
+
+def all_queries():
+    out = {}
+    for m in (relational, dedup, text, similarity):
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in (relational, dedup, text, similarity):
+        out.update(m.ORACLES)
+    return out

@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash (+ Hamming pairs), n-gram Jaccard, and k-min
+document fingerprints.  All hashing uses the cross-engine md5-based
+60-bit int (operators.common) so the DuckDB oracles reproduce the
+exact same signatures.
+
+Scale notes: every operator is shuffle-shaped like its 100 TB
+version — shingling explodes rows (map-side), signatures reduce by
+doc (partial agg), candidate pairs come from an equi-join on band
+buckets (never an all-pairs cross join).  The SimHash *pairs* variant
+is the one all-pairs op; it is blocked on the signature's high byte
+to keep the join bounded, as one would at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.operators.common import duck_md5int, load, md5int
+
+N_MINHASH = 8
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.split("text", " ").alias("ws"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc_id, 3-word shingle)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _words(docs)
+        .where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+DUCK_SHINGLES = """
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= 3))
+)
+"""
+
+
+# --- exact dedupe (hash-groupBy) --------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by md5 of a prefix key (first 2 words —
+    the shared testdata has no full-text dups, so the prefix plays the
+    content key; at scale the key is md5(text) itself)."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)))
+    return (
+        docs.select(key.alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .where("n_dups > 1")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS content_key,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 8 independent min-hashes per doc
+    (min over shingle hashes salted by k), 8 bands of 1 row each —
+    docs agreeing on ANY minhash become a candidate pair via the
+    band-bucket equi-join (never an all-pairs product)."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for k in range(N_MINHASH):
+        b = sigs.select(
+            "doc_id", F.lit(k).alias("band"), F.col(f"mh{k}").alias("bucket")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+_mh_cols = ", ".join(
+    "min({h}) AS mh{k}".format(h=duck_md5int("shingle || '#' || '%d'" % k), k=k)
+    for k in range(N_MINHASH)
+)
+_band_union = " UNION ALL ".join(
+    f"SELECT doc_id, {k} AS band, mh{k} AS bucket FROM sigs" for k in range(N_MINHASH)
+)
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_union})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+SIM_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: per-bit majority vote over the word-hash
+    population (distinct words)."""
+    docs = load(spark, sf_dir, "documents")
+    wd = (
+        _words(docs)
+        .select("doc_id", F.explode("ws").alias("w"))
+        .distinct()
+        .withColumn("h", md5int(F.col("w")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIM_BITS)
+    ]
+    sig_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIM_BITS)
+    ]
+    sig = sig_terms[0]
+    for t in sig_terms[1:]:
+        sig = sig + t
+    return wd.groupBy("doc_id").agg(*votes).select(
+        "doc_id", sig.cast("long").alias("simhash")
+    )
+
+
+_votes_sql = ", ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIM_BITS)
+)
+_sig_sql = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+h AS (SELECT doc_id, {duck_md5int('w')} AS h FROM wd),
+v AS (SELECT doc_id, {_votes_sql} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_sig_sql} AS BIGINT) AS simhash FROM v
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 6, blocked on the
+    signature's high byte (at scale: multi-probe over bit-rotations)."""
+    sigs = q_dedup_simhash(spark, sf_dir).withColumn(
+        "blk", F.shiftright("simhash", SIM_BITS - 8)
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= 6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+h AS (SELECT doc_id, {duck_md5int('w')} AS h FROM wd),
+v AS (SELECT doc_id, {_votes_sql} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({_sig_sql} AS BIGINT) AS simhash FROM v),
+blk AS (SELECT doc_id, simhash, simhash >> {SIM_BITS - 8} AS blk FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blk a JOIN blk b USING (blk)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# --- n-gram Jaccard -------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard for adjacent doc_id pairs (the blocking key;
+    at scale pairs come from LSH candidates instead)."""
+    docs = load(spark, sf_dir, "documents")
+    wd = _words(docs).select("doc_id", F.explode("ws").alias("w")).distinct()
+    sizes = wd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = wd.alias("a")
+    b = wd.withColumn("doc_id", F.col("doc_id") - 1).alias("b")  # pair (d, d+1)
+    inter = (
+        a.join(b, ["doc_id", "w"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sz").alias("szb"))
+    out = (
+        inter.join(sa, "doc_id")
+        .join(sb, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+            F.round(
+                F.col("inter") / (F.col("sz") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.where("jaccard >= 0.2")
+
+
+SQL_NGRAM_JACCARD = """
+WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+sz AS (SELECT doc_id, count(*) AS sz FROM wd GROUP BY doc_id),
+inter AS (SELECT a.doc_id, count(*) AS inter
+          FROM wd a JOIN wd b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
+          GROUP BY a.doc_id)
+SELECT i.doc_id AS doc_a, i.doc_id + 1 AS doc_b,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_id
+JOIN sz sb ON sb.doc_id = i.doc_id + 1
+WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.2
+"""
+
+
+# --- document fingerprint (k-min sketch) -----------------------------------------
+
+
+N_FP = 4
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: md5 of the 4 salted min shingle
+    hashes — a compact identity for containment checks."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(md5int(F.concat_ws("$", "shingle", F.lit(str(s))))).alias(f"f{s}")
+        for s in range(N_FP)
+    ]
+    mins = sh.groupBy("doc_id").agg(*aggs)
+    fp = F.md5(F.concat_ws(",", *[F.col(f"f{s}").cast("string") for s in range(N_FP)]))
+    return mins.select("doc_id", fp.alias("fingerprint"))
+
+
+_fp_cols = ", ".join(
+    "min({h}) AS f{s}".format(h=duck_md5int("shingle || '$' || '%d'" % s), s=s)
+    for s in range(N_FP)
+)
+_fp_concat = " || ',' || ".join(f"CAST(f{s} AS VARCHAR)" for s in range(N_FP))
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {DUCK_SHINGLES},
+mins AS (SELECT doc_id, {_fp_cols} FROM sh GROUP BY doc_id)
+SELECT doc_id, md5({_fp_concat}) AS fingerprint FROM mins
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

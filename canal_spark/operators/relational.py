@@ -1,0 +1,327 @@
+"""Engine-core operators expressed over the shared testdata, with
+DuckDB oracles — the SQL-checkable faces of the maintenance engine
+(SURVEY.md §2): last-wins changelog dedupe, merge-as-join, pk-hash
+partitioning, bin-pack planning, Z-order keys, stat tightness, regex
+table filters / topic routing, metrics rollups, event-time windows.
+
+Every aggregate/computed column is aliased identically on both sides
+(driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from canal_spark.operators.common import duck_md5int, load, md5int
+
+
+# --- 1. changelog last-wins dedupe (P1-P3 per-key order invariant) --------
+
+
+def q_changelog_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last event per user by (ts, event_id) — the dedupe that precedes
+    every MERGE (canal_spark.changelog.dedupe_last_wins), over the
+    shared `events` table (ts = ordinal analogue)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value"), 6).alias("last_value"),
+        )
+    )
+
+
+SQL_CHANGELOG_DEDUPE = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       round(value::DOUBLE, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# --- 2. merge-as-join: upsert/delete resolution (A1-A3) --------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a declarative join over `documents`:
+    base = doc_id%7!=0; upserts = doc_id%3==0 (n_chars+1000);
+    deletes = doc_id%11==0 (delete wins over upsert, like a later
+    ordinal).  Mirrors canal_spark.merge.merge_into's COW resolution."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where("doc_id % 7 != 0").select("doc_id", "n_chars")
+    ups = docs.where("doc_id % 3 = 0").select(
+        "doc_id", (F.col("n_chars") + 1000).alias("n_chars")
+    )
+    dels = docs.where("doc_id % 11 = 0").select("doc_id")
+    merged = (
+        base.join(ups.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(ups)
+        .join(dels, "doc_id", "left_anti")
+    )
+    return merged.select("doc_id", F.col("n_chars").cast("long").alias("n_chars_final"))
+
+
+SQL_MERGE_UPSERT = """
+WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 != 0),
+     ups  AS (SELECT doc_id, n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 3 = 0),
+     dels AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars_final
+FROM (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+      UNION ALL SELECT * FROM ups)
+WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+"""
+
+
+# --- 3. metrics rollup (prometheus counters analogue) ----------------------
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_METRICS_ROLLUP = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value)::DOUBLE, 3) AS sum_value,
+       round(min(value)::DOUBLE, 6) AS min_value,
+       round(max(value)::DOUBLE, 6) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --- 4. topic routing (F8: MQMessageUtils.messageTopics) --------------------
+
+
+def q_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    topic = (
+        F.when(F.col("source").rlike("^src1[0-9]$"), F.lit("topic-high"))
+        .when(F.col("source").rlike("^src[0-4]$"), F.lit("topic-low"))
+        .otherwise(F.lit("topic-mid"))
+    )
+    return (
+        docs.withColumn("topic", topic)
+        .groupBy("topic")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("source").alias("n_sources"))
+    )
+
+
+SQL_TOPIC_ROUTING = """
+SELECT CASE WHEN regexp_matches(source, '^src1[0-9]$') THEN 'topic-high'
+            WHEN regexp_matches(source, '^src[0-4]$')  THEN 'topic-low'
+            ELSE 'topic-mid' END AS topic,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1
+"""
+
+
+# --- 5. regex whitelist filter (F1: AviaterRegexFilter) ---------------------
+
+
+def q_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal filters `schema.table` against anchored regexes
+    (filter/.../AviaterRegexFilter.java:39-75); analogue: filter
+    `source.lang` keys against a whitelist."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.concat_ws(".", "source", "lang")
+    keep = key.rlike("^src[0-3]\\.(en|de)$") | key.rlike("^src1[0-5]\\..*$")
+    return (
+        docs.where(keep)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TABLE_FILTER = """
+SELECT source, lang, count(*) AS n_docs
+FROM documents
+WHERE regexp_matches(source || '.' || lang, '^src[0-3]\\.(en|de)$')
+   OR regexp_matches(source || '.' || lang, '^src1[0-5]\\..*$')
+GROUP BY source, lang
+"""
+
+
+# --- 6. pk-hash partitioner (P1: MQMessageUtils.messagePartition) -----------
+
+
+def q_pk_hash_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pid = (md5int(F.col("doc_id").cast("string")) % 8).alias("partition_id")
+    return docs.select(pid, "n_chars").groupBy("partition_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+SQL_PK_HASH_PARTITION = f"""
+SELECT {duck_md5int("CAST(doc_id AS VARCHAR)")} % 8 AS partition_id,
+       count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+# --- 7. bin-pack planning (compaction sizing, MEMSIZE analogue) --------------
+
+
+def q_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-fill bin assignment by byte budget — the SQL-visible
+    core of canal_spark.compact.plan_bins (greedy by running total)."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_chars").over(w)
+    binned = docs.select(
+        "doc_id", "n_chars", F.floor((cum - 1) / F.lit(50000)).alias("bin_id")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bin_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_BINPACK_PLAN = """
+WITH c AS (SELECT doc_id, n_chars,
+                  sum(n_chars) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)
+SELECT CAST(floor((cum - 1) / 50000) AS BIGINT) AS bin_id,
+       count(*) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+# --- 8. Z-order key (bit interleave, SQL-expressible 8+8-bit variant) --------
+
+
+def _zorder_sql_spark():
+    # interleave low 8 bits of (n_chars) with low 8 bits of md5int(doc_id):
+    # a-bits on odd positions, b-bits on even — mirrors
+    # canal_spark.cluster.morton_interleave at reduced width.
+    a = F.pmod(F.col("n_chars").cast("long"), F.lit(256))
+    b = F.pmod(md5int(F.col("doc_id").cast("string")), F.lit(256))
+    terms = []
+    for i in range(8):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _zorder_sql_spark().alias("zkey"))
+
+
+def _zorder_sql_duck() -> str:
+    h = duck_md5int("CAST(doc_id AS VARCHAR)")
+    terms = []
+    for i in range(8):
+        terms.append(f"((((n_chars % 256) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({h} % 256) >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+SQL_ZORDER_KEY = f"""
+SELECT doc_id, CAST({_zorder_sql_duck()} AS BIGINT) AS zkey FROM documents
+"""
+
+
+# --- 9. stat tightness (min/max range metric) --------------------------------
+
+
+def q_stat_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = md5int(F.col("doc_id").cast("string"))
+    full = float((1 << 60) - 1)
+    return (
+        docs.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.round((F.max("h") - F.min("h")) / F.lit(full), 6).alias("range_norm"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_STAT_TIGHTNESS = f"""
+SELECT source,
+       round((max(h) - min(h)) / 1152921504606846975.0, 6) AS range_norm,
+       count(*) AS n_rows
+FROM (SELECT source, {duck_md5int("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+GROUP BY source
+"""
+
+
+# --- 10. event-time tumbling windows (streaming-batch parity) ----------------
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wh = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH")
+    return (
+        ev.select(wh.alias("window_hour"), "event_type", "value")
+        .groupBy("window_hour", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+SQL_EVENT_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS window_hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value)::DOUBLE, 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "changelog_dedupe": q_changelog_dedupe,
+    "merge_upsert": q_merge_upsert,
+    "metrics_rollup": q_metrics_rollup,
+    "topic_routing": q_topic_routing,
+    "table_filter": q_table_filter,
+    "pk_hash_partition": q_pk_hash_partition,
+    "binpack_plan": q_binpack_plan,
+    "zorder_key": q_zorder_key,
+    "stat_tightness": q_stat_tightness,
+    "event_windows": q_event_windows,
+}
+
+ORACLES = {
+    "changelog_dedupe": SQL_CHANGELOG_DEDUPE,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "metrics_rollup": SQL_METRICS_ROLLUP,
+    "topic_routing": SQL_TOPIC_ROUTING,
+    "table_filter": SQL_TABLE_FILTER,
+    "pk_hash_partition": SQL_PK_HASH_PARTITION,
+    "binpack_plan": SQL_BINPACK_PLAN,
+    "zorder_key": SQL_ZORDER_KEY,
+    "stat_tightness": SQL_STAT_TIGHTNESS,
+    "event_windows": SQL_EVENT_WINDOWS,
+}

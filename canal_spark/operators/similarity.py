@@ -1,0 +1,150 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Brute-force cosine top-k as the exactness baseline, and an IVF-style
+variant that searches only the query's coarse cluster (the `label`
+column plays the centroid-assignment role).  All math is JVM-side
+(`zip_with`/`aggregate` higher-order functions) in float64; ranking
+rounds to 9 decimals to absorb summation-order ulp noise before the
+deterministic (score, vec_id) tie-break, output scores round to 4.
+
+Scale path: brute force is O(Q*N) — fine for a broadcast query set;
+the IVF variant turns it into a per-cluster equi-join, the same plan
+shape a 10^12-row ANN sweep needs (partition by cell, join within).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.operators.common import load
+
+TOPK = 3
+Q_MOD = 50  # vec_id % 50 == 0 -> query set
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vec, vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.select("vec_id", "label", vec.alias("v"), F.sqrt(dot).alias("norm"))
+
+
+def _cosine(a, b, na, nb):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (na * nb)
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") % Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    n = e.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("nv"), F.col("norm").alias("nn")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(_cosine(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 9).alias(
+                "c9"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("c9"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("c9", 4).alias("cosine"),
+        )
+    )
+
+
+SQL_EMBED_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(list_cosine_similarity(q.v, n.v), 9) AS c9
+  FROM e q, e n
+  WHERE q.vec_id % {Q_MOD} = 0 AND q.vec_id != n.vec_id),
+ranked AS (
+  SELECT q_id, n_id, c9,
+         row_number() OVER (PARTITION BY q_id ORDER BY c9 DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, round(c9, 4) AS cosine
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: candidates restricted to the query's coarse
+    cluster (`label` = centroid id) — equi-join, not cross join."""
+    from pyspark.sql import Window
+
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = e.where(F.col("vec_id") % Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("label"),
+        F.col("v").alias("qv"), F.col("norm").alias("qn"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("n_id"), F.col("label"),
+        F.col("v").alias("nv"), F.col("norm").alias("nn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, "label")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            F.col("label").cast("long").alias("cell"),
+            "n_id",
+            F.round(_cosine(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 9).alias(
+                "c9"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("c9"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 1)
+        .select("q_id", "cell", "n_id", F.round("c9", 4).alias("cosine"))
+    )
+
+
+SQL_EMBED_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS cell, n.vec_id AS n_id,
+         round(list_cosine_similarity(q.v, n.v), 9) AS c9
+  FROM e q JOIN e n ON q.label = n.label AND q.vec_id != n.vec_id
+  WHERE q.vec_id % {Q_MOD} = 0),
+ranked AS (
+  SELECT q_id, cell, n_id, c9,
+         row_number() OVER (PARTITION BY q_id ORDER BY c9 DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, cell, n_id, round(c9, 4) AS cosine FROM ranked WHERE rank = 1
+"""
+
+
+QUERIES = {
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "embed_ivf_topk": q_embed_ivf_topk,
+}
+
+ORACLES = {
+    "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
+    "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
+}
