@@ -1,0 +1,215 @@
+"""Benchmark harness: maintenance-pass wall time + post-maintenance
+full-scan throughput on a synthetic token table, plus per-operator
+query timings at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "maintenance_pass_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "scan_seq_per_sec": ...,
+   "phases": {...}, "cpus": ...}
+
+Scale model: the token table is synthesized deterministically from the
+`documents` fixture, replicated SPARK_GRAFT_BENCH_REPLICAS times (so
+row count scales independently of the fixture SF) and written
+fragmented (many small files) so the pass has real merge / compact /
+cluster work to do — the sandbox-scale stand-in for the 10^12-sequence
+Iceberg table in BASELINE.json.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     fixture dir       (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N] threads  (default 32)
+  SPARK_GRAFT_BENCH_REPLICAS  token-table replication factor (default 40)
+  SPARK_GRAFT_BENCH_QUERIES   "all" | "none" | comma list (default all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_token_table(spark, sf_dir: str, replicas: int):
+    """Deterministic fragmented token table from `documents` x replicas.
+
+    Pure JVM expressions (no Python row path): tokens are 60-bit md5
+    word hashes mod 50257; replica rows get a rolled token array so
+    replicas are not byte-identical.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = spark.range(replicas).select(F.col("id").alias("rep"))
+    toks = F.expr(
+        "transform(split(text, ' '), "
+        "w -> CAST(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 50257 AS INT))"
+    )
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("did"), toks.alias("toks"),
+        "source",
+    )
+    return base.crossJoin(rep).select(
+        F.concat_ws(":", "source", "did", F.col("rep").cast("string")).alias("doc_id"),
+        # roll the array by rep so replicas differ: concat(slice(r+1..), slice(1..r))
+        F.expr(
+            "concat(slice(toks, CAST(rep % size(toks) AS INT) + 1, size(toks)),"
+            "       slice(toks, 1, CAST(rep % size(toks) AS INT)))"
+        ).alias("tokens"),
+        F.size("toks").cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int):
+    """Binlog-shaped changelog over the synthesized table: updates
+    truncate tokens to 16, deletes tombstone; ordinal = xxhash-ranked."""
+    from pyspark.sql import functions as F
+
+    upd = token_df.where(F.crc32(F.col("doc_id")) % n_upd_mod == 0).select(
+        F.xxhash64("doc_id").cast("long").alias("ordinal"),
+        F.lit("U").alias("op"),
+        "doc_id",
+        F.slice("tokens", 1, 16).alias("tokens"),
+        F.least("n_tok", F.lit(16)).cast("int").alias("n_tok"),
+        "source",
+        F.to_timestamp(F.lit("2026-01-01")).alias("es"),
+        F.lit(1).cast("long").alias("batch_id"),
+    )
+    dels = token_df.where(F.crc32(F.col("doc_id")) % n_del_mod == 1).select(
+        F.xxhash64("doc_id").cast("long").alias("ordinal"),
+        F.lit("D").alias("op"),
+        "doc_id",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.to_timestamp(F.lit("2026-01-01")).alias("es"),
+        F.lit(2).cast("long").alias("batch_id"),
+    )
+    # ordinals must be positive & > hwm(0): abs them
+    return upd.unionByName(dels).withColumn(
+        "ordinal", F.abs(F.col("ordinal")) + F.lit(1)
+    )
+
+
+def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from canal_spark import create_table
+    from canal_spark.maintenance import run_pass
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    root = tempfile.mkdtemp(prefix="canal_bench_")
+    shutil.rmtree(root, ignore_errors=True)
+    phases: dict[str, float] = {}
+    try:
+        table = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+        tok = make_token_table(spark, sf_dir, replicas)
+
+        t0 = time.perf_counter()
+        # fragmented initial load: 64 writer partitions -> many small files
+        append(spark, table, tok.repartition(64))
+        phases["load"] = time.perf_counter() - t0
+        n_rows = sum(e.rows for e in table.files())
+
+        changes = synth_changelog(spark, tok, n_upd_mod=11, n_del_mod=17)
+
+        t0 = time.perf_counter()
+        rep = run_pass(
+            spark, table, changes,
+            target_file_bytes=256 << 20, target_file_rows=500_000,
+            keep_snapshots=3, measure=False,
+        )
+        pass_wall = time.perf_counter() - t0
+        phases["maintenance_pass"] = pass_wall
+
+        # post-maintenance full scan: aggregate over every row + token
+        # array head so the scan can't be pruned to metadata
+        t0 = time.perf_counter()
+        row = (
+            table.scan(spark)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_tok").alias("tot"),
+                F.sum(F.element_at("tokens", 1)).alias("chk"),
+            )
+            .collect()[0]
+        )
+        scan_wall = time.perf_counter() - t0
+        phases["full_scan"] = scan_wall
+        seq_per_sec = row["n"] / scan_wall if scan_wall > 0 else 0.0
+
+        return {
+            "phases": {k: round(v, 3) for k, v in phases.items()},
+            "rows_loaded": int(n_rows),
+            "rows_after": int(row["n"]),
+            "total_tokens_after": int(row["tot"]),
+            "maintenance_pass_sec": round(pass_wall, 3),
+            "scan_seq_per_sec": round(seq_per_sec, 1),
+            "merge": {k: rep.merge.get(k) for k in
+                      ("files_rewritten", "files_pruned", "rows_upserted", "rows_deleted")},
+            "compact_files_removed": rep.compact.get("files_removed"),
+            "cluster_files_after": rep.cluster.get("files_after"),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_queries(spark, sf_dir: str, which: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if which == "none":
+        return {}
+    if which != "all":
+        keep = {s.strip() for s in which.split(",")}
+        qs = {k: v for k, v in qs.items() if k in keep}
+    out = {}
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "40"))
+    which = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "all")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+
+    from canal_spark import get_spark
+
+    spark = get_spark("canal_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    t_all = time.perf_counter()
+    maint = bench_maintenance(spark, sf_dir, replicas)
+    queries = bench_queries(spark, sf_dir, which)
+
+    result = {
+        "metric": "maintenance_pass_wall_sec",
+        "value": maint["maintenance_pass_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "replicas": replicas,
+        "total_wall_sec": round(time.perf_counter() - t_all, 3),
+        **{k: v for k, v in maint.items() if k != "maintenance_pass_sec"},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
