@@ -1,0 +1,113 @@
+"""Structured Streaming apply: drains a changelog directory through
+foreachBatch MERGE and matches the Python oracle; replays are no-ops
+(exactly-once table state — SURVEY.md §2.9 delivery semantics)."""
+
+import shutil
+
+from tests.conftest import oracle_dict, scan_dict
+
+
+def _write_slice(spark, rows, out_dir):
+    from canal_spark.changelog import changelog_df
+
+    changelog_df(spark, rows).coalesce(1).write.mode("append").parquet(out_dir)
+
+
+def test_stream_apply_matches_oracle(spark, token_table, tmp_path):
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.streaming import stream_apply
+
+    table, base = token_table
+    cl_dir = str(tmp_path / "changelog")
+    ck_dir = str(tmp_path / "stream_ckpt")
+
+    rows1 = synth_changelog_rows(base, 300, seed=1, start_ordinal=1)
+    rows2 = synth_changelog_rows(base, 300, seed=2, start_ordinal=1001)
+    _write_slice(spark, rows1, cl_dir)
+    _write_slice(spark, rows2, cl_dir)
+
+    res = stream_apply(spark, table, cl_dir, ck_dir, max_files_per_trigger=1)
+    assert res.batches_seen >= 2
+    assert res.batches_applied >= 1
+
+    table = table.refresh()
+    assert scan_dict(spark, table) == oracle_dict(base, rows1 + rows2)
+
+    # late-arriving third slice: stream picks up only the new file
+    rows3 = synth_changelog_rows(base, 100, seed=3, start_ordinal=2001)
+    _write_slice(spark, rows3, cl_dir)
+    stream_apply(spark, table, cl_dir, ck_dir, max_files_per_trigger=1)
+    table = table.refresh()
+    assert scan_dict(spark, table) == oracle_dict(base, rows1 + rows2 + rows3)
+
+
+def test_stream_replay_is_noop(spark, token_table, tmp_path):
+    """Lost stream checkpoint (fresh checkpointLocation) replays every
+    file; the table's merge high-water mark makes it a no-op."""
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.streaming import stream_apply
+
+    table, base = token_table
+    cl_dir = str(tmp_path / "changelog")
+    rows = synth_changelog_rows(base, 200, seed=4)
+    _write_slice(spark, rows, cl_dir)
+
+    stream_apply(spark, table, cl_dir, str(tmp_path / "ck1"))
+    table = table.refresh()
+    snap_before = table.current_snapshot_id
+    state_before = scan_dict(spark, table)
+
+    shutil.rmtree(str(tmp_path / "ck1"))
+    res = stream_apply(spark, table, cl_dir, str(tmp_path / "ck2"))
+    table = table.refresh()
+    assert res.batches_applied == 0  # replay filtered to empty by hwm
+    assert table.current_snapshot_id == snap_before  # no new snapshot
+    assert scan_dict(spark, table) == state_before
+
+
+def test_stream_traffic_metrics_batch_parity(spark, token_table):
+    """The windowed-metrics plan runs identically in batch mode; check
+    totals against a plain aggregation."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.streaming import stream_traffic_metrics
+
+    _, base = token_table
+    changes = changelog_df(spark, synth_changelog_rows(base, 500, seed=5))
+    m = stream_traffic_metrics(changes, window="10 seconds").collect()
+    assert sum(r["n_changes"] for r in m) == 500
+    expected_deletes = changes.where(F.col("op") == "D").count()
+    assert sum(r["n_deletes"] for r in m) == expected_deletes
+    # windows are 10s-aligned and non-overlapping per source
+    for r in m:
+        assert (r["win_end"] - r["win_start"]).total_seconds() == 10.0
+
+
+def test_stream_metrics_run_as_stream(spark, token_table, tmp_path):
+    """stream_traffic_metrics over a real streaming source with
+    availableNow + memory sink: watermarked windowed agg executes."""
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.streaming import stream_changelog_reader, stream_traffic_metrics
+
+    _, base = token_table
+    cl_dir = str(tmp_path / "cl")
+    _write_slice(spark, synth_changelog_rows(base, 400, seed=6), cl_dir)
+
+    stream = stream_changelog_reader(spark, cl_dir)
+    agg = stream_traffic_metrics(stream, window="10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("traffic_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT sum(n_changes) AS n FROM traffic_test").collect()
+    # append mode emits only windows closed by the watermark; the final
+    # window may be held back, so bound instead of exact-match
+    n = rows[0]["n"] or 0
+    assert 0 <= n <= 400
+    spark.catalog.dropTempView("traffic_test")
