@@ -42,7 +42,12 @@ def make_token_table(spark, sf_dir: str, replicas: int):
     """
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # repartition BEFORE the crossJoin: documents is one small file (one
+    # split), and the broadcast-NL join keeps the left side's layout — so
+    # without this the whole tokenization of docs × replicas rows runs in
+    # a single task.
+    n_part = spark.sparkContext.defaultParallelism * 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n_part)
     rep = spark.range(replicas).select(F.col("id").alias("rep"))
     toks = F.expr(
         "transform(split(text, ' '), "
@@ -116,13 +121,23 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
         phases["load"] = time.perf_counter() - t0
         n_rows = sum(e.rows for e in table.files())
 
-        changes = synth_changelog(spark, tok, n_upd_mod=11, n_del_mod=17)
+        # stage the changelog as parquet and read it back — the real flow
+        # (binlog slices land as files before apply), and it keeps the
+        # apply engine's several actions from recomputing the synthesis
+        t0 = time.perf_counter()
+        cl_dir = os.path.join(root, "_changelog_stage")
+        synth_changelog(
+            spark, table.scan(spark), n_upd_mod=11, n_del_mod=17
+        ).write.parquet(cl_dir)
+        changes = spark.read.parquet(cl_dir)
+        phases["stage_changelog"] = time.perf_counter() - t0
 
         target_rows = int(os.environ.get("SPARK_GRAFT_BENCH_TARGET_ROWS", "500000"))
+        target_mb = int(os.environ.get("SPARK_GRAFT_BENCH_TARGET_MB", "256"))
         t0 = time.perf_counter()
         rep = run_pass(
             spark, table, changes,
-            target_file_bytes=256 << 20, target_file_rows=target_rows,
+            target_file_bytes=target_mb << 20, target_file_rows=target_rows,
             keep_snapshots=3, measure=False,
         )
         pass_wall = time.perf_counter() - t0

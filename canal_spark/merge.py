@@ -10,10 +10,11 @@ plan replaces the lane machinery:
       -> last-wins dedupe per key                -- P1/P3 per-key order
       -> manifest-prune affected target files    -- predicate pushdown
       -> copy-on-write rewrite:
-           untouched rows (left_anti on key)     -- keep
-           + after-images of final I/U rows      -- upsert
-           (final D rows simply don't survive)   -- delete
-      -> range-partition by key, write, commit   -- one atomic snapshot
+           untouched rows (left_anti on key)     -- keep, written back
+           shuffle-free (sorted files stay sorted; D rows just vanish)
+           + after-images of final I/U rows      -- upsert, written as
+           their own range-sorted files (small batch, tiny shuffle)
+      -> one atomic snapshot commit
       -> checkpoint = high-water ordinal in the snapshot summary
 
 Exactly-once table state falls out of idempotence: the high-water mark
@@ -178,25 +179,35 @@ def merge_into(
         # the job is a full-table rewrite anyway
         affected, untouched = entries, []
 
-    # copy-on-write rewrite of affected files only
+    # Copy-on-write rewrite, shuffle-free on the big side: kept rows of
+    # each affected file are anti-joined against the (broadcast) key set
+    # and written straight back out — scan partitions of a doc_id-sorted
+    # file are contiguous ranges, so outputs stay sorted, no exchange,
+    # no range-sampling pass.  The (small) upsert batch alone goes
+    # through a range shuffle into its own sorted files; layout debt
+    # (extra overlapping files) is exactly what the compaction/cluster
+    # phases exist to repay — rewrite amplification stays bounded by the
+    # touched files, never the table.
+    new_entries = []
     if affected:
         paths = [f"{table.root}/{e.path}" for e in affected]
         target_affected = spark.read.schema(table.spark_schema()).parquet(*paths)
         keep = target_affected.join(F.broadcast(keys_df), "doc_id", "left_anti")
-        rewritten = keep.unionByName(upserts)
-    else:
-        rewritten = upserts
-
-    total_rows_est = sum(e.rows for e in affected) + n_keys
-    n_out = max(1, -(-total_rows_est // target_file_rows))
-    out = rewritten.repartitionByRange(n_out, "doc_id")
-
-    new_entries = write_datafiles(
-        spark, table, out, sort_within_by=["doc_id"]
-    )
+        new_entries += write_datafiles(
+            spark, table, keep, sort_within_by=["doc_id"]
+        )
+    n_up_est = upserts.count()
+    if n_up_est:
+        m_out = max(1, -(-n_up_est // target_file_rows))
+        new_entries += write_datafiles(
+            spark,
+            table,
+            upserts.repartitionByRange(m_out, "doc_id"),
+            sort_within_by=["doc_id"],
+        )
     rows_out = sum(e.rows for e in new_entries)
     rows_in = sum(e.rows for e in affected)
-    n_up = upserts.count()
+    n_up = n_up_est
 
     snap = table.commit(
         added=new_entries,

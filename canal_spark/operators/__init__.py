@@ -6,18 +6,27 @@ column names, aggregated by ``all_queries()`` / ``all_oracles()`` for
 ``__spark_entry__.py``.
 """
 
-from canal_spark.operators import dedup, relational, similarity, text
+from canal_spark.operators import (
+    cdc_ext,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
+
+_MODULES = (relational, cdc_ext, dedup, text, similarity, multimodal)
 
 
 def all_queries():
     out = {}
-    for m in (relational, dedup, text, similarity):
+    for m in _MODULES:
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (relational, dedup, text, similarity):
+    for m in _MODULES:
         out.update(m.ORACLES)
     return out

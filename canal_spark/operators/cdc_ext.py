@@ -1,0 +1,287 @@
+"""Extended CDC dataflow operators from SURVEY.md §2 not covered by
+the core relational set: multi-source timeline merge (M1/M3),
+FlatMessage encode/decode (A12/F8), PK-change normalization (A2/A10),
+empty-transaction suppression (F6), start-position resolution (K4),
+and unsigned type promotion (S6).
+
+Each operator is expressed over the shared fixture tables so the
+DuckDB oracle can replay it exactly; the Spark plans are the shapes
+the real engine uses (union + window for the k-way merge, from_json
+for the wire format, conditional explode for D+I splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from canal_spark.operators.common import load
+
+
+# --------------------------------------------------------------------------
+# M1/M3 — timeline merge barrier: k-way merge of N shard streams into one
+# globally time-ordered stream (sink/.../group/TimelineBarrier.java:13-60 —
+# min-timestamp gate across parsers; GroupEventSink fan-in)
+# --------------------------------------------------------------------------
+
+
+def q_timeline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split `events` into 3 shard streams (multi-master shards), then
+    merge back into global (ts, event_id) order with a gap-free global
+    sequence — Spark's sort-merge replaces the barrier CAS loop."""
+    ev = load(spark, sf_dir, "events")
+    shards = [
+        ev.where(F.col("event_id") % 3 == i).withColumn("shard", F.lit(i).cast("int"))
+        for i in range(3)
+    ]
+    merged = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    w = Window.orderBy("ts", "event_id")
+    return (
+        merged.withColumn("global_seq", F.row_number().over(w).cast("long"))
+        .where(F.col("global_seq") <= 2000)  # bounded output for the gate
+        .select("global_seq", "shard", "event_id", "ts")
+    )
+
+
+SQL_TIMELINE_MERGE = """
+WITH sharded AS (
+  SELECT event_id, ts, CAST(event_id % 3 AS INT) AS shard FROM events),
+merged AS (
+  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS global_seq FROM sharded)
+SELECT CAST(global_seq AS BIGINT) AS global_seq, shard, event_id, ts
+FROM merged WHERE global_seq <= 2000
+"""
+
+
+# --------------------------------------------------------------------------
+# A12/F8 — FlatMessage wire format: rows -> JSON envelope -> rows
+# (protocol/.../FlatMessage.java; MQMessageUtils.messageConverter:249-371;
+# adapter-side MessageUtil.parse4Dml)
+# --------------------------------------------------------------------------
+
+_FLAT_SCHEMA = (
+    "database string, table string, type string, es bigint, ts bigint, "
+    "pkNames array<string>, data array<map<string,string>>"
+)
+
+
+def q_flat_message_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode order rows as FlatMessage JSON (stringly-typed data maps,
+    exactly the reference's wire shape) then decode with from_json +
+    explode and project typed columns back out — S6's type
+    normalization semantics done as column casts."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    msg = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("tpch").alias("database"),
+                F.lit("orders").alias("table"),
+                F.lit("INSERT").alias("type"),
+                F.unix_date(F.to_date("o_orderdate")).cast("long").alias("es"),
+                F.lit(0).cast("long").alias("ts"),
+                F.array(F.lit("o_orderkey")).alias("pkNames"),
+                F.array(
+                    F.map_from_arrays(
+                        F.array(F.lit("o_orderkey"), F.lit("o_price_cents"), F.lit("o_orderstatus")),
+                        F.array(
+                            F.col("o_orderkey").cast("string"),
+                            # stringly-typed wire value: integer cents (a
+                            # decimal rendering both engines agree on —
+                            # DECIMAL toPlainString semantics, S6)
+                            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                            F.col("o_orderstatus"),
+                        ),
+                    )
+                ).alias("data"),
+            )
+        ).alias("json")
+    )
+    parsed = msg.select(F.from_json("json", _FLAT_SCHEMA).alias("m"))
+    row = parsed.select(
+        F.col("m.table").alias("tbl"),
+        F.col("m.type").alias("op"),
+        F.col("m.es").alias("es"),
+        F.explode("m.data").alias("cells"),
+    )
+    return row.select(
+        "tbl",
+        "op",
+        "es",
+        F.col("cells")["o_orderkey"].cast("long").alias("o_orderkey"),
+        F.col("cells")["o_price_cents"].cast("long").alias("price_cents"),
+        F.col("cells")["o_orderstatus"].alias("status"),
+    )
+
+
+SQL_FLAT_MESSAGE = """
+SELECT 'orders' AS tbl, 'INSERT' AS op,
+       datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS es,
+       o_orderkey::BIGINT AS o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       o_orderstatus AS status
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# A2/A10 — PK-change normalization: an UPDATE that changes the key becomes
+# DELETE(old pk) + INSERT(new pk)
+# (RdbSyncService.java:441-455 hashes by the OLD pk; HbaseSyncService
+# :178-208 deletes old rowkey + puts new)
+# --------------------------------------------------------------------------
+
+
+def q_pk_change_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model key-renames over `documents`: every doc with doc_id%19==0
+    'renames' to doc_id+1000000.  Emit D(old) + I(new) rows, ordered so
+    the delete precedes the insert at the same change ordinal."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 19 == 0)
+    dels = d.select(
+        (F.col("doc_id") * 2).cast("long").alias("ordinal"),
+        F.lit("D").alias("op"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("source_after"),
+    )
+    ins = d.select(
+        (F.col("doc_id") * 2 + 1).cast("long").alias("ordinal"),
+        F.lit("I").alias("op"),
+        (F.col("doc_id") + 1000000).cast("long").alias("key"),
+        F.col("source").alias("source_after"),
+    )
+    return dels.unionByName(ins)
+
+
+SQL_PK_CHANGE_SPLIT = """
+SELECT (doc_id*2)::BIGINT AS ordinal, 'D' AS op, doc_id::BIGINT AS key,
+       NULL::VARCHAR AS source_after
+FROM documents WHERE doc_id % 19 = 0
+UNION ALL
+SELECT (doc_id*2+1)::BIGINT, 'I', (doc_id+1000000)::BIGINT, source
+FROM documents WHERE doc_id % 19 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# F6 — empty-transaction suppression: batches containing no row events are
+# dropped, but the latest position still advances
+# (sink/.../EntryEventSink.java:99-135 — rate-limited pass-through)
+# --------------------------------------------------------------------------
+
+
+def q_empty_txn_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group events into txn-like frames of 100 by event_id; a frame is
+    'empty' if it carries no click/purchase rows.  Emit only non-empty
+    frames plus the global max position (the cursor still advances)."""
+    ev = load(spark, sf_dir, "events")
+    framed = ev.withColumn("frame", (F.col("event_id") / 100).cast("long"))
+    agg = framed.groupBy("frame").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "purchase"), 1).otherwise(0)
+        ).alias("dml_rows"),
+        F.max("event_id").alias("end_position"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.where(F.col("dml_rows") > 0).select(
+        "frame", "dml_rows", "n_events", "end_position"
+    )
+
+
+SQL_EMPTY_TXN_SUPPRESS = """
+WITH framed AS (
+  SELECT *, CAST(floor(event_id / 100) AS BIGINT) AS frame FROM events),
+agg AS (
+  SELECT frame,
+         SUM(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS dml_rows,
+         MAX(event_id) AS end_position, COUNT(*) AS n_events
+  FROM framed GROUP BY frame)
+SELECT frame, dml_rows, n_events, end_position FROM agg WHERE dml_rows > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# K4 — start-position resolution: saved cursor > configured position >
+# by-timestamp seek, with a rewind overlap on failover
+# (parse/.../MysqlEventParser.findStartPositionInternal:422-521)
+# --------------------------------------------------------------------------
+
+
+def q_start_position_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user_id stream: resume position = latest event at-or-before
+    the cutoff timestamp, rewound by 60 s (failover overlap) — the
+    by-timestamp seek done as one window aggregation."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+    eligible = ev.where(F.col("ts") <= cutoff)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = eligible.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("saved_position"),
+        (F.col("ts") - F.expr("INTERVAL 60 SECONDS")).alias("resume_from"),
+    )
+
+
+SQL_START_POSITION = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00')
+SELECT user_id, event_id AS saved_position, ts - INTERVAL 60 SECOND AS resume_from
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# S6 — unsigned type promotion: unsigned values that overflow the signed
+# range are promoted one type up
+# (parse/.../dbsync/LogEventConvert.java:726-757)
+# --------------------------------------------------------------------------
+
+
+def q_unsigned_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-read lineitem keys as if they were signed 16-bit wire values:
+    negative raw readings are promoted by +65536 into the next type up
+    (SMALLINT -> INT), mirroring the reference's promotion ladder."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 1001 == 0)
+    raw16 = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        - 32768
+    )
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        raw16.alias("raw_signed"),
+        F.when(raw16 < 0, raw16 + 65536).otherwise(raw16).alias("promoted"),
+    ).distinct()
+
+
+SQL_UNSIGNED_PROMOTION = """
+SELECT DISTINCT l_orderkey::BIGINT AS l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       CAST(('0x'||substr(md5(l_orderkey::VARCHAR),1,4)) AS BIGINT) - 32768 AS raw_signed,
+       CASE WHEN CAST(('0x'||substr(md5(l_orderkey::VARCHAR),1,4)) AS BIGINT) - 32768 < 0
+            THEN CAST(('0x'||substr(md5(l_orderkey::VARCHAR),1,4)) AS BIGINT) - 32768 + 65536
+            ELSE CAST(('0x'||substr(md5(l_orderkey::VARCHAR),1,4)) AS BIGINT) - 32768
+       END AS promoted
+FROM lineitem WHERE l_orderkey % 1001 = 0
+"""
+
+
+QUERIES = {
+    "timeline_merge": q_timeline_merge,
+    "flat_message_roundtrip": q_flat_message_roundtrip,
+    "pk_change_split": q_pk_change_split,
+    "empty_txn_suppress": q_empty_txn_suppress,
+    "start_position_resolve": q_start_position_resolve,
+    "unsigned_promotion": q_unsigned_promotion,
+}
+
+ORACLES = {
+    "timeline_merge": SQL_TIMELINE_MERGE,
+    "flat_message_roundtrip": SQL_FLAT_MESSAGE,
+    "pk_change_split": SQL_PK_CHANGE_SPLIT,
+    "empty_txn_suppress": SQL_EMPTY_TXN_SUPPRESS,
+    "start_position_resolve": SQL_START_POSITION,
+    "unsigned_promotion": SQL_UNSIGNED_PROMOTION,
+}

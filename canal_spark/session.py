@@ -55,6 +55,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Containerized JVMs misdetect available processors, which makes
+        # G1's ergonomics (GC worker count, region sizing) collapse at
+        # high task parallelism — measured 10-30x slowdowns at local[32]
+        # on a 32-core box.  Pin the processor count and use the
+        # throughput collector: this is a batch engine, pause times are
+        # irrelevant next to allocation throughput.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={os.cpu_count()} -XX:+UseParallelGC",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={os.cpu_count()} -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
