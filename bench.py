@@ -145,10 +145,10 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
 
         # post-maintenance full scan: reads EVERY token of EVERY row
         # (aggregate over the array, JVM-side) so the number is real
-        # decode+compute throughput, not metadata pruning.  Best of 3
+        # decode+compute throughput, not metadata pruning.  Best of 5
         # (first iteration pays scheduler/code-gen warmup).
         scan_wall = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             row = (
                 table.scan(spark)

@@ -148,6 +148,7 @@ def merge_into(
     changes: DataFrame,
     target_file_rows: int = 200_000,
     max_driver_keys: int = 2_000_000,
+    max_broadcast_keys: int = 5_000_000,
     job_id: str | None = None,
 ) -> MergeResult:
     """Apply a changelog DataFrame (CHANGELOG_SCHEMA) to ``table``."""
@@ -160,23 +161,41 @@ def merge_into(
 
     # split final ops: survivors (I/U after-images) vs tombstones (D)
     upserts = final.where(F.col("op") != "D").select(*DATA_COLS)
-    keys_df = final.select("doc_id")
 
-    # driver-side stats for pruning; CDC batches are small by contract
-    n_keys = keys_df.count()
-    if n_keys == 0:
+    # ONE bounded action fetches everything the driver needs — key set
+    # (for manifest pruning + the broadcast side), high-water mark, op
+    # counts.  limit(max+1) short-circuits the huge-backfill case
+    # instead of OOMing the driver; CDC batches are small by contract.
+    head = (
+        final.select("doc_id", "op", "ordinal")
+        .limit(max_driver_keys + 1)
+        .collect()
+    )
+    if not head:
         return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
-    new_hwm = final.agg(F.max("ordinal")).collect()[0][0]
 
     entries = table.files()
-    if 0 < n_keys <= max_driver_keys:
-        keys = np.sort(
-            np.array([r[0] for r in keys_df.collect()], dtype=object)
-        )
+    if len(head) <= max_driver_keys:
+        n_keys = len(head)
+        new_hwm = max(r["ordinal"] for r in head)
+        n_up_known = sum(1 for r in head if r["op"] != "D")
+        keys = np.sort(np.array([r["doc_id"] for r in head], dtype=object))
         affected, untouched = _affected_files(entries, keys)
+        # the broadcast side comes from the driver directly — the
+        # anti-join never recomputes the dedupe
+        keys_df = spark.createDataFrame(
+            [(k,) for k in keys.tolist()], "doc_id string"
+        )
     else:
-        # fallback: no manifest pruning (rewrite-all); at this batch size
-        # the job is a full-table rewrite anyway
+        # huge backfill: no manifest pruning (a batch this size is a
+        # full-table rewrite anyway), stats via aggregation
+        row = final.agg(
+            F.count("*").alias("n"),
+            F.max("ordinal").alias("hwm"),
+            F.sum((F.col("op") != "D").cast("long")).alias("ups"),
+        ).collect()[0]
+        n_keys, new_hwm, n_up_known = row["n"], row["hwm"], row["ups"]
+        keys_df = final.select("doc_id")
         affected, untouched = entries, []
 
     # Copy-on-write rewrite, shuffle-free on the big side: kept rows of
@@ -192,11 +211,17 @@ def merge_into(
     if affected:
         paths = [f"{table.root}/{e.path}" for e in affected]
         target_affected = spark.read.schema(table.spark_schema()).parquet(*paths)
-        keep = target_affected.join(F.broadcast(keys_df), "doc_id", "left_anti")
+        # CDC batches are normally small → broadcast the key set (no
+        # shuffle at all).  A huge backfill batch must NOT be broadcast:
+        # fall through to a shuffled anti-join and let AQE's skew-join
+        # splitting absorb hot doc_id ranges (keys are already deduped,
+        # so the build side has no hot keys of its own).
+        keys_side = F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
+        keep = target_affected.join(keys_side, "doc_id", "left_anti")
         new_entries += write_datafiles(
             spark, table, keep, sort_within_by=["doc_id"]
         )
-    n_up_est = upserts.count()
+    n_up_est = n_up_known
     if n_up_est:
         m_out = max(1, -(-n_up_est // target_file_rows))
         new_entries += write_datafiles(

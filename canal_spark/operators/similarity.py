@@ -139,12 +139,49 @@ SELECT q_id, cell, n_id, round(c9, 4) AS cosine FROM ranked WHERE rank = 1
 """
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates bucketed by
+    `label` (LSH-cell stand-in) so the pair join is an equi-join within
+    cells, then filtered by cosine >= 0.3.  At 10^12 rows this is the
+    only viable shape — cell join + threshold, never a global cross
+    join; emitted once per pair (a_id < b_id)."""
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("a_id"), "label",
+                 F.col("v").alias("av"), F.col("norm").alias("an"))
+    b = e.select(F.col("vec_id").alias("b_id"), "label",
+                 F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    return (
+        a.join(b, "label")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            "a_id",
+            "b_id",
+            F.round(_cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 9).alias("c9"),
+        )
+        .where(F.col("c9") >= 0.3)
+        .select("cell", "a_id", "b_id", F.round("c9", 4).alias("cosine"))
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT CAST(a.label AS BIGINT) AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(a.v, b.v), 9) AS c9
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT cell, a_id, b_id, round(c9, 4) AS cosine FROM pairs WHERE c9 >= 0.3
+"""
+
+
 QUERIES = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
+    "embed_near_dup": q_embed_near_dup,
 }
 
 ORACLES = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
 }
