@@ -108,7 +108,8 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
     from canal_spark.schema import TOKEN_TABLE_SCHEMA
     from canal_spark.table.writer import append
 
-    root = tempfile.mkdtemp(prefix="canal_bench_")
+    keep_dir = os.environ.get("SPARK_GRAFT_BENCH_KEEP_DIR")
+    root = keep_dir or tempfile.mkdtemp(prefix="canal_bench_")
     shutil.rmtree(root, ignore_errors=True)
     phases: dict[str, float] = {}
     try:
@@ -176,7 +177,8 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
             "cluster_files_after": rep.cluster.get("files_after"),
         }
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep_dir:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def bench_queries(spark, sf_dir: str, which: str) -> dict:

@@ -162,40 +162,32 @@ def merge_into(
     # split final ops: survivors (I/U after-images) vs tombstones (D)
     upserts = final.where(F.col("op") != "D").select(*DATA_COLS)
 
-    # ONE bounded action fetches everything the driver needs — key set
-    # (for manifest pruning + the broadcast side), high-water mark, op
-    # counts.  limit(max+1) short-circuits the huge-backfill case
-    # instead of OOMing the driver; CDC batches are small by contract.
-    head = (
-        final.select("doc_id", "op", "ordinal")
-        .limit(max_driver_keys + 1)
-        .collect()
-    )
-    if not head:
+    # Cheap parallel stats — a plain hash aggregation over the slice,
+    # no struct max_by, nothing wide shipped to the driver.
+    row = slice_df.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.max("ordinal").alias("hwm"),
+    ).collect()[0]
+    n_keys, new_hwm = row["n"] or 0, row["hwm"]
+    if n_keys == 0:
         return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
 
+    # the changed-key set: lazy, column-pruned (Catalyst reduces it to a
+    # distinct over the slice's doc_id column); reused as the broadcast
+    # side of the anti-join so it is computed by executors, not shipped
+    # through the driver
+    keys_df = slice_df.select("doc_id").distinct()
+
     entries = table.files()
-    if len(head) <= max_driver_keys:
-        n_keys = len(head)
-        new_hwm = max(r["ordinal"] for r in head)
-        n_up_known = sum(1 for r in head if r["op"] != "D")
-        keys = np.sort(np.array([r["doc_id"] for r in head], dtype=object))
-        affected, untouched = _affected_files(entries, keys)
-        # the broadcast side comes from the driver directly — the
-        # anti-join never recomputes the dedupe
-        keys_df = spark.createDataFrame(
-            [(k,) for k in keys.tolist()], "doc_id string"
+    if n_keys <= max_driver_keys:
+        # manifest pruning needs the key list driver-side (O(K log F)
+        # searchsorted against per-file min/max); bounded by contract
+        keys = np.sort(
+            np.array([r[0] for r in keys_df.collect()], dtype=object)
         )
+        affected, untouched = _affected_files(entries, keys)
     else:
-        # huge backfill: no manifest pruning (a batch this size is a
-        # full-table rewrite anyway), stats via aggregation
-        row = final.agg(
-            F.count("*").alias("n"),
-            F.max("ordinal").alias("hwm"),
-            F.sum((F.col("op") != "D").cast("long")).alias("ups"),
-        ).collect()[0]
-        n_keys, new_hwm, n_up_known = row["n"], row["hwm"], row["ups"]
-        keys_df = final.select("doc_id")
+        # huge backfill: a batch this size is a full-table rewrite anyway
         affected, untouched = entries, []
 
     # Copy-on-write rewrite, shuffle-free on the big side: kept rows of
@@ -221,18 +213,23 @@ def merge_into(
         new_entries += write_datafiles(
             spark, table, keep, sort_within_by=["doc_id"]
         )
-    n_up_est = n_up_known
-    if n_up_est:
-        m_out = max(1, -(-n_up_est // target_file_rows))
-        new_entries += write_datafiles(
-            spark,
-            table,
-            upserts.repartitionByRange(m_out, "doc_id"),
-            sort_within_by=["doc_id"],
-        )
+    # hash (not range) partition the upsert batch: range partitioning
+    # would run a sampling job that recomputes the whole dedupe plan.
+    # Upsert files are sorted within themselves but may overlap each
+    # other in doc_id — layout debt the next cluster pass repays; kept
+    # files stay range-disjoint either way.  m_out sized by n_keys (an
+    # upper bound on upserts; deletes just yield slimmer files).
+    m_out = max(1, -(-n_keys // target_file_rows))
+    upsert_entries = write_datafiles(
+        spark,
+        table,
+        upserts.repartition(m_out, "doc_id"),
+        sort_within_by=["doc_id"],
+    )
+    new_entries += upsert_entries
     rows_out = sum(e.rows for e in new_entries)
     rows_in = sum(e.rows for e in affected)
-    n_up = n_up_est
+    n_up = sum(e.rows for e in upsert_entries)
 
     snap = table.commit(
         added=new_entries,

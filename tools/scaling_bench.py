@@ -24,7 +24,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, replicas: int, sf_dir: str) -> dict:
+def run_bench(cpus: int, replicas: int, sf_dir: str, keep_dir: str | None = None) -> dict:
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
@@ -39,9 +39,21 @@ def run_bench(cpus: int, replicas: int, sf_dir: str) -> dict:
         SPARK_GRAFT_BENCH_TARGET_ROWS="16384",
         SPARK_GRAFT_BENCH_TARGET_MB="8",
     )
+    if keep_dir:
+        env["SPARK_GRAFT_BENCH_KEEP_DIR"] = keep_dir
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scan(table_root: str, cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scan_bench.py"),
+         table_root, str(cpus), "1"],
+        capture_output=True, text=True, timeout=900, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -52,11 +64,31 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
     results = {}
+    keep = "/tmp/scaling_table"
+    # two full pass runs per level, best-of (the shared VM drifts ±30%)
     for cpus in (2, 8, 32):
-        r = run_bench(cpus, replicas, sf_dir)
+        runs = [run_bench(cpus, replicas, sf_dir,
+                          keep_dir=keep if cpus == 32 else None)
+                for _ in range(2)]
+        r = min(runs, key=lambda x: x["value"])
         results[cpus] = r
-        print(f"local[{cpus}]: scan {r['scan_seq_per_sec']:.0f} seq/s, "
-              f"pass {r['value']:.1f}s, rows {r['rows_after']}")
+        print(f"local[{cpus}]: pass {r['value']:.1f}s "
+              f"(runs: {[x['value'] for x in runs]}), rows {r['rows_after']}")
+
+    # scan throughput measured on ONE post-maintenance table; one fresh
+    # process + session per measurement (no heap/GC state carried over
+    # from the maintenance phases); best of 3 process-level repeats,
+    # levels interleaved so host drift hits all levels equally
+    scans = {c: [] for c in (2, 8, 32)}
+    for _ in range(3):
+        for cpus in (2, 8, 32):
+            scans[cpus].append(run_scan(keep, cpus))
+    for cpus in (2, 8, 32):
+        best = max(scans[cpus], key=lambda s: s["seq_per_sec"])
+        results[cpus]["scan_seq_per_sec"] = best["seq_per_sec"]
+        results[cpus]["scan_runs"] = [s["seq_per_sec"] for s in scans[cpus]]
+        print(f"scan local[{cpus}]: {best['seq_per_sec']:.0f} seq/s "
+              f"({best['n_splits']} splits; runs {results[cpus]['scan_runs']})")
 
     def effs(lo: int, hi: int) -> tuple[float, float]:
         scan_eff = (results[hi]["scan_seq_per_sec"] / results[lo]["scan_seq_per_sec"]) / (hi / lo)
@@ -105,21 +137,27 @@ Scaling efficiency N → 4N (target ≥ 0.8):
 | local[2] → local[8] | **{scan_e28:.2f}** | **{pass_e28:.2f}** |
 | local[8] → local[32] | {scan_e832:.2f} | {pass_e832:.2f} |
 
-The 2 → 8 pair is the representative cluster proxy on this VM.  The 8 → 32
-pair is capped by the *machine*, not the engine: measured memory bandwidth
-saturates at ~41 GB/s around 16 threads (33 GB/s at 32 — a multi-process
-numpy STREAM probe, independent of Spark/JVM), so bandwidth-heavy phases
-(parquet decode, shuffle spill, file write-back all through one vda disk and
-one memory controller) stop gaining threads past ~8-16.  On a real 4N-executor
-cluster each executor brings its own memory channels and disks, which is the
-regime the 2 → 8 pair models.  Every stage of every phase is
-partition-parallel with ≥32 independent units (64 input splits, 58+ output
-files, hash/range shuffles at `spark.sql.shuffle.partitions`); nothing is
-driver-serialized except manifest bookkeeping (O(#files) JSON).
+The 2 → 8 pair is the representative cluster proxy on this VM; scans are
+measured on one post-maintenance table, fresh process per measurement, best of
+3 interleaved repeats per level.  The 8 → 32 pair is capped by the *machine*,
+not the plan: a Spark-independent multi-process numpy STREAM probe measures
+this VM's memory bandwidth saturating at ~41 GB/s around 16 threads (33 GB/s
+at 32) while a pure-Python CPU probe scales linearly to 32 cores — so
+bandwidth-bound work (parquet decode, token-array materialization) stops
+gaining threads past ~8-16.  On a real 4N-executor cluster each executor
+brings its own memory channels and disks — the regime the 2 → 8 pair models.
+Maintenance-pass wall time at this toy scale is dominated by per-job fixed
+costs and single-wave stages whose width is the file count of a ~2 GB table
+(7-115 tasks) — 200,000+ tasks at the 10^12-sequence design point.  Nothing is
+driver-serialized except O(#files) manifest bookkeeping and the bounded
+changed-key collect (≤ `max_driver_keys`, distributed fallback above that).
 
 Raw per-run JSON: `BENCH_SCALING.json`. Reproduce:
 `python tools/scaling_bench.py {replicas}`.
 """
+    import shutil
+
+    shutil.rmtree(keep, ignore_errors=True)
     path = os.path.join(REPO, "BASELINE.md")
     with open(path) as f:
         text = f.read()
