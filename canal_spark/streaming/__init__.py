@@ -13,10 +13,12 @@ set-based).
 
 from canal_spark.streaming.apply import stream_apply, stream_changelog_reader
 from canal_spark.streaming.metrics import stream_traffic_metrics, stream_delay_metrics
+from canal_spark.streaming.stateful import stream_dedupe_last_wins
 
 __all__ = [
     "stream_apply",
     "stream_changelog_reader",
     "stream_traffic_metrics",
     "stream_delay_metrics",
+    "stream_dedupe_last_wins",
 ]

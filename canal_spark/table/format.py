@@ -348,6 +348,48 @@ class Table:
                 continue  # lost the race; re-read and retry
         raise CommitConflict(f"gave up after {max_retries} retries")
 
+    # ---- schema evolution (A6 DDL apply / B3 DDL-isolation analogue) -------
+
+    def evolve_schema(
+        self,
+        add: list[tuple[str, str]] | None = None,
+        drop: list[str] | None = None,
+    ) -> Snapshot:
+        """Apply a schema change as its own metadata-only commit — the
+        engine's DDL barrier (the reference returns a DDL event alone in
+        its own batch, store/.../MemoryEventStoreWithBuffer.java:294-327,
+        and mirrors it to the target, RdbMirrorDbSyncService.executeDdl).
+
+        Only additive/drop evolution is supported: new columns must be
+        nullable (old files read as null via schema projection); dropped
+        columns simply leave dead bytes in old files until rewrite.
+        Renames need per-field IDs (Iceberg's mechanism) — not supported
+        by this mini-format, by design.
+        """
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        schema = StructType.fromJson(self.schema_json)
+        names = {f.name for f in schema.fields}
+        for name, ddl_type in add or []:
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            schema = schema.add(name, _parse_datatype_string(ddl_type), True)
+        for name in drop or []:
+            if name not in names:
+                raise ValueError(f"column {name!r} does not exist")
+            if name in self.partition_by:
+                raise ValueError(f"cannot drop partition column {name!r}")
+            schema = StructType([f for f in schema.fields if f.name != name])
+        return self.commit(
+            added=[],
+            operation="schema",
+            summary={
+                "added-columns": ",".join(n for n, _ in (add or [])),
+                "dropped-columns": ",".join(drop or []),
+            },
+            new_schema_json=schema.jsonValue(),
+        )
+
     # ---- maintenance: snapshot expiry & manifest rewrite -------------------
 
     def expire_snapshots(
