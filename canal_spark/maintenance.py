@@ -40,6 +40,7 @@ def run_pass(
     lineage_root: str | None = None,
     target_file_bytes: int = _compact.TARGET_FILE_BYTES,
     target_file_rows: int = 500_000,
+    pack_by: str = "n_tok",  # north_rule: bin-pack by token sums
     curve: str = "zorder",
     do_cluster: bool = True,
     keep_snapshots: int = 5,
@@ -62,7 +63,9 @@ def run_pass(
                 files_rewritten=m.files_rewritten, bytes_shuffled=m.bytes_rewritten,
             )
 
-    c = _compact.compact(spark, table, target_bytes=target_file_bytes, job_id=job_id)
+    c = _compact.compact(
+        spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
+    )
     rep.compact = c.__dict__
     if lineage and c.commits:
         _ckpt.record(
