@@ -1,0 +1,59 @@
+"""spark-submit job: apply a changelog directory to the token table.
+
+  spark-submit --py-files canal_spark.zip canal_spark/jobs/apply_changelog.py \\
+      /warehouse/tokens --changelog /staging/changelog --lineage /warehouse/_lineage
+
+Reads every changelog parquet under --changelog, MERGEs the slice past
+the table's high-water mark (replay-safe), records lineage.  With
+--stream, runs the Structured Streaming loop instead (availableNow
+unless --continuous).
+"""
+
+from __future__ import annotations
+
+from canal_spark.jobs.common import base_parser, emit, session
+
+
+def main() -> None:
+    p = base_parser("CDC apply: changelog -> MERGE INTO token table")
+    p.add_argument("--changelog", required=True, help="changelog parquet dir")
+    p.add_argument("--target-file-rows", type=int, default=500_000)
+    p.add_argument("--stream", action="store_true", help="use Structured Streaming")
+    p.add_argument("--stream-checkpoint", default=None)
+    p.add_argument("--continuous", action="store_true")
+    args = p.parse_args()
+
+    from canal_spark import load_table
+    from canal_spark.checkpoint import ensure_lineage, record
+
+    spark = session(args, "canal-apply-changelog")
+    table = load_table(args.table)
+
+    if args.stream:
+        from canal_spark.streaming import stream_apply
+
+        res = stream_apply(
+            spark, table, args.changelog,
+            args.stream_checkpoint or f"{args.table}/_stream_ckpt",
+            target_file_rows=args.target_file_rows,
+            available_now=not args.continuous,
+        )
+        emit({"job": "apply_changelog", "mode": "stream",
+              "batches_seen": res.batches_seen,
+              "batches_applied": res.batches_applied, "merges": res.merges})
+        return
+
+    from canal_spark.merge import merge_into
+
+    changes = spark.read.parquet(args.changelog)
+    m = merge_into(spark, table, changes,
+                   target_file_rows=args.target_file_rows, job_id=args.job_id)
+    if args.lineage and m.applied:
+        record(spark, ensure_lineage(args.lineage), m.job_id, "merge",
+               ordinal=m.high_water_mark, snapshot_id=m.snapshot_id,
+               files_rewritten=m.files_rewritten, bytes_shuffled=m.bytes_rewritten)
+    emit({"job": "apply_changelog", "mode": "batch", **m.__dict__})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""spark-submit job: snapshot expiry + manifest rewrite (time-travel GC).
+
+  spark-submit --py-files canal_spark.zip canal_spark/jobs/expire.py \\
+      /warehouse/tokens --keep-last 5 --rewrite-manifests
+"""
+
+from __future__ import annotations
+
+from canal_spark.jobs.common import base_parser, emit, session
+
+
+def main() -> None:
+    p = base_parser("expire snapshots / rewrite manifests")
+    p.add_argument("--keep-last", type=int, default=5)
+    p.add_argument("--older-than-hours", type=float, default=None)
+    p.add_argument("--rewrite-manifests", action="store_true")
+    args = p.parse_args()
+
+    import time
+
+    from canal_spark import load_table
+
+    spark = session(args, "canal-expire")  # session kept for API symmetry
+    table = load_table(args.table)
+    older_ms = (
+        int((time.time() - args.older_than_hours * 3600) * 1000)
+        if args.older_than_hours is not None else None
+    )
+    rep = table.expire_snapshots(keep_last=args.keep_last, older_than_ms=older_ms)
+    out = {"job": "expire", **rep}
+    if args.rewrite_manifests:
+        out["rewrite_manifests"] = table.rewrite_manifests()
+    emit(out)
+
+
+if __name__ == "__main__":
+    main()

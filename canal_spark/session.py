@@ -29,13 +29,19 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "*")
     )
+    # "from-submit": cluster deployment — spark-submit supplies
+    # spark.master; setting it here would override the cluster manager
+    if master == "from-submit":
+        master = None
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
 
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # AQE: runtime coalesce + skew-join split — replaces the
         # reference's fixed pk-hash lane count (RdbSyncService.java:46).
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,90 @@
+"""spark-submit job entrypoints driven end-to-end as subprocesses
+(python -m, which is what spark-submit executes after shipping
+--py-files): apply -> compact -> cluster -> expire on a real table."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_job(mod, *args):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", mod, *args],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.fixture(scope="module")
+def cli_table(tmp_path_factory):
+    """A fragmented table + staged changelog, built once."""
+    import shutil
+
+    from canal_spark import create_table, get_spark
+    from canal_spark.changelog import base_table_df, changelog_df, synth_changelog_rows, synth_token_rows
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    base_dir = tmp_path_factory.mktemp("cli")
+    root = str(base_dir / "tbl")
+    cl_dir = str(base_dir / "cl")
+    shutil.rmtree(root, ignore_errors=True)
+    spark = get_spark("cli-fixture", master="local[4]", shuffle_partitions=4)
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(1500)
+    append(spark, t, base_table_df(spark, 1500).repartition(10))
+    rows = synth_changelog_rows(base, 400, seed=21)
+    changelog_df(spark, rows).write.parquet(cl_dir)
+    return root, cl_dir, base, rows
+
+
+def test_apply_then_maintenance_jobs(cli_table, tmp_path):
+    from canal_spark import get_spark, load_table
+
+    root, cl_dir, base, rows = cli_table
+    lineage = str(tmp_path / "lineage")
+
+    m = run_job("canal_spark.jobs.apply_changelog", root,
+                "--changelog", cl_dir, "--lineage", lineage,
+                "--target-file-rows", "200")
+    assert m["applied"] is True
+    assert m["high_water_mark"] == max(r[0] for r in rows)
+
+    # replay through the CLI is a no-op
+    m2 = run_job("canal_spark.jobs.apply_changelog", root,
+                 "--changelog", cl_dir)
+    assert m2["applied"] is False
+
+    c = run_job("canal_spark.jobs.compact", root, "--target-mb", "1",
+                "--pack-by", "n_tok", "--lineage", lineage)
+    assert c["files_removed"] >= 0
+
+    z = run_job("canal_spark.jobs.cluster", root, "--curve", "hilbert",
+                "--target-file-rows", "400", "--lineage", lineage)
+    assert z["files_after"] >= 1
+
+    e = run_job("canal_spark.jobs.expire", root, "--keep-last", "2",
+                "--rewrite-manifests")
+    assert "expired" in e
+
+    # end state must equal the python oracle despite 4 separate processes
+    from tests.conftest import oracle_dict, scan_dict
+
+    spark = get_spark("cli-verify", master="local[4]", shuffle_partitions=4)
+    table = load_table(root)
+    assert scan_dict(spark, table) == oracle_dict(base, rows)
+
+    # lineage recorded all three phases
+    from canal_spark.checkpoint import read_lineage
+    from canal_spark.table.format import load_table as lt
+
+    phases = {r["phase"] for r in read_lineage(spark, lt(lineage)).collect()}
+    assert {"merge", "compact", "cluster"} <= phases
