@@ -162,15 +162,37 @@ def merge_into(
     # split final ops: survivors (I/U after-images) vs tombstones (D)
     upserts = final.where(F.col("op") != "D").select(*DATA_COLS)
 
-    # Cheap parallel stats — a plain hash aggregation over the slice,
-    # no struct max_by, nothing wide shipped to the driver.
-    row = slice_df.agg(
-        F.countDistinct("doc_id").alias("n"),
-        F.max("ordinal").alias("hwm"),
-    ).collect()[0]
+    # Key-frequency stats in one parallel two-stage aggregation (cheap
+    # hash aggs, nothing wide shipped to the driver): distinct keys,
+    # high-water mark, row count, and the hottest key's multiplicity —
+    # the skew signal.  This is the "salting decision from key-frequency
+    # stats" of the apply design: a zipf-hot key shows up as max_freq ≫
+    # n_rows/n_keys, and the plan already neutralizes it — dedupe_max_by
+    # collapses duplicates in the map-side partial aggregate (strictly
+    # better than salting a window), and the join's build side is the
+    # *deduped* key set, so no hot key ever crosses a shuffle.  The
+    # stats are recorded in the MergeResult for observability.
+    row = (
+        slice_df.groupBy("doc_id")
+        .agg(F.count("*").alias("c"), F.max("ordinal").alias("mo"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("mo").alias("hwm"),
+            F.sum("c").alias("rows"),
+            F.max("c").alias("max_freq"),
+        )
+        .collect()[0]
+    )
     n_keys, new_hwm = row["n"] or 0, row["hwm"]
     if n_keys == 0:
         return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
+    skew_stats = {
+        "slice_rows": int(row["rows"]),
+        "hot_key_freq": int(row["max_freq"]),
+        "mean_key_freq": round(row["rows"] / n_keys, 2),
+        "join_strategy": "broadcast" if n_keys <= max_broadcast_keys
+        else "shuffle_aqe_skewjoin",
+    }
 
     # the changed-key set: lazy, column-pruned (Catalyst reduces it to a
     # distinct over the slice's doc_id column); reused as the broadcast
@@ -257,4 +279,5 @@ def merge_into(
         rows_deleted=max(0, rows_in + n_up - rows_out),
         bytes_rewritten=sum(e.bytes for e in affected),
         job_id=job_id,
+        extra=skew_stats,
     )

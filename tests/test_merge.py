@@ -173,3 +173,21 @@ def test_merge_prunes_untouched_files(spark, tmp_table_root):
     assert res.files_pruned > 0, "expected manifest pruning to skip files"
     assert res.files_rewritten < 10
     assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+
+def test_skew_stats_reported(spark, token_table):
+    """Key-frequency stats (the salting decision input) surface in the
+    MergeResult: a zipf changelog shows a hot key, and the join strategy
+    is broadcast for a CDC-sized batch."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.merge import merge_into
+
+    table, base = token_table
+    rows = synth_changelog_rows(base, 600, seed=77, zipf_a=1.2)
+    res = merge_into(spark, table, changelog_df(spark, rows))
+    assert res.applied
+    st = res.extra
+    assert st["join_strategy"] == "broadcast"
+    assert st["slice_rows"] == 600
+    assert st["hot_key_freq"] >= st["mean_key_freq"]
+    assert st["hot_key_freq"] > 1  # zipf produced a genuinely hot key
