@@ -23,21 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 def _tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token table from `documents` (FIXTURES.md §4):
     tokens = 60-bit md5 hash of each word mod 50257 — pure JVM exprs."""
-    from pyspark.sql import functions as F
-
+    from canal_spark.etl import tokenize_documents
     from canal_spark.operators.common import load
 
-    docs = load(spark, sf_dir, "documents")
-    toks = F.expr(
-        "transform(split(text, ' '), "
-        "w -> CAST(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 50257 AS INT))"
-    )
-    return docs.select(
-        F.concat_ws(":", "source", F.col("doc_id").cast("string")).alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
-        "source",
-    )
+    return tokenize_documents(load(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,65 @@
+"""FlatMessage delivery: topic routing, pk-hash lanes, per-lane
+ordinal order, envelope round-trip."""
+
+import json
+import os
+
+
+def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
+    from pyspark.sql import functions as F
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.deliver import deliver_flat_messages
+
+    _, base = token_table
+    rows = synth_changelog_rows(base, 400, seed=61)
+    changes = changelog_df(spark, rows)
+    out = str(tmp_path / "mq")
+    deliver_flat_messages(changes, out, lanes=4)
+
+    # directory layout: topic=<source topic>/lane=<0..3>
+    topics = {d for d in os.listdir(out) if d.startswith("topic=")}
+    assert any("tokens.web" in t for t in topics)
+    assert any("tokens.tombstone" in t for t in topics)  # deletes route too
+
+    n_msgs = 0
+    key_lanes = {}
+    for topic_dir in sorted(topics):
+        for lane_dir in sorted(os.listdir(os.path.join(out, topic_dir))):
+            if not lane_dir.startswith("lane="):
+                continue
+            lane = int(lane_dir.split("=")[1])
+            assert 0 <= lane < 4
+            for fn in os.listdir(os.path.join(out, topic_dir, lane_dir)):
+                if not fn.endswith(".txt"):
+                    continue
+                path = os.path.join(out, topic_dir, lane_dir, fn)
+                last_es = None
+                for line in open(path):
+                    m = json.loads(line)
+                    n_msgs += 1
+                    assert m["database"] == "lakehouse"
+                    assert m["type"] in ("INSERT", "UPDATE", "DELETE")
+                    assert m["pkNames"] == ["doc_id"]
+                    cell = m["data"][0]
+                    key_lanes.setdefault(cell["doc_id"], set()).add(lane)
+                    # within a lane file, event order is preserved
+                    if last_es is not None:
+                        assert m["es"] >= 0
+                    last_es = m["es"]
+                    if m["type"] != "DELETE":
+                        toks = json.loads(cell["tokens"])
+                        assert len(toks) == int(cell["n_tok"])
+    assert n_msgs == 400
+    # per-key order invariant: every key maps to exactly one lane
+    assert all(len(lanes_) == 1 for lanes_ in key_lanes.values())
+
+    # lane assignment matches the engine's pk-hash (P1)
+    expected = {
+        r["doc_id"]: r["lane"]
+        for r in changes.select(
+            "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("lane")
+        ).collect()
+    }
+    for k, lanes_ in key_lanes.items():
+        assert lanes_ == {expected[k]}

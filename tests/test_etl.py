@@ -1,0 +1,48 @@
+"""Full-load ETL: documents corpus -> token table in one snapshot,
+deterministic tokenization, lineage recorded."""
+
+
+def test_full_load_documents(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from canal_spark.checkpoint import read_lineage
+    from canal_spark.etl import full_load, tokenize_documents
+    from canal_spark.table.format import load_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tokenize_documents(docs)
+    root = str(tmp_path / "tbl")
+    lineage = str(tmp_path / "lineage")
+
+    table = full_load(spark, src, root, target_file_rows=100,
+                      min_parallel_rows=10, lineage_root=lineage)
+    got = table.scan(spark)
+    assert got.count() == docs.count()
+    # n_tok invariant and deterministic token content
+    assert got.where(F.size("tokens") != F.col("n_tok")).count() == 0
+    one = got.orderBy("doc_id").first()
+    again = tokenize_documents(docs).orderBy("doc_id").first()
+    assert list(one["tokens"]) == list(again["tokens"])
+
+    # chunked: multiple writer files at target_file_rows=100 for 50 docs? no —
+    # 50 docs < target 100 -> writers=1; force the parallel path instead
+    assert len(table.files()) >= 1
+
+    rows = read_lineage(spark, load_table(lineage)).collect()
+    assert any(r["phase"] == "full_load" for r in rows)
+
+
+def test_full_load_parallel_chunks(spark, tmp_path):
+    """Above the parallel threshold the load fans out into
+    ceil(n/target) writer files (RdbEtlService chunking analogue)."""
+    from canal_spark.changelog import base_table_df
+
+    src = base_table_df(spark, 1000)
+    table = full_load_helper(spark, src, str(tmp_path / "tbl2"))
+    assert len(table.files()) >= 4  # 1000 rows / 250 target
+
+
+def full_load_helper(spark, src, root):
+    from canal_spark.etl import full_load
+
+    return full_load(spark, src, root, target_file_rows=250, min_parallel_rows=100)
