@@ -106,6 +106,21 @@ def main() -> None:
     if len(re.findall(r"ArrowEvalPython \(\d+\)", p4)) != 1:
         sections.append(("Cluster: ArrowEvalPython appears once", p4, ["IMPOSSIBLE"], []))
 
+    # 4b. huge-backfill merge path: broadcast disabled -> shuffled anti-join
+    # (AQE skew-join eligible), never a nested-loop product
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    keep_big = t.scan(spark).join(
+        dedupe_max_by(changes).select("doc_id"), "doc_id", "left_anti"
+    )
+    p4b = plan_of(keep_big)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    sections.append((
+        "MERGE huge-backfill path: shuffled anti-join (AQE skew-join eligible)",
+        p4b,
+        ["SortMergeJoin LeftAnti", "Exchange"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ))
+
     # 5. projection pruning: 2-column rollup must read 2 columns only
     rollup = t.scan(spark).groupBy("source").agg(F.sum("n_tok").alias("tok"))
     sections.append((
