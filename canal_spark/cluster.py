@@ -193,33 +193,61 @@ def cluster(
     curve: str = "zorder",
     target_file_rows: int = 500_000,
     measure: bool = True,
+    scope: str = "incremental",  # "incremental" | "full"
     job_id: str | None = None,
 ) -> ClusterResult:
-    """Rewrite the whole table clustered along the chosen curve."""
-    job_id = job_id or uuid.uuid4().hex[:12]
-    entries = table.files()
-    before = measure_tightness(spark, table) if measure else {}
+    """Cluster the table along the chosen curve.
 
-    total_rows = sum(e.rows for e in entries)
+    ``scope="incremental"`` (default) rewrites ONLY files not already
+    tagged with this curve's sort order — i.e. what merge/compaction
+    produced since the last clustering pass.  At the 10^12-sequence
+    design point a full-table re-sort per maintenance pass would be
+    the dominant cost (and write amplification) of the whole engine;
+    the incremental pass is O(new data), like an LSM level merge.
+    Already-clustered files keep their tight per-file min/max stats,
+    so manifest pruning is unaffected; zkey ranges of old vs new
+    clustered file *sets* may overlap until a periodic
+    ``scope="full"`` rewrite (Iceberg full rewrite_data_files cadence).
+    """
+    job_id = job_id or uuid.uuid4().hex[:12]
+    tag = f"{curve}-v1"
+    entries = table.files()
+    victims = (
+        [e for e in entries if e.sort_order != tag]
+        if scope == "incremental" else entries
+    )
+    before = measure_tightness(spark, table) if measure else {}
+    if not victims:
+        return ClusterResult(
+            snapshot_id=table.current_snapshot_id, curve=curve,
+            files_before=0, files_after=0,
+            tightness_before=before, tightness_after=before, job_id=job_id,
+        )
+
+    total_rows = sum(e.rows for e in victims)
     n_out = max(1, -(-total_rows // target_file_rows))
-    df = with_cluster_key(table.scan(spark), curve=curve)
+    paths = [f"{table.root}/{e.path}" for e in victims]
+    df = with_cluster_key(
+        spark.read.schema(table.spark_schema()).parquet(*paths), curve=curve
+    )
     out = (
         df.repartitionByRange(n_out, "_ckey")
         .sortWithinPartitions("_ckey")
         .drop("_ckey")
     )
-    new_entries = write_datafiles(spark, table, out)
+    new_entries = write_datafiles(spark, table, out, sort_order=tag)
     snap = table.commit(
         added=new_entries,
-        removed_paths=[e.path for e in entries],
+        removed_paths=[e.path for e in victims],
         operation="replace",
-        summary={"phase": "cluster", "curve": curve, "job-id": job_id},
+        summary={"phase": "cluster", "curve": curve, "scope": scope,
+                 "job-id": job_id},
     )
     after = measure_tightness(spark, table) if measure else {}
     return ClusterResult(
         snapshot_id=snap.snapshot_id,
         curve=curve,
-        files_before=len(entries),
+        files_before=len(victims),
         files_after=len(new_entries),
         tightness_before=before,
         tightness_after=after,

@@ -15,6 +15,8 @@ def main() -> None:
     p.add_argument("--target-file-rows", type=int, default=500_000)
     p.add_argument("--no-measure", action="store_true",
                    help="skip min/max stat-tightness measurement")
+    p.add_argument("--scope", choices=["incremental", "full"],
+                   default="incremental")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -25,7 +27,8 @@ def main() -> None:
     table = load_table(args.table)
     res = cluster(spark, table, curve=args.curve,
                   target_file_rows=args.target_file_rows,
-                  measure=not args.no_measure, job_id=args.job_id)
+                  measure=not args.no_measure, scope=args.scope,
+                  job_id=args.job_id)
     if args.lineage:
         record(spark, ensure_lineage(args.lineage), res.job_id, "cluster",
                snapshot_id=res.snapshot_id, files_rewritten=res.files_before,

@@ -42,6 +42,7 @@ def run_pass(
     target_file_rows: int = 500_000,
     pack_by: str = "n_tok",  # north_rule: bin-pack by token sums
     curve: str = "zorder",
+    cluster_scope: str = "incremental",
     do_cluster: bool = True,
     keep_snapshots: int = 5,
     measure: bool = True,
@@ -77,7 +78,7 @@ def run_pass(
     if do_cluster:
         z = _cluster.cluster(
             spark, table, curve=curve, target_file_rows=target_file_rows,
-            measure=measure, job_id=job_id,
+            measure=measure, scope=cluster_scope, job_id=job_id,
         )
         rep.cluster = {
             "snapshot_id": z.snapshot_id, "curve": z.curve,

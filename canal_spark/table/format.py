@@ -60,15 +60,22 @@ class DataFile:
     partition: dict[str, Any] = field(default_factory=dict)
     # col -> {"min": v, "max": v, "nulls": n}; values JSON-native
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # curve tag ("zorder-v1"/"hilbert-v1") when the file was written in
+    # cluster order — lets clustering run incrementally (only untagged
+    # files rewrite) instead of rewriting the table every pass
+    sort_order: str | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
             "partition": self.partition,
             "stats": self.stats,
         }
+        if self.sort_order:
+            d["sort_order"] = self.sort_order
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
@@ -78,6 +85,7 @@ class DataFile:
             bytes=d["bytes"],
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
+            sort_order=d.get("sort_order"),
         )
 
 

@@ -126,6 +126,7 @@ def write_datafiles(
     group_col: str | None = None,
     n_groups: int | None = None,
     sort_within_by: list[str] | None = None,
+    sort_order: str | None = None,
 ) -> list[DataFile]:
     """Write ``df`` into fresh immutable data files; return manifest entries.
 
@@ -176,6 +177,7 @@ def write_datafiles(
                 bytes=nbytes,
                 partition=partition,
                 stats=stats,
+                sort_order=sort_order,
             )
         )
     return entries

@@ -89,3 +89,41 @@ def test_measure_tightness_shape(spark, token_table):
     m = measure_tightness(spark, t)
     assert set(m) == {"hash_range", "sources_per_file", "files"}
     assert 0.0 <= m["hash_range"] <= 1.0
+
+
+def test_incremental_cluster_skips_tagged_files(spark, token_table):
+    """Second incremental pass with no new data is a no-op; after a
+    merge adds files, only the untagged files rewrite (O(new data),
+    never a full-table re-sort)."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.cluster import cluster
+    from canal_spark.merge import merge_into
+    from tests.conftest import oracle_dict, scan_dict
+
+    table, base = token_table
+    r1 = cluster(spark, table, target_file_rows=300, measure=False)
+    assert r1.files_before > 0
+    snap_after_first = table.current_snapshot_id
+
+    # no new data -> incremental pass does nothing, no new snapshot
+    r2 = cluster(spark, table, target_file_rows=300, measure=False)
+    assert r2.files_before == 0
+    assert table.current_snapshot_id == snap_after_first
+
+    # merge writes new (untagged) files; only those re-cluster
+    rows = synth_changelog_rows(base, 200, seed=71)
+    m = merge_into(spark, table, changelog_df(spark, rows), target_file_rows=300)
+    table_files = {e.path: e.sort_order for e in table.refresh().files()}
+    untagged = [p for p, s in table_files.items() if s != "zorder-v1"]
+    assert m.applied and untagged
+
+    r3 = cluster(spark, table, target_file_rows=300, measure=False)
+    assert r3.files_before == len(untagged)
+
+    # every file tagged now, scan still equals the oracle
+    assert all(e.sort_order == "zorder-v1" for e in table.refresh().files())
+    assert scan_dict(spark, table) == oracle_dict(base, rows)
+
+    # full scope still rewrites everything
+    r4 = cluster(spark, table, target_file_rows=300, measure=False, scope="full")
+    assert r4.files_before == len(table.refresh().files()) or r4.files_before > 0
