@@ -74,8 +74,12 @@ def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int):
     truncate tokens to 16, deletes tombstone; ordinal = xxhash-ranked."""
     from pyspark.sql import functions as F
 
+    # U and D ordinals must never collide for the same doc (a doc can
+    # match both filters): U = 2h+1, D = 2h+2 — delete wins, and the
+    # dedupe tie-break is deterministic run to run.
+    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 61))
     upd = token_df.where(F.crc32(F.col("doc_id")) % n_upd_mod == 0).select(
-        F.xxhash64("doc_id").cast("long").alias("ordinal"),
+        (h * 2 + 1).cast("long").alias("ordinal"),
         F.lit("U").alias("op"),
         "doc_id",
         F.slice("tokens", 1, 16).alias("tokens"),
@@ -85,7 +89,7 @@ def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int):
         F.lit(1).cast("long").alias("batch_id"),
     )
     dels = token_df.where(F.crc32(F.col("doc_id")) % n_del_mod == 1).select(
-        F.xxhash64("doc_id").cast("long").alias("ordinal"),
+        (h * 2 + 2).cast("long").alias("ordinal"),
         F.lit("D").alias("op"),
         "doc_id",
         F.lit(None).cast("array<int>").alias("tokens"),
@@ -94,10 +98,8 @@ def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int):
         F.to_timestamp(F.lit("2026-01-01")).alias("es"),
         F.lit(2).cast("long").alias("batch_id"),
     )
-    # ordinals must be positive & > hwm(0): abs them
-    return upd.unionByName(dels).withColumn(
-        "ordinal", F.abs(F.col("ordinal")) + F.lit(1)
-    )
+    # ordinals are pmod-nonnegative and offset by +1/+2, so always > hwm(0)
+    return upd.unionByName(dels)
 
 
 def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:

@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_TOPIC_EXPR = "concat('tokens.', coalesce(source, 'tombstone'))"
+# Route on the doc_id prefix, not the row's `source` column: D rows carry
+# source=null, so routing on source would send a key's deletes to a
+# different topic than its inserts/updates — a consumer of one topic/lane
+# would never see the delete.  doc_id embeds the source prefix and is
+# delete-stable, preserving the per-key single-(topic, lane) invariant
+# (the reference routes by static table config for the same reason,
+# server/.../MQMessageUtils.messageTopics:107-148).
+DEFAULT_TOPIC_EXPR = "concat('tokens.', split(doc_id, ':')[0])"
 
 
 def flat_message_col(database: str = "lakehouse", table: str = "tokens"):

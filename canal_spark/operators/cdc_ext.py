@@ -191,7 +191,7 @@ WITH framed AS (
   SELECT *, CAST(floor(event_id / 100) AS BIGINT) AS frame FROM events),
 agg AS (
   SELECT frame,
-         SUM(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS dml_rows,
+         CAST(SUM(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS dml_rows,
          MAX(event_id) AS end_position, COUNT(*) AS n_events
   FROM framed GROUP BY frame)
 SELECT frame, dml_rows, n_events, end_position FROM agg WHERE dml_rows > 0

@@ -61,21 +61,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Containerized JVMs misdetect available processors, which makes
-        # G1's ergonomics (GC worker count, region sizing) collapse at
-        # high task parallelism — measured 10-30x slowdowns at local[32]
-        # on a 32-core box.  Pin the processor count and use the
-        # throughput collector: this is a batch engine, pause times are
-        # irrelevant next to allocation throughput.
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-XX:ActiveProcessorCount={os.cpu_count()} -XX:+UseParallelGC",
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            f"-XX:ActiveProcessorCount={os.cpu_count()} -XX:+UseParallelGC",
-        )
     )
+    # Containerized JVMs misdetect available processors, which makes
+    # G1's ergonomics (GC worker count, region sizing) collapse at
+    # high task parallelism — measured 10-30x slowdowns at local[32]
+    # on a 32-core box.  Pin the processor count and use the
+    # throughput collector: this is a batch engine, pause times are
+    # irrelevant next to allocation throughput.
+    #
+    # LOCAL MODE ONLY: on a cluster the driver machine's cpu_count is
+    # wrong for executors, and spark-submit-supplied extraJavaOptions
+    # must not be clobbered — there, GC tuning belongs in submit conf.
+    if master is not None and master.startswith("local"):
+        gc_opts = f"-XX:ActiveProcessorCount={os.cpu_count()} -XX:+UseParallelGC"
+        b = b.config("spark.driver.extraJavaOptions", gc_opts).config(
+            "spark.executor.extraJavaOptions", gc_opts
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

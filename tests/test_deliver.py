@@ -20,7 +20,9 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
     # directory layout: topic=<source topic>/lane=<0..3>
     topics = {d for d in os.listdir(out) if d.startswith("topic=")}
     assert any("tokens.web" in t for t in topics)
-    assert any("tokens.tombstone" in t for t in topics)  # deletes route too
+    # deletes route by the delete-stable doc_id prefix, so even deletes
+    # of never-inserted keys land in a real topic (ghost:<n> -> tokens.ghost)
+    assert any("tokens.ghost" in t for t in topics)
 
     n_msgs = 0
     key_lanes = {}
@@ -30,6 +32,7 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
                 continue
             lane = int(lane_dir.split("=")[1])
             assert 0 <= lane < 4
+            lane = (topic_dir, lane)  # key -> single (topic, lane) pair
             for fn in os.listdir(os.path.join(out, topic_dir, lane_dir)):
                 if not fn.endswith(".txt"):
                     continue
@@ -51,12 +54,17 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
                         toks = json.loads(cell["tokens"])
                         assert len(toks) == int(cell["n_tok"])
     assert n_msgs == 400
-    # per-key order invariant: every key maps to exactly one lane
+    # per-key order invariant: every key maps to exactly one (topic, lane)
+    # pair — a consumer of that one lane sees ALL of the key's changes,
+    # deletes included
     assert all(len(lanes_) == 1 for lanes_ in key_lanes.values())
 
-    # lane assignment matches the engine's pk-hash (P1)
+    # (topic, lane) assignment matches the engine's routing + pk-hash (P1)
     expected = {
-        r["doc_id"]: r["lane"]
+        r["doc_id"]: (
+            f"topic=tokens.{r['doc_id'].split(':')[0]}",
+            r["lane"],
+        )
         for r in changes.select(
             "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int").alias("lane")
         ).collect()
