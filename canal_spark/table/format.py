@@ -97,9 +97,16 @@ class Snapshot:
     operation: str  # append | overwrite | replace | expire | schema
     manifests: list[str]  # metadata-relative manifest file names
     summary: dict[str, Any] = field(default_factory=dict)
+    # index into metadata["schemas"] — the schema the table had when this
+    # snapshot committed.  Iceberg pins a schema-id per snapshot for the
+    # same reason: time-travel reads must project with the schema *as of*
+    # the snapshot, not the current one (the TSDB rollback analogue,
+    # parse/.../tsdb/DatabaseTableMeta.java:168-188).  None on metadata
+    # written before this field existed -> falls back to current schema.
+    schema_id: int | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "timestamp_ms": self.timestamp_ms,
@@ -107,6 +114,9 @@ class Snapshot:
             "manifests": self.manifests,
             "summary": self.summary,
         }
+        if self.schema_id is not None:
+            d["schema_id"] = self.schema_id
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
@@ -117,6 +127,7 @@ class Snapshot:
             operation=d["operation"],
             manifests=d["manifests"],
             summary=d.get("summary", {}),
+            schema_id=d.get("schema_id"),
         )
 
 
@@ -145,6 +156,16 @@ class Table:
     @property
     def schema_json(self) -> dict:
         return self.metadata["schema"]
+
+    @property
+    def schemas(self) -> list[dict]:
+        """Full schema history (index = schema_id); metadata written
+        before schema tracking has only the current schema."""
+        return self.metadata.get("schemas") or [self.metadata["schema"]]
+
+    @property
+    def current_schema_id(self) -> int:
+        return self.metadata.get("current_schema_id", len(self.schemas) - 1)
 
     @property
     def partition_by(self) -> list[str]:
@@ -179,6 +200,15 @@ class Table:
         from pyspark.sql.types import StructType
 
         return StructType.fromJson(self.schema_json)
+
+    def schema_for_snapshot(self, snap: "Snapshot | None"):
+        """Schema pinned at snapshot-commit time (current schema when the
+        snapshot predates schema tracking)."""
+        from pyspark.sql.types import StructType
+
+        if snap is None or snap.schema_id is None:
+            return self.spark_schema()
+        return StructType.fromJson(self.schemas[snap.schema_id])
 
     # ---- paths ----------------------------------------------------------
 
@@ -261,13 +291,13 @@ class Table:
         lookups on a 100 TB table touch only a handful of files.  Spark
         then applies row-group pushdown inside surviving files.
         """
-        entries = self.files(
-            self.resolve_snapshot(snapshot_id, as_of_version, as_of_timestamp_ms).snapshot_id
-            if (snapshot_id or as_of_version is not None or as_of_timestamp_ms)
-            else None
-        )
+        snap = self.resolve_snapshot(snapshot_id, as_of_version, as_of_timestamp_ms)
+        entries = self.files(snap.snapshot_id) if snap is not None else []
         entries = prune_files(entries, partition_filter, range_filter)
-        schema = self.spark_schema()
+        # project with the schema AS OF the snapshot being read: after a
+        # drop, a time-travel read of a pre-drop snapshot still returns
+        # the dropped column's data
+        schema = self.schema_for_snapshot(snap)
         if not entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e.path) for e in entries]
@@ -326,6 +356,13 @@ class Table:
                 manifests.append(self._write_manifest(list(added), "add"))
 
             now_ms = int(time.time() * 1000)
+            # schema evolution appends to the schema list; every snapshot
+            # pins the schema-id it was committed under
+            schemas = list(self.schemas)
+            schema_id = self.current_schema_id
+            if new_schema_json is not None:
+                schemas.append(new_schema_json)
+                schema_id = len(schemas) - 1
             snap = Snapshot(
                 snapshot_id=(parent.snapshot_id + 1) if parent else 1,
                 parent_id=parent.snapshot_id if parent else None,
@@ -339,11 +376,14 @@ class Table:
                     "added-bytes": sum(f.bytes for f in added),
                     **(summary or {}),
                 },
+                schema_id=schema_id,
             )
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["snapshots"] = self.metadata["snapshots"] + [snap.to_json()]
             meta["current_snapshot_id"] = snap.snapshot_id
+            meta["schemas"] = schemas
+            meta["current_schema_id"] = schema_id
             if new_schema_json is not None:
                 meta["schema"] = new_schema_json
             if new_properties is not None:
@@ -370,9 +410,12 @@ class Table:
 
         Only additive/drop evolution is supported: new columns must be
         nullable (old files read as null via schema projection); dropped
-        columns simply leave dead bytes in old files until rewrite.
-        Renames need per-field IDs (Iceberg's mechanism) — not supported
-        by this mini-format, by design.
+        columns simply leave dead bytes in old files until rewrite —
+        *dead* only for current-schema reads: every snapshot pins its
+        schema-id, so time travel to a pre-drop snapshot still projects
+        (and returns) the dropped column.  Renames need per-field IDs
+        (Iceberg's mechanism) — not supported by this mini-format, by
+        design.
         """
         from pyspark.sql.types import StructType, _parse_datatype_string
 
@@ -508,6 +551,7 @@ class Table:
                 operation="replace",
                 manifests=new_manifests,
                 summary={"rewritten-manifests": before},
+                schema_id=self.current_schema_id,
             )
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
@@ -611,6 +655,8 @@ def create_table(
         "table_uuid": uuid.uuid4().hex,
         "version": 0,
         "schema": spark_schema.jsonValue(),
+        "schemas": [spark_schema.jsonValue()],
+        "current_schema_id": 0,
         "partition_by": partition_by or [],
         "properties": properties or {},
         "snapshots": [],

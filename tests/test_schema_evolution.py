@@ -47,6 +47,37 @@ def test_drop_column_and_guards(spark, token_table):
         table.evolve_schema(drop=["source"])  # partition column
 
 
+def test_time_travel_pins_snapshot_schema(spark, token_table):
+    """The TSDB rollback analogue (DatabaseTableMeta.rollback,
+    parse/.../tsdb/DatabaseTableMeta.java:168-188): rebuilding state at
+    a past position must use the schema *as of* that position.  evolve
+    (add) -> write -> evolve(drop): a time-travel read of the pre-drop
+    snapshot still returns the dropped column's data, while the current
+    scan no longer has the column."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.table.writer import append
+
+    table, _ = token_table
+    table.evolve_schema(add=[("quality", "double")])
+    extra = table.scan(spark).limit(5).select(
+        F.concat(F.lit("q:"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", F.lit(0.75).alias("quality"),
+    )
+    append(spark, table, extra)
+    pre_drop = table.current_snapshot_id
+
+    table.evolve_schema(drop=["quality"])
+    assert "quality" not in table.scan(spark).columns
+
+    tt = table.scan(spark, snapshot_id=pre_drop)
+    assert "quality" in tt.columns
+    assert tt.where(F.col("quality") == 0.75).count() == 5
+    # and the snapshot BEFORE the add doesn't have the column at all
+    first = table.snapshots[0].snapshot_id
+    assert "quality" not in table.scan(spark, snapshot_id=first).columns
+
+
 def test_schema_change_is_metadata_only_commit(spark, token_table):
     """DDL barrier: no data files added/removed; the data of the parent
     snapshot is still exactly readable (scan equality)."""

@@ -120,11 +120,15 @@ def test_rewrite_manifests_preserves_scan(spark, tmp_table_root):
 
 
 def test_schema_evolution_add_column(spark, tmp_table_root):
-    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql.types import StringType, StructField, StructType
 
     t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
     append(spark, t, base_table_df(spark, 20).repartition(1))
-    new_schema = TOKEN_TABLE_SCHEMA.add(StructField("lang", StringType(), True))
+    # copy first: StructType.add mutates in place, and TOKEN_TABLE_SCHEMA
+    # is a shared module global
+    new_schema = StructType(
+        TOKEN_TABLE_SCHEMA.fields + [StructField("lang", StringType(), True)]
+    )
     # DDL-isolation analogue (B3): schema change is its own commit
     t.commit([], operation="schema", new_schema_json=new_schema.jsonValue())
     df = t.scan(spark)
