@@ -49,13 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
     append(spark, table, base)
 
     # binlog-style changelog: updates (doc_id%5==1 -> truncate to 8 tokens),
-    # deletes (doc_id%13==0), one insert; strictly increasing ordinals
+    # deletes (doc_id%13==0).  Ordinals are pure deterministic expressions
+    # (2n+1 for U, 2n+2 for D) — unique per (op, doc), delete-wins on the
+    # overlap, and strictly positive, with NO unpartitioned row_number
+    # window and no driver-side count() barrier.
     e = dt.datetime(2026, 1, 1)
+    num = F.expr("CAST(split(doc_id, ':')[1] AS BIGINT)")
     upd = (
         _tokenize_documents(spark, sf_dir)
-        .where(F.expr("CAST(split(doc_id, ':')[1] AS BIGINT) % 5 = 1"))
+        .where(num % 5 == 1)
         .select(
-            F.row_number().over(__import__("pyspark").sql.Window.orderBy("doc_id")).cast("long").alias("ordinal"),
+            (num * 2 + 1).cast("long").alias("ordinal"),
             F.lit("U").alias("op"),
             "doc_id",
             F.slice("tokens", 1, 8).alias("tokens"),
@@ -65,12 +69,11 @@ def entry(spark: SparkSession) -> DataFrame:
             F.lit(1).cast("long").alias("batch_id"),
         )
     )
-    n_upd = upd.count()
     dels = (
         _tokenize_documents(spark, sf_dir)
-        .where(F.expr("CAST(split(doc_id, ':')[1] AS BIGINT) % 13 = 0"))
+        .where(num % 13 == 0)
         .select(
-            (F.row_number().over(__import__("pyspark").sql.Window.orderBy("doc_id")) + F.lit(n_upd)).cast("long").alias("ordinal"),
+            (num * 2 + 2).cast("long").alias("ordinal"),
             F.lit("D").alias("op"),
             "doc_id",
             F.lit(None).cast("array<int>").alias("tokens"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from canal_spark.operators.common import load
+from canal_spark.operators.common import chunked_row_number, load
 
 
 # --------------------------------------------------------------------------
@@ -28,17 +28,26 @@ from canal_spark.operators.common import load
 def q_timeline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split `events` into 3 shard streams (multi-master shards), then
     merge back into global (ts, event_id) order with a gap-free global
-    sequence — Spark's sort-merge replaces the barrier CAS loop."""
+    sequence — Spark's sort-merge replaces the barrier CAS loop.
+
+    Scale shape: the global sequence is assigned two-phase (chunk by the
+    event-time DAY — monotone in the (ts, event_id) order — rank within
+    chunk in parallel windows, broadcast per-chunk prefix offsets), so
+    no single-partition WindowExec ever sees the full table."""
     ev = load(spark, sf_dir, "events")
     shards = [
         ev.where(F.col("event_id") % 3 == i).withColumn("shard", F.lit(i).cast("int"))
         for i in range(3)
     ]
     merged = shards[0].unionByName(shards[1]).unionByName(shards[2])
-    w = Window.orderBy("ts", "event_id")
+    seq = chunked_row_number(
+        merged,
+        order_cols=["ts", "event_id"],
+        chunk_col=F.to_date("ts"),
+        out_col="global_seq",
+    )
     return (
-        merged.withColumn("global_seq", F.row_number().over(w).cast("long"))
-        .where(F.col("global_seq") <= 2000)  # bounded output for the gate
+        seq.where(F.col("global_seq") <= 2000)
         .select("global_seq", "shard", "event_id", "ts")
     )
 

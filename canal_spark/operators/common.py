@@ -27,3 +27,96 @@ def md5int(col) -> "F.Column":
 def duck_md5int(expr: str) -> str:
     """DuckDB rendering of the same 60-bit hash."""
     return f"CAST(('0x'||substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+def _broadcast_prefix_offsets(spark, totals: DataFrame, zero):
+    """Exclusive prefix sums of per-chunk totals, computed driver-side.
+
+    The totals frame has ONE ROW PER CHUNK (n/chunk_width — manifest
+    scale, never data scale; pick chunk width so this stays ~10^5-10^6
+    at target scale, same contract as merge's driver-side manifest
+    pruning).  Collecting it and prefix-summing in Python avoids the
+    single-partition WindowExec a global running sum would need — the
+    'broadcast per-partition offsets' half of the two-phase pattern.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    rows = sorted(totals.collect(), key=lambda r: r["_chunk"])
+    acc, out = zero, []
+    for r in rows:
+        out.append((r["_chunk"], acc))
+        acc += r["_tot"]
+    schema = StructType(
+        [totals.schema["_chunk"], StructField("_off", totals.schema["_tot"].dataType)]
+    )
+    return F.broadcast(spark.createDataFrame(out, schema))
+
+
+def chunked_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col,
+    out_col: str,
+    chunk_width: int,
+) -> DataFrame:
+    """Scale-safe global running sum over a numeric, unique order key.
+
+    A bare ``sum().over(Window.orderBy(k))`` funnels the whole table
+    through ONE task (Spark's 'No Partition Defined' WindowExec).  This
+    is the standard two-phase restatement:
+
+      1. chunk rows by a *deterministic, monotone* function of the order
+         key (``floor(k / chunk_width)``) — no sampling pass, identical
+         chunking on every recompute, unlike repartitionByRange;
+      2. per-chunk running sum (window partitioned by chunk — parallel);
+      3. per-chunk totals get exclusive prefix offsets driver-side
+         (bounded by the chunk count, not the row count);
+      4. broadcast-join offsets back: global = local + offset.
+
+    Result is value-identical to the single-partition plan.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    d = df.withColumn("_chunk", F.floor(F.col(order_col) / F.lit(chunk_width)))
+    w_local = Window.partitionBy("_chunk").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn("_loc", F.sum(value).over(w_local))
+    totals = d.groupBy("_chunk").agg(F.sum(value).alias("_tot"))
+    offs = _broadcast_prefix_offsets(spark, totals, 0)
+    return (
+        d.join(offs, "_chunk")
+        .withColumn(out_col, F.col("_loc") + F.col("_off"))
+        .drop("_chunk", "_loc", "_off")
+    )
+
+
+def chunked_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    chunk_col,
+    out_col: str,
+) -> DataFrame:
+    """Scale-safe global row_number over a total order.
+
+    ``chunk_col`` must be a deterministic expression MONOTONE in the
+    order key (e.g. the day of an event-time order) so chunk-local
+    ranks + broadcast chunk-count prefix offsets compose into the exact
+    global sequence — same two-phase shape as chunked_cumsum, zero
+    single-partition windows.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    d = df.withColumn("_chunk", chunk_col)
+    w_local = Window.partitionBy("_chunk").orderBy(*order_cols)
+    d = d.withColumn("_loc", F.row_number().over(w_local).cast("long"))
+    totals = d.groupBy("_chunk").agg(F.count("*").alias("_tot"))
+    offs = _broadcast_prefix_offsets(spark, totals, 0)
+    return (
+        d.join(offs, "_chunk")
+        .withColumn(out_col, F.col("_loc") + F.col("_off"))
+        .drop("_chunk", "_loc", "_off")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from canal_spark.operators.common import duck_md5int, load, md5int
+from canal_spark.operators.common import chunked_cumsum, duck_md5int, load, md5int
 
 
 # --- 1. changelog last-wins dedupe (P1-P3 per-key order invariant) --------
@@ -185,12 +185,23 @@ FROM documents GROUP BY 1
 
 def q_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-fill bin assignment by byte budget — the SQL-visible
-    core of canal_spark.compact.plan_bins (greedy by running total)."""
+    core of canal_spark.compact.plan_bins (greedy by running total).
+
+    The running sum is the two-phase chunked cumsum (see
+    operators.common.chunked_cumsum): deterministic chunks of the
+    doc_id key, per-chunk parallel windows, broadcast prefix offsets —
+    identical values to a global window without the single-partition
+    WindowExec that would funnel the whole table through one task."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum("n_chars").over(w)
-    binned = docs.select(
-        "doc_id", "n_chars", F.floor((cum - 1) / F.lit(50000)).alias("bin_id")
+    cummed = chunked_cumsum(
+        docs.select("doc_id", "n_chars"),
+        order_col="doc_id",
+        value_col="n_chars",
+        out_col="cum",
+        chunk_width=256,
+    )
+    binned = cummed.select(
+        "doc_id", "n_chars", F.floor((F.col("cum") - 1) / F.lit(50000)).alias("bin_id")
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").alias("n_files"),
