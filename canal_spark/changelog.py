@@ -62,10 +62,19 @@ def synth_changelog_rows(
     include_missing_delete: bool = True,
     max_len: int = 64,
 ) -> list[tuple]:
-    """Deterministic changelog over a base table (FIXTURES.md §2 scenarios)."""
+    """Deterministic changelog over a base table (FIXTURES.md §2 scenarios).
+
+    Rows carry accurate before-images (last two tuple fields:
+    before_tokens, before_n_tok): a running state dict tracks each key
+    through the changelog, so an update to an already-updated key gets
+    the intermediate state as its before-image — the same invariant the
+    binlog gives Canal (a RowData's beforeColumns are the row as of the
+    previous event, not the initial load).
+    """
     rng = np.random.default_rng(seed)
     n_base = len(base_rows)
     rows = []
+    state: dict[str, tuple] = {r[0]: (list(r[1]), r[2]) for r in base_rows}
     next_new = n_base + 1_000_000
     ops = rng.choice(["I", "U", "D"], size=n_ops, p=[p_insert, p_update, p_delete])
     for j in range(n_ops):
@@ -82,14 +91,20 @@ def synth_changelog_rows(
             doc_id = f"{source}:{next_new:010d}"
             next_new += 1
             toks = rng.integers(0, 50257, size=int(rng.integers(1, max_len + 1)), dtype=np.int32).tolist()
-            rows.append((ordinal, "I", doc_id, toks, len(toks), source, es, batch_id))
+            rows.append((ordinal, "I", doc_id, toks, len(toks), source, es, batch_id,
+                         None, None))
+            state[doc_id] = (toks, len(toks))
         elif op == "U" and n_base:
-            d_id, old_toks, _n, src = base_rows[idx]
-            if include_noop_update and j % 37 == 0:
-                toks = list(old_toks)  # update that changes nothing
+            d_id, _base_toks, _n, src = base_rows[idx]
+            prev = state.get(d_id)  # None if deleted earlier in this slice
+            if include_noop_update and j % 37 == 0 and prev is not None:
+                toks = list(prev[0])  # update that changes nothing
             else:
                 toks = rng.integers(0, 50257, size=int(rng.integers(1, max_len + 1)), dtype=np.int32).tolist()
-            rows.append((ordinal, "U", d_id, toks, len(toks), src, es, batch_id))
+            rows.append((ordinal, "U", d_id, toks, len(toks), src, es, batch_id,
+                         list(prev[0]) if prev else None,
+                         prev[1] if prev else None))
+            state[d_id] = (toks, len(toks))
         else:
             if include_missing_delete and j % 41 == 0:
                 doc_id = f"ghost:{j:010d}"  # delete of a non-existent key
@@ -97,11 +112,18 @@ def synth_changelog_rows(
                 doc_id = base_rows[idx][0]
             else:
                 doc_id = f"ghost:{j:010d}"
-            rows.append((ordinal, "D", doc_id, None, None, None, es, batch_id))
+            prev = state.pop(doc_id, None)
+            rows.append((ordinal, "D", doc_id, None, None, None, es, batch_id,
+                         list(prev[0]) if prev else None,
+                         prev[1] if prev else None))
     return rows
 
 
 def changelog_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """Rows may omit trailing optional fields (e.g. the before-image
+    columns) — they pad to null, meaning 'before-image not captured'."""
+    n = len(CHANGELOG_SCHEMA.fields)
+    rows = [tuple(r) + (None,) * (n - len(r)) for r in rows]
     return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
 
 
@@ -126,7 +148,7 @@ def python_oracle_apply(base: dict[str, tuple], changes: list[tuple]) -> dict[st
     {doc_id: (tokens, n_tok, source)}."""
     state = dict(base)
     for row in sorted(changes, key=lambda r: r[0]):
-        _ordinal, op, doc_id, tokens, n_tok, source, _es, _b = row
+        _ordinal, op, doc_id, tokens, n_tok, source = row[:6]
         if op in ("I", "U"):
             state[doc_id] = (list(tokens), n_tok, source)
         elif op == "D":

@@ -98,16 +98,18 @@ def with_cluster_key(
     df: DataFrame,
     curve: str = "zorder",  # "zorder" | "hilbert"
     key_col: str = "_ckey",
-    doc_col: str = "doc_id",
+    doc_col: str | list[str] = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Add the clustering key column over (source, xxhash64(doc_id)).
 
-    Dim A = top 31 bits of the JVM xxhash64 of doc_id; dim B = a
-    31-bit hash of source (low-cardinality dim; hashing spreads its
-    codes across the curve without a dictionary lookup/shuffle).
+    Dim A = top 31 bits of the JVM xxhash64 of the key column(s) —
+    composite keys hash together; dim B = a 31-bit hash of source
+    (low-cardinality dim; hashing spreads its codes across the curve
+    without a dictionary lookup/shuffle).
     """
-    h_doc = F.xxhash64(F.col(doc_col))
+    doc_cols = [doc_col] if isinstance(doc_col, str) else list(doc_col)
+    h_doc = F.xxhash64(*[F.col(c) for c in doc_cols])
     h_src = F.xxhash64(F.col(source_col))
 
     if curve == "zorder":
@@ -145,14 +147,16 @@ def measure_tightness(spark: SparkSession, table: Table, snapshot_id: int | None
     entries = table.files(snapshot_id)
     if not entries:
         return {"hash_range": 1.0, "sources_per_file": 0.0, "files": 0}
+    key_cols = table.key_cols
+    dim_col = table.partition_by[0] if table.partition_by else key_cols[0]
     paths = [f"{table.root}/{e.path}" for e in entries]
     rows = (
         spark.read.schema(table.spark_schema())
         .parquet(*paths)
         .select(
             F.col("_metadata.file_path").alias("fp"),
-            F.xxhash64("doc_id").alias("h"),
-            "source",
+            F.xxhash64(*[F.col(c) for c in key_cols]).alias("h"),
+            F.col(dim_col).alias("source"),
         )
         .groupBy("fp")
         .agg(
@@ -227,8 +231,13 @@ def cluster(
     total_rows = sum(e.rows for e in victims)
     n_out = max(1, -(-total_rows // target_file_rows))
     paths = [f"{table.root}/{e.path}" for e in victims]
+    key_cols = table.key_cols
+    dim_col = table.partition_by[0] if table.partition_by else key_cols[0]
     df = with_cluster_key(
-        spark.read.schema(table.spark_schema()).parquet(*paths), curve=curve
+        spark.read.schema(table.spark_schema()).parquet(*paths),
+        curve=curve,
+        doc_col=key_cols,
+        source_col=dim_col,
     )
     out = (
         df.repartitionByRange(n_out, "_ckey")

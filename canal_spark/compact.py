@@ -164,7 +164,7 @@ def compact(
             df,
             group_col="_bin",
             n_groups=len(chunk),
-            sort_within_by=["doc_id"],
+            sort_within_by=table.key_cols,
         )
         got_rows = sum(e.rows for e in new_entries)
         if got_rows != expected_rows:

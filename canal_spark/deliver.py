@@ -33,8 +33,17 @@ from pyspark.sql import functions as F
 DEFAULT_TOPIC_EXPR = "concat('tokens.', split(doc_id, ':')[0])"
 
 
-def flat_message_col(database: str = "lakehouse", table: str = "tokens"):
-    """FlatMessage JSON envelope for a changelog row (A12 wire shape)."""
+def flat_message_col(
+    database: str = "lakehouse", table: str = "tokens", with_old: bool = False
+):
+    """FlatMessage JSON envelope for a changelog row (A12 wire shape).
+
+    ``with_old=True`` (requires the changelog's before-image columns)
+    adds the ``old`` field: one map per row holding ONLY the columns
+    whose value actually changed — the reference's UPDATE wire contract
+    (FlatMessage.java ``old``; RdbSyncService.update:296-314 sets only
+    changed columns).  Null for INSERT/DELETE and when nothing changed.
+    """
     op_name = (
         F.when(F.col("op") == "I", "INSERT")
         .when(F.col("op") == "U", "UPDATE")
@@ -48,17 +57,43 @@ def flat_message_col(database: str = "lakehouse", table: str = "tokens"):
             F.to_json(F.col("tokens")),
         ),
     )
-    return F.to_json(
-        F.struct(
-            F.lit(database).alias("database"),
-            F.lit(table).alias("table"),
-            op_name.alias("type"),
-            F.unix_millis(F.col("es")).alias("es"),
-            F.unix_millis(F.current_timestamp()).alias("ts"),
-            F.array(F.lit("doc_id")).alias("pkNames"),
-            F.array(data_map).alias("data"),
+    fields = [
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        op_name.alias("type"),
+        F.unix_millis(F.col("es")).alias("es"),
+        F.unix_millis(F.current_timestamp()).alias("ts"),
+        F.array(F.lit("doc_id")).alias("pkNames"),
+        F.array(data_map).alias("data"),
+    ]
+    if with_old:
+        # array<struct<k,v,changed>> -> filter changed -> map  (all JVM)
+        cells = F.array(
+            F.struct(
+                F.lit("tokens").alias("k"),
+                F.to_json(F.col("before_tokens")).alias("v"),
+                (~F.col("before_tokens").eqNullSafe(F.col("tokens"))).alias("chg"),
+            ),
+            F.struct(
+                F.lit("n_tok").alias("k"),
+                F.col("before_n_tok").cast("string").alias("v"),
+                (~F.col("before_n_tok").eqNullSafe(F.col("n_tok"))).alias("chg"),
+            ),
         )
-    )
+        changed = F.filter(cells, lambda s: s["chg"])
+        old_map = F.map_from_entries(
+            F.transform(changed, lambda s: F.struct(s["k"], s["v"]))
+        )
+        has_before = F.col("before_tokens").isNotNull() | F.col(
+            "before_n_tok"
+        ).isNotNull()
+        fields.append(
+            F.when(
+                (F.col("op") == "U") & has_before & (F.size(changed) > 0),
+                F.array(old_map),
+            ).alias("old")
+        )
+    return F.to_json(F.struct(*fields))
 
 
 def deliver_flat_messages(
@@ -71,11 +106,12 @@ def deliver_flat_messages(
 ) -> None:
     """Write the changelog as `{out_dir}/topic=*/lane=*/part-*.json`,
     each lane file ordered by ordinal (a Kafka-partition stand-in)."""
+    with_old = "before_tokens" in changes.columns
     routed = changes.select(
         F.expr(topic_expr).alias("topic"),
         F.pmod(F.xxhash64("doc_id"), F.lit(lanes)).cast("int").alias("lane"),
         F.col("ordinal"),
-        flat_message_col(database, table).alias("value"),
+        flat_message_col(database, table, with_old=with_old).alias("value"),
     )
     (
         routed.repartition(lanes, "topic", "lane")

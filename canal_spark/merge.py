@@ -46,6 +46,8 @@ from canal_spark.table.format import DataFile, Table, prune_files
 from canal_spark.table.writer import write_datafiles
 
 CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
+# retained for back-compat with callers that import it; merge_into itself
+# derives data columns from the target table's schema
 DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
 
 
@@ -75,14 +77,17 @@ def merge_high_water_mark(table: Table) -> int:
 # --------------------------------------------------------------------------
 
 
-def dedupe_max_by(changes: DataFrame) -> DataFrame:
+def dedupe_max_by(changes: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Last-wins via max_by aggregation — partial (map-side) combine
-    makes zipf-hot keys cheap: duplicates collapse before the shuffle."""
-    cols = [c for c in changes.columns if c != "doc_id"]
-    agg = changes.groupBy("doc_id").agg(
+    makes zipf-hot keys cheap: duplicates collapse before the shuffle.
+    ``key_cols`` supports composite keys (HbaseSyncService composite
+    rowkey :72-82 analogue)."""
+    key_cols = list(key_cols or ["doc_id"])
+    cols = [c for c in changes.columns if c not in key_cols]
+    agg = changes.groupBy(*key_cols).agg(
         F.max_by(F.struct(*cols), F.col("ordinal")).alias("_last")
     )
-    return agg.select("doc_id", *[F.col(f"_last.{c}").alias(c) for c in cols])
+    return agg.select(*key_cols, *[F.col(f"_last.{c}").alias(c) for c in cols])
 
 
 def dedupe_two_phase_salted(changes: DataFrame, n_salts: int = 16) -> DataFrame:
@@ -122,14 +127,16 @@ class MergeResult:
 
 
 def _affected_files(
-    entries: list[DataFile], keys: np.ndarray
+    entries: list[DataFile], keys: np.ndarray, key_col: str = "doc_id"
 ) -> tuple[list[DataFile], list[DataFile]]:
     """Split manifest entries into (affected, untouched) by whether any
-    changed key falls inside the file's doc_id [min, max].  O(F log K)
-    driver-side — manifest scale, never data scale."""
+    changed key falls inside the file's ``key_col`` [min, max].
+    O(F log K) driver-side — manifest scale, never data scale.  For
+    composite keys the first key column's stats are used (a safe
+    superset: less pruning, never a miss)."""
     affected, untouched = [], []
     for e in entries:
-        st = e.stats.get("doc_id") or {}
+        st = e.stats.get(key_col) or {}
         lo, hi = st.get("min"), st.get("max")
         if lo is None or hi is None:
             affected.append(e)  # no stats -> must assume overlap
@@ -151,107 +158,161 @@ def merge_into(
     max_broadcast_keys: int = 5_000_000,
     job_id: str | None = None,
 ) -> MergeResult:
-    """Apply a changelog DataFrame (CHANGELOG_SCHEMA) to ``table``."""
+    """Apply a changelog DataFrame (CHANGELOG_SCHEMA shape) to ``table``.
+
+    Key columns come from the table's ``key-cols`` property (composite
+    keys supported); data columns from the table schema — a second
+    table shape is config, not code.  Changelogs carrying before-image
+    columns (``before_<col>``) get no-op updates suppressed: a U row
+    whose captured before-images all equal the after-images rewrites
+    nothing (column-change pruning, LogEventConvert.isUpdate:905-929 /
+    RdbSyncService.update:296-314) — but the high-water mark still
+    advances past it (the cursor moves even when nothing applies, F6).
+    """
     job_id = job_id or uuid.uuid4().hex[:12]
+    key_cols = table.key_cols
+    data_cols = table.spark_schema().fieldNames()
     hwm = merge_high_water_mark(table)
 
     # C2 'get batch': only changes past the checkpoint; replay-safe.
     slice_df = changes.where(F.col("ordinal") > F.lit(hwm))
-    final = dedupe_max_by(slice_df)
 
-    # split final ops: survivors (I/U after-images) vs tombstones (D)
-    upserts = final.where(F.col("op") != "D").select(*DATA_COLS)
-
-    # Key-frequency stats in one parallel two-stage aggregation (cheap
-    # hash aggs, nothing wide shipped to the driver): distinct keys,
-    # high-water mark, row count, and the hottest key's multiplicity —
-    # the skew signal.  This is the "salting decision from key-frequency
-    # stats" of the apply design: a zipf-hot key shows up as max_freq ≫
-    # n_rows/n_keys, and the plan already neutralizes it — dedupe_max_by
-    # collapses duplicates in the map-side partial aggregate (strictly
-    # better than salting a window), and the join's build side is the
-    # *deduped* key set, so no hot key ever crosses a shuffle.  The
-    # stats are recorded in the MergeResult for observability.
-    row = (
-        slice_df.groupBy("doc_id")
-        .agg(F.count("*").alias("c"), F.max("ordinal").alias("mo"))
-        .agg(
-            F.count("*").alias("n"),
-            F.max("mo").alias("hwm"),
-            F.sum("c").alias("rows"),
-            F.max("c").alias("max_freq"),
-        )
-        .collect()[0]
-    )
-    n_keys, new_hwm = row["n"] or 0, row["hwm"]
-    if n_keys == 0:
-        return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
-    skew_stats = {
-        "slice_rows": int(row["rows"]),
-        "hot_key_freq": int(row["max_freq"]),
-        "mean_key_freq": round(row["rows"] / n_keys, 2),
-        "join_strategy": "broadcast" if n_keys <= max_broadcast_keys
-        else "shuffle_aqe_skewjoin",
-    }
-
-    # the changed-key set: lazy, column-pruned (Catalyst reduces it to a
-    # distinct over the slice's doc_id column); reused as the broadcast
-    # side of the anti-join so it is computed by executors, not shipped
-    # through the driver
-    keys_df = slice_df.select("doc_id").distinct()
-
-    entries = table.files()
-    if n_keys <= max_driver_keys:
-        # manifest pruning needs the key list driver-side (O(K log F)
-        # searchsorted against per-file min/max); bounded by contract
-        keys = np.sort(
-            np.array([r[0] for r in keys_df.collect()], dtype=object)
-        )
-        affected, untouched = _affected_files(entries, keys)
+    # Per-EVENT no-op detection, before the dedupe: a U row whose
+    # captured before-images all equal its after-images changes nothing
+    # when applied (exact null-safe array equality, not a hash).  A KEY
+    # is suppressible only if EVERY event of the key in this slice is
+    # such a no-op — then final state == initial state == table state.
+    # Comparing just the final event's before/after would be wrong: its
+    # before-image reflects the previous event in the slice, not the
+    # table (the reference gets this for free by applying events one at
+    # a time and skipping each individual no-op,
+    # RdbSyncService.update:296-314).
+    before_pairs = [
+        (c, f"before_{c}") for c in data_cols if f"before_{c}" in slice_df.columns
+    ]
+    if before_pairs:
+        captured = F.lit(False)
+        same = F.lit(True)
+        for c, b in before_pairs:
+            captured = captured | F.col(b).isNotNull()
+            same = same & F.col(b).eqNullSafe(F.col(c))
+        evt_noop = (F.col("op") == "U") & captured & same
     else:
-        # huge backfill: a batch this size is a full-table rewrite anyway
-        affected, untouched = entries, []
+        evt_noop = F.lit(False)
+    slice_df = slice_df.withColumn("_evt_noop", evt_noop)
 
-    # Copy-on-write rewrite, shuffle-free on the big side: kept rows of
-    # each affected file are anti-joined against the (broadcast) key set
-    # and written straight back out — scan partitions of a doc_id-sorted
-    # file are contiguous ranges, so outputs stay sorted, no exchange,
-    # no range-sampling pass.  The (small) upsert batch alone goes
-    # through a range shuffle into its own sorted files; layout debt
-    # (extra overlapping files) is exactly what the compaction/cluster
-    # phases exist to repay — rewrite amplification stays bounded by the
-    # touched files, never the table.
-    new_entries = []
-    if affected:
-        paths = [f"{table.root}/{e.path}" for e in affected]
-        target_affected = spark.read.schema(table.spark_schema()).parquet(*paths)
-        # CDC batches are normally small → broadcast the key set (no
-        # shuffle at all).  A huge backfill batch must NOT be broadcast:
-        # fall through to a shuffled anti-join and let AQE's skew-join
-        # splitting absorb hot doc_id ranges (keys are already deduped,
-        # so the build side has no hot keys of its own).
-        keys_side = F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
-        keep = target_affected.join(keys_side, "doc_id", "left_anti")
-        new_entries += write_datafiles(
-            spark, table, keep, sort_within_by=["doc_id"]
-        )
-    # hash (not range) partition the upsert batch: range partitioning
-    # would run a sampling job that recomputes the whole dedupe plan.
-    # Upsert files are sorted within themselves but may overlap each
-    # other in doc_id — layout debt the next cluster pass repays; kept
-    # files stay range-disjoint either way.  m_out sized by n_keys (an
-    # upper bound on upserts; deletes just yield slimmer files).
-    m_out = max(1, -(-n_keys // target_file_rows))
-    upsert_entries = write_datafiles(
-        spark,
-        table,
-        upserts.repartition(m_out, "doc_id"),
-        sort_within_by=["doc_id"],
+    # ONE shuffle produces per-key last-wins rows AND the key-frequency
+    # stats: max_by collapses duplicates in the map-side partial
+    # aggregate (strictly better than salting a window — no hot key
+    # ever crosses the shuffle), _freq/_mo/_noop ride along in the same
+    # agg.
+    non_key = [
+        c for c in slice_df.columns if c not in key_cols and c != "_evt_noop"
+    ]
+    per_key = slice_df.groupBy(*key_cols).agg(
+        F.count("*").alias("_freq"),
+        F.max("ordinal").alias("_mo"),
+        F.min(F.col("_evt_noop").cast("int")).alias("_all_noop"),
+        F.max_by(F.struct(*non_key), F.col("ordinal")).alias("_last"),
     )
-    new_entries += upsert_entries
-    rows_out = sum(e.rows for e in new_entries)
-    rows_in = sum(e.rows for e in affected)
-    n_up = sum(e.rows for e in upsert_entries)
+    final = per_key.select(
+        *key_cols, "_freq", "_mo",
+        (F.col("_all_noop") == 1).alias("_noop"),
+        *[F.col(f"_last.{c}").alias(c) for c in non_key],
+    )
+    # the deduped batch is small next to the table by CDC contract —
+    # persist it: stats, manifest pruning, anti-join build side, and the
+    # upsert write all reuse it without recomputing the dedupe shuffle
+    final = final.persist()
+
+    try:
+        row = final.agg(
+            F.count("*").alias("n"),
+            F.max("_mo").alias("hwm"),
+            F.sum("_freq").alias("rows"),
+            F.max("_freq").alias("max_freq"),
+            F.sum(F.col("_noop").cast("long")).alias("n_noop"),
+            F.sum(
+                ((~F.col("_noop")) & (F.col("op") != "D")).cast("long")
+            ).alias("n_up_keys"),
+        ).collect()[0]
+        n_keys_all, new_hwm = row["n"] or 0, row["hwm"]
+        if n_keys_all == 0:
+            return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
+        n_noop = int(row["n_noop"] or 0)
+        n_keys = n_keys_all - n_noop  # keys that actually change state
+        n_up_keys = int(row["n_up_keys"] or 0)
+        skew_stats = {
+            "slice_rows": int(row["rows"]),
+            "hot_key_freq": int(row["max_freq"]),
+            "mean_key_freq": round(row["rows"] / n_keys_all, 2),
+            "noop_updates_suppressed": n_noop,
+            "join_strategy": "broadcast" if n_keys <= max_broadcast_keys
+            else "shuffle_aqe_skewjoin",
+        }
+
+        # the changed-key set (no-op keys excluded: their files must NOT
+        # rewrite); one row per key already — no distinct needed
+        effective = final.where(~F.col("_noop"))
+        keys_df = effective.select(*key_cols)
+        upserts = effective.where(F.col("op") != "D").select(*data_cols)
+
+        entries = table.files()
+        if n_keys == 0:
+            affected, untouched = [], entries
+        elif n_keys <= max_driver_keys:
+            # manifest pruning needs the key list driver-side (O(K log F)
+            # searchsorted against per-file min/max); bounded by contract
+            keys = np.sort(
+                np.array([r[0] for r in keys_df.select(key_cols[0]).collect()],
+                         dtype=object)
+            )
+            affected, untouched = _affected_files(entries, keys, key_cols[0])
+        else:
+            # huge backfill: a batch this size is a full-table rewrite anyway
+            affected, untouched = entries, []
+
+        # Copy-on-write rewrite, shuffle-free on the big side: kept rows
+        # of each affected file are anti-joined against the (broadcast)
+        # key set and written straight back out — scan partitions of a
+        # key-sorted file are contiguous ranges, so outputs stay sorted,
+        # no exchange, no range-sampling pass.  The (small) upsert batch
+        # alone goes through a hash shuffle into its own sorted files;
+        # layout debt (extra overlapping files) is exactly what the
+        # compaction/cluster phases exist to repay — rewrite
+        # amplification stays bounded by the touched files, never the
+        # table.
+        new_entries = []
+        if affected:
+            paths = [f"{table.root}/{e.path}" for e in affected]
+            target_affected = spark.read.schema(table.spark_schema()).parquet(*paths)
+            # CDC batches are normally small → broadcast the key set (no
+            # shuffle at all).  A huge backfill batch must NOT be
+            # broadcast: fall through to a shuffled anti-join and let
+            # AQE's skew-join splitting absorb hot key ranges (keys are
+            # already deduped, so the build side has no hot keys).
+            keys_side = F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
+            keep = target_affected.join(keys_side, key_cols, "left_anti")
+            new_entries += write_datafiles(
+                spark, table, keep, sort_within_by=key_cols
+            )
+        # hash (not range) partition the upsert batch: range partitioning
+        # would run a sampling job that recomputes the whole dedupe plan.
+        upsert_entries = []
+        if n_up_keys > 0:
+            m_out = max(1, -(-n_up_keys // target_file_rows))
+            upsert_entries = write_datafiles(
+                spark,
+                table,
+                upserts.repartition(m_out, *key_cols),
+                sort_within_by=key_cols,
+            )
+        new_entries += upsert_entries
+        rows_out = sum(e.rows for e in new_entries)
+        rows_in = sum(e.rows for e in affected)
+        n_up = sum(e.rows for e in upsert_entries)
+    finally:
+        final.unpersist()
 
     snap = table.commit(
         added=new_entries,

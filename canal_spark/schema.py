@@ -44,6 +44,15 @@ CHANGELOG_SCHEMA = StructType(
         StructField("source", StringType(), True),
         StructField("es", TimestampType(), True),  # event time (executeTime)
         StructField("batch_id", LongType(), True),  # txn framing analogue
+        # before-image (RowData.beforeColumns,
+        # protocol/EntryProtocol.proto:111-121): the row state the event
+        # replaced.  Full-capture style — U/D rows carry the prior
+        # tokens/n_tok; I rows carry null.  Enables (a) no-op-update
+        # suppression in MERGE (before == after -> no rewrite,
+        # LogEventConvert.isUpdate:905-929 column-change pruning) and
+        # (b) the `old` field of delivered FlatMessages (FlatMessage.java).
+        StructField("before_tokens", ArrayType(IntegerType(), False), True),
+        StructField("before_n_tok", IntegerType(), True),
     ]
 )
 

@@ -172,6 +172,19 @@ class Table:
         return self.metadata.get("partition_by", [])
 
     @property
+    def key_cols(self) -> list[str]:
+        """Primary-key columns for MERGE/dedupe/clustering — the
+        analogue of Canal's per-table pk config (adapter mapping
+        configs / HbaseSyncService composite rowkey :72-82).  Stored as
+        the ``key-cols`` table property; default matches the token
+        table's contract."""
+        return [
+            c.strip()
+            for c in self.properties.get("key-cols", "doc_id").split(",")
+            if c.strip()
+        ]
+
+    @property
     def properties(self) -> dict:
         return self.metadata.get("properties", {})
 

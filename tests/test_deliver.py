@@ -25,6 +25,7 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
     assert any("tokens.ghost" in t for t in topics)
 
     n_msgs = 0
+    n_old = 0
     key_lanes = {}
     for topic_dir in sorted(topics):
         for lane_dir in sorted(os.listdir(os.path.join(out, topic_dir))):
@@ -53,7 +54,17 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
                     if m["type"] != "DELETE":
                         toks = json.loads(cell["tokens"])
                         assert len(toks) == int(cell["n_tok"])
+                    # `old` carries ONLY changed columns, ONLY on UPDATEs
+                    # that actually changed something (FlatMessage.java)
+                    if m.get("old"):
+                        assert m["type"] == "UPDATE"
+                        n_old += 1
+                        old = m["old"][0]
+                        assert set(old) <= {"tokens", "n_tok"} and old
+                        if "tokens" in old:
+                            assert json.loads(old["tokens"]) != toks
     assert n_msgs == 400
+    assert n_old > 0  # real updates deliver their before-image
     # per-key order invariant: every key maps to exactly one (topic, lane)
     # pair — a consumer of that one lane sees ALL of the key's changes,
     # deletes included

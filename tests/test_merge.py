@@ -175,6 +175,99 @@ def test_merge_prunes_untouched_files(spark, tmp_table_root):
     assert scan_dict(spark, t) == oracle_dict(base, rows)
 
 
+def test_all_noop_update_batch_rewrites_nothing(spark, token_table):
+    """Column-change pruning (LogEventConvert.isUpdate:905-929): a batch
+    of 100% no-op updates (before-image == after-image) must rewrite and
+    add ZERO files — but the high-water mark still advances atomically,
+    so the batch never re-applies."""
+    t, base = token_table
+    rows = [
+        (i + 1, "U", k, list(toks), n, src, E, 1, list(toks), n)
+        for i, (k, toks, n, src) in enumerate(base[:50])
+    ]
+    state_before = scan_dict(spark, t)
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied  # cursor moved...
+    assert res.high_water_mark == 50
+    assert res.files_rewritten == 0 and res.files_added == 0  # ...data didn't
+    assert res.extra["noop_updates_suppressed"] == 50
+    assert scan_dict(spark, t) == state_before
+    # replay is a no-op too
+    assert not merge_into(spark, t, changelog_df(spark, rows)).applied
+
+
+def test_noop_suppression_requires_every_event_noop(spark, token_table):
+    """A key whose slice mixes a real update with a trailing no-op U
+    must STILL apply (the trailing event's before-image reflects the
+    in-slice intermediate state, not the table)."""
+    t, base = token_table
+    k, toks, n, src = base[6]
+    rows = [
+        (1, "U", k, [42, 43], 2, src, E, 1, list(toks), n),  # real change
+        (2, "U", k, [42, 43], 2, src, E, 1, [42, 43], 2),  # no-op vs event 1
+    ]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.extra["noop_updates_suppressed"] == 0
+    assert scan_dict(spark, t)[k] == ([42, 43], 2, src)
+
+
+def test_second_table_shape_composite_key(spark, tmp_table_root):
+    """The key/schema contract is table config, not code (multi-table
+    generality — TableMetaCache.java discovers shapes at runtime; here
+    the `key-cols` property + table schema drive the same merge path):
+    a (tenant, seq) composite-key table with different data columns
+    merges correctly through the identical engine."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from canal_spark import create_table
+
+    schema = StructType(
+        [
+            StructField("tenant", StringType(), False),
+            StructField("seq", LongType(), False),
+            StructField("payload", StringType(), True),
+        ]
+    )
+    t = create_table(
+        tmp_table_root, schema, properties={"key-cols": "tenant,seq"}
+    )
+    base = [(f"t{i % 3}", i, f"v{i}") for i in range(60)]
+    from canal_spark.table.writer import append
+
+    append(spark, t, spark.createDataFrame(base, schema).repartition(4))
+
+    cl_schema = StructType(
+        [
+            StructField("ordinal", LongType(), False),
+            StructField("op", StringType(), False),
+            StructField("tenant", StringType(), False),
+            StructField("seq", LongType(), False),
+            StructField("payload", StringType(), True),
+        ]
+    )
+    changes = [
+        (1, "U", "t0", 0, "updated"),
+        (2, "D", "t1", 1, None),
+        (3, "I", "t0", 999, "new"),
+        (4, "U", "t0", 999, "new2"),  # multi-op same composite key
+    ]
+    res = merge_into(spark, t, spark.createDataFrame(changes, cl_schema))
+    assert res.applied
+    got = {(r["tenant"], r["seq"]): r["payload"] for r in t.scan(spark).collect()}
+    oracle = {(r[0], r[1]): r[2] for r in base}
+    oracle[("t0", 0)] = "updated"
+    del oracle[("t1", 1)]
+    oracle[("t0", 999)] = "new2"
+    assert got == oracle
+    # replay idempotence holds for the second shape too
+    assert not merge_into(spark, t, spark.createDataFrame(changes, cl_schema)).applied
+
+
 def test_skew_stats_reported(spark, token_table):
     """Key-frequency stats (the salting decision input) surface in the
     MergeResult: a zipf changelog shows a hot key, and the join strategy
