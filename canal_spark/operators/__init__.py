@@ -10,12 +10,13 @@ from canal_spark.operators import (
     cdc_ext,
     dedup,
     multimodal,
+    mv,
     relational,
     similarity,
     text,
 )
 
-_MODULES = (relational, cdc_ext, dedup, text, similarity, multimodal)
+_MODULES = (relational, cdc_ext, mv, dedup, text, similarity, multimodal)
 
 
 def all_queries():
