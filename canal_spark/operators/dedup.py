@@ -182,37 +182,106 @@ SELECT doc_id, CAST({_sig_sql} AS BIGINT) AS simhash FROM v
 """
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= 6, blocked on the
-    signature's high byte (at scale: multi-probe over bit-rotations)."""
-    sigs = q_dedup_simhash(spark, sf_dir).withColumn(
-        "blk", F.shiftright("simhash", SIM_BITS - 8)
+# Wide signature for the PAIRS variant: 60 bits (the widest the
+# cross-engine md5-based hash oracle supports inside a signed int64),
+# banded for the blocked candidate join.  Pigeonhole guarantee: with
+# HAM_MAX < N_BANDS, any pair within the threshold agrees EXACTLY on at
+# least one band, so the band equi-join has perfect recall — the
+# block-permutation scheme of Manku et al.'s web-scale simhash dedup
+# (64-bit sig, k+1 blocks for Hamming k).  At 10^12 docs each band
+# bucket holds ~n/2^15 docs; widen BAND_BITS with the population to
+# keep buckets bounded — the plan shape (union of B band tables,
+# equi-join, verify, distinct) is unchanged.
+WIDE_BITS = 60
+N_BANDS = 4
+BAND_BITS = WIDE_BITS // N_BANDS  # 15
+HAM_MAX = 3  # < N_BANDS -> guaranteed recall
+
+
+def wide_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc (per-bit majority over distinct words)."""
+    docs = load(spark, sf_dir, "documents")
+    wd = (
+        _words(docs)
+        .select("doc_id", F.explode("ws").alias("w"))
+        .distinct()
+        .withColumn("h", md5int(F.col("w")))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(WIDE_BITS)
+    ]
+    sig = None
+    for b in range(WIDE_BITS):
+        t = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = t if sig is None else sig + t
+    return wd.groupBy("doc_id").agg(*votes).select(
+        "doc_id", sig.cast("long").alias("simhash")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 60-bit SimHash Hamming distance <= 3 via the
+    multi-band blocked join: 4 bands of 15 bits, candidates share at
+    least one exact band (pigeonhole-guaranteed recall), verified by
+    bit_count(xor) and deduped — never an all-pairs product."""
+    sigs = wide_simhash(spark, sf_dir)
+    bands = None
+    for k in range(N_BANDS):
+        b = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(k).alias("band"),
+            F.shiftright("simhash", k * BAND_BITS)
+            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+            .alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (
-        a.join(b, "blk")
+        a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(ham <= 6)
+        .where(ham <= HAM_MAX)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
+        .distinct()
     )
 
+
+_wide_votes_sql = ", ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(WIDE_BITS)
+)
+_wide_sig_sql = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(WIDE_BITS)
+)
+_band_sql = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {k} AS band,"
+    f" (simhash >> {k * BAND_BITS}) & {(1 << BAND_BITS) - 1} AS bucket FROM s"
+    for k in range(N_BANDS)
+)
 
 SQL_SIMHASH_PAIRS = f"""
 WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
             FROM documents),
 h AS (SELECT doc_id, {duck_md5int('w')} AS h FROM wd),
-v AS (SELECT doc_id, {_votes_sql} FROM h GROUP BY doc_id),
-s AS (SELECT doc_id, CAST({_sig_sql} AS BIGINT) AS simhash FROM v),
-blk AS (SELECT doc_id, simhash, simhash >> {SIM_BITS - 8} AS blk FROM s)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+v AS (SELECT doc_id, {_wide_votes_sql} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({_wide_sig_sql} AS BIGINT) AS simhash FROM v),
+bands AS ({_band_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM blk a JOIN blk b USING (blk)
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+FROM bands a JOIN bands b USING (band, bucket)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
 """
 
 
