@@ -96,6 +96,56 @@ def flat_message_col(
     return F.to_json(F.struct(*fields))
 
 
+def build_mq_frame(
+    changes: DataFrame,
+    lanes: int = 8,
+    topic_expr: str = DEFAULT_TOPIC_EXPR,
+    database: str = "lakehouse",
+    table: str = "tokens",
+) -> DataFrame:
+    """The producer frame both writers share: (topic, lane, key, ordinal,
+    value) with identical routing/partitioning/envelope logic — the
+    MQMessageUtils half of CanalMQStarter, independent of the sink."""
+    with_old = "before_tokens" in changes.columns
+    return changes.select(
+        F.expr(topic_expr).alias("topic"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(lanes)).cast("int").alias("lane"),
+        F.col("doc_id").alias("key"),
+        F.col("ordinal"),
+        flat_message_col(database, table, with_old=with_old).alias("value"),
+    )
+
+
+def deliver_kafka(
+    changes: DataFrame,
+    bootstrap_servers: str,
+    lanes: int = 8,
+    topic_expr: str = DEFAULT_TOPIC_EXPR,
+    database: str = "lakehouse",
+    table: str = "tokens",
+) -> None:
+    """Kafka producer path (C7, CanalKafkaProducer.java:81-190): the
+    same frame, written with Spark's kafka sink — `partition` pins the
+    pk-hash lane so per-key order survives into the Kafka partition,
+    exactly like the reference's messagePartition routing.
+
+    Requires the spark-sql-kafka package + brokers; not exercisable in
+    the sandbox (unit tests cover the frame contract instead).
+    """
+    frame = build_mq_frame(changes, lanes, topic_expr, database, table)
+    (
+        frame.select(
+            F.col("key").cast("string"),
+            F.col("value").cast("string"),
+            "topic",
+            F.col("lane").cast("int").alias("partition"),
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .save()
+    )
+
+
 def deliver_flat_messages(
     changes: DataFrame,
     out_dir: str,
@@ -106,13 +156,7 @@ def deliver_flat_messages(
 ) -> None:
     """Write the changelog as `{out_dir}/topic=*/lane=*/part-*.json`,
     each lane file ordered by ordinal (a Kafka-partition stand-in)."""
-    with_old = "before_tokens" in changes.columns
-    routed = changes.select(
-        F.expr(topic_expr).alias("topic"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(lanes)).cast("int").alias("lane"),
-        F.col("ordinal"),
-        flat_message_col(database, table, with_old=with_old).alias("value"),
-    )
+    routed = build_mq_frame(changes, lanes, topic_expr, database, table).drop("key")
     (
         routed.repartition(lanes, "topic", "lane")
         .sortWithinPartitions("topic", "lane", "ordinal")

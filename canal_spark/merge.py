@@ -46,6 +46,7 @@ from canal_spark.table.format import DataFile, Table, prune_files
 from canal_spark.table.writer import write_datafiles
 
 CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
+GTID_KEY = "merge-gtid-set"  # {stream_id: ordinal} for multi-stream sources
 # retained for back-compat with callers that import it; merge_into itself
 # derives data columns from the target table's schema
 DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
@@ -70,6 +71,25 @@ def merge_high_water_mark(table: Table) -> int:
         if v is not None:
             hwm = max(hwm, int(v))
     return hwm
+
+
+def merge_gtid_set(table: Table) -> dict[str, int]:
+    """Per-stream high-water marks — the GTID-set analogue.
+
+    Multi-master sources carry per-stream positions (GTID mode,
+    MysqlEventParser.java:422-521 prefers GTID over file+offset when
+    present; MemoryEventStoreWithBuffer.java:339-348 ack points).  A
+    changelog with a ``stream_id`` column checkpoints {stream: max
+    ordinal} instead of one global ordinal, so interleaved streams with
+    independent sequences resume independently.  Same persistence
+    precedence as the scalar mark: property ∪ retained summaries,
+    max-merged per stream.
+    """
+    out: dict[str, int] = dict(table.properties.get(GTID_KEY) or {})
+    for s in table.snapshots:
+        for k, v in (s.summary.get(GTID_KEY) or {}).items():
+            out[k] = max(int(out.get(k, 0)), int(v))
+    return {k: int(v) for k, v in out.items()}
 
 
 # --------------------------------------------------------------------------
@@ -175,7 +195,24 @@ def merge_into(
     hwm = merge_high_water_mark(table)
 
     # C2 'get batch': only changes past the checkpoint; replay-safe.
-    slice_df = changes.where(F.col("ordinal") > F.lit(hwm))
+    # GTID mode: a `stream_id` column switches to per-stream positions —
+    # each stream's rows filter against ITS mark (unseen streams start
+    # at 0), so interleaved multi-master sequences resume independently.
+    has_streams = "stream_id" in changes.columns
+    if has_streams:
+        gset = merge_gtid_set(table)
+        if gset:
+            gmap = F.create_map(
+                *[x for k, v in sorted(gset.items()) for x in (F.lit(k), F.lit(v))]
+            )
+            stream_hwm = F.coalesce(
+                gmap[F.col("stream_id")], F.lit(0).cast("long")
+            )
+        else:
+            stream_hwm = F.lit(0).cast("long")
+        slice_df = changes.where(F.col("ordinal") > stream_hwm)
+    else:
+        slice_df = changes.where(F.col("ordinal") > F.lit(hwm))
 
     # Per-EVENT no-op detection, before the dedupe: a U row whose
     # captured before-images all equal its after-images changes nothing
@@ -209,11 +246,18 @@ def merge_into(
     non_key = [
         c for c in slice_df.columns if c not in key_cols and c != "_evt_noop"
     ]
+    # deterministic last-wins order: cross-stream ordinal ties break on
+    # stream_id (lexicographic struct comparison) in GTID mode
+    ord_key = (
+        F.struct(F.col("ordinal"), F.col("stream_id"))
+        if has_streams
+        else F.col("ordinal")
+    )
     per_key = slice_df.groupBy(*key_cols).agg(
         F.count("*").alias("_freq"),
         F.max("ordinal").alias("_mo"),
         F.min(F.col("_evt_noop").cast("int")).alias("_all_noop"),
-        F.max_by(F.struct(*non_key), F.col("ordinal")).alias("_last"),
+        F.max_by(F.struct(*non_key), ord_key).alias("_last"),
     )
     final = per_key.select(
         *key_cols, "_freq", "_mo",
@@ -242,6 +286,15 @@ def merge_into(
         n_noop = int(row["n_noop"] or 0)
         n_keys = n_keys_all - n_noop  # keys that actually change state
         n_up_keys = int(row["n_up_keys"] or 0)
+        new_gset = None
+        if has_streams:
+            # per-stream ack points (bounded by stream count)
+            new_gset = dict(merge_gtid_set(table))
+            for r in slice_df.groupBy("stream_id").agg(
+                F.max("ordinal").alias("mo")
+            ).collect():
+                sid = r["stream_id"]
+                new_gset[sid] = max(int(new_gset.get(sid, 0)), int(r["mo"]))
         skew_stats = {
             "slice_rows": int(row["rows"]),
             "hot_key_freq": int(row["max_freq"]),
@@ -250,6 +303,8 @@ def merge_into(
             "join_strategy": "broadcast" if n_keys <= max_broadcast_keys
             else "shuffle_aqe_skewjoin",
         }
+        if new_gset is not None:
+            skew_stats["gtid_set"] = dict(new_gset)
 
         # the changed-key set (no-op keys excluded: their files must NOT
         # rewrite); one row per key already — no distinct needed
@@ -314,20 +369,25 @@ def merge_into(
     finally:
         final.unpersist()
 
+    summary = {
+        CKPT_KEY: int(new_hwm),
+        "job-id": job_id,
+        "phase": "merge",
+        "keys-changed": int(n_keys),
+        "files-pruned": len(untouched),
+    }
+    # checkpoint ALSO persisted as table properties so it survives
+    # snapshot expiry — data + checkpoint in one atomic commit.
+    props = {CKPT_KEY: int(new_hwm)}
+    if new_gset is not None:
+        summary[GTID_KEY] = new_gset
+        props[GTID_KEY] = new_gset
     snap = table.commit(
         added=new_entries,
         removed_paths=[e.path for e in affected],
         operation="overwrite",
-        summary={
-            CKPT_KEY: int(new_hwm),
-            "job-id": job_id,
-            "phase": "merge",
-            "keys-changed": int(n_keys),
-            "files-pruned": len(untouched),
-        },
-        # checkpoint ALSO persisted as a table property so it survives
-        # snapshot expiry — data + checkpoint in one atomic commit.
-        new_properties={CKPT_KEY: int(new_hwm)},
+        summary=summary,
+        new_properties=props,
     )
     return MergeResult(
         applied=True,

@@ -82,3 +82,27 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
     }
     for k, lanes_ in key_lanes.items():
         assert lanes_ == {expected[k]}
+
+
+def test_kafka_frame_contract(spark, token_table):
+    """The Kafka producer path shares the exact routing/envelope frame:
+    (topic, lane, key, ordinal, value) with per-key single lane and the
+    FlatMessage envelope as value — what df.write.format('kafka') ships
+    (CanalKafkaProducer.java:81-190), minus the brokers the sandbox
+    doesn't have."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.deliver import build_mq_frame
+
+    _, base = token_table
+    changes = changelog_df(spark, synth_changelog_rows(base, 200, seed=62))
+    frame = build_mq_frame(changes, lanes=6)
+    assert [f[0] for f in frame.dtypes] == ["topic", "lane", "key", "ordinal", "value"]
+    assert dict(frame.dtypes)["lane"] == "int"
+    rows = frame.collect()
+    assert len(rows) == 200
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["key"], set()).add((r["topic"], r["lane"]))
+        assert 0 <= r["lane"] < 6
+        assert r["value"].startswith('{"database"')
+    assert all(len(v) == 1 for v in per_key.values())

@@ -3,6 +3,59 @@ the MemoryEventStoreRollbackAndAckTest analogue (SURVEY.md §5c)."""
 
 from canal_spark import load_table
 from canal_spark.changelog import changelog_df, synth_changelog_rows
+
+
+def test_gtid_two_stream_resume(spark, token_table):
+    """GTID-mode positions (MysqlEventParser.java:422-521): two
+    interleaved streams with independent, overlapping ordinal sequences
+    checkpoint per-stream; a redelivery mixing replayed stream-A rows
+    with new stream-B rows applies ONLY the new B rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.merge import merge_gtid_set, merge_into
+
+    t, base = token_table
+    E = dt.datetime(2026, 1, 1)
+
+    def mk(stream, ordinal, key, toks):
+        return (ordinal, "U", key, toks, len(toks), key.split(":")[0], E, 1,
+                None, None, stream)
+
+    ks = [r[0] for r in base[:6]]
+    schema = changelog_df(spark, []).withColumn(
+        "stream_id", F.lit("x")
+    ).schema
+
+    # batch 1: A ords 1..3 touch ks[0..2]; B ords 1..2 touch ks[3..4]
+    b1 = [mk("A", i + 1, ks[i], [10 + i]) for i in range(3)] + [
+        mk("B", i + 1, ks[3 + i], [20 + i]) for i in range(2)
+    ]
+    res1 = merge_into(spark, t, spark.createDataFrame(b1, schema))
+    assert res1.applied
+    assert merge_gtid_set(t) == {"A": 3, "B": 2}
+
+    # batch 2: replay of A:2..3 (stale) + new B:3 and A:4
+    b2 = [
+        mk("A", 2, ks[1], [99]),       # stale -> filtered by A's mark
+        mk("A", 3, ks[2], [99]),       # stale
+        mk("A", 4, ks[0], [40]),       # new
+        mk("B", 3, ks[5], [30]),       # new (B's mark is 2)
+    ]
+    res2 = merge_into(spark, t, spark.createDataFrame(b2, schema))
+    assert res2.applied
+    assert merge_gtid_set(t) == {"A": 4, "B": 3}
+    got = {r["doc_id"]: list(r["tokens"]) for r in t.scan(spark)
+           .where(F.col("doc_id").isin(ks)).collect()}
+    assert got[ks[0]] == [40]       # A:4 applied
+    assert got[ks[1]] == [11]       # stale replay did NOT overwrite
+    assert got[ks[2]] == [12]
+    assert got[ks[5]] == [30]       # new B row applied
+
+    # full replay of both batches: per-stream marks filter everything
+    res3 = merge_into(spark, t, spark.createDataFrame(b1 + b2, schema))
+    assert not res3.applied
 from canal_spark.maintenance import run_pass
 from canal_spark.merge import merge_into, merge_high_water_mark
 from canal_spark.table.writer import write_datafiles
