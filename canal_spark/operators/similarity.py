@@ -89,27 +89,84 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+CENT_MOD = 41  # seeded coarse-centroid picks: vec_id % 41 == 1 (~n/41 cells)
+NPROBE = 3  # queries search their top-3 nearest cells (multi-probe IVF)
+
+
+def _centroid_scores(targets: DataFrame, full: DataFrame | None = None) -> DataFrame:
+    """(vec_id, cent_id, cc): each target vector scored against the
+    broadcast seeded-centroid set — K = n/CENT_MOD rows per vector,
+    map-side.  Centroids always come from ``full`` (default: targets),
+    never from a filtered subset."""
+    cents = (full if full is not None else targets).where(
+        F.col("vec_id") % CENT_MOD == 1
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    return (
+        targets.select("vec_id", "v", "norm")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(_cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cn")), 9).alias("cc"),
+        )
+    )
+
+
+def ivf_cells(e: DataFrame) -> DataFrame:
+    """Real IVF coarse quantization: (vec_id, cell) where cell is the
+    nearest seeded centroid by cosine (k-means-lite: deterministic seed
+    picks, one assignment pass — the inverted-file structure an ANN
+    sweep partitions by).
+
+    Plan shape: every vector scores against the BROADCAST centroid set
+    (K = n/CENT_MOD, bounded) and max_by picks the argmax — a map-side
+    crossJoin + partial aggregate, no all-pairs anything; ties break on
+    the lower centroid id for cross-engine determinism.
+    """
+    return _centroid_scores(e).groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cc"), (-F.col("cent_id")).alias("nid"))
+        ).alias("cell")
+    )
+
+
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: candidates restricted to the query's coarse
-    cluster (`label` = centroid id) — equi-join, not cross join."""
+    """Multi-probe IVF ANN with REAL centroid assignment: vectors
+    quantize to their nearest seeded centroid (ivf_cells); each query
+    probes its NPROBE nearest cells and candidates come from the
+    (probe-cell = data-cell) equi-join — the inverted-file sweep a
+    10^12-row index partitions by, never a global cross join."""
     from pyspark.sql import Window
 
     e = _with_norm(load(spark, sf_dir, "embeddings"))
-    q = e.where(F.col("vec_id") % Q_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("label"),
+    cells = ivf_cells(e)
+    queries = e.where(F.col("vec_id") % Q_MOD == 0)
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    probes = (
+        _centroid_scores(queries, full=e)
+        .withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"), F.col("norm").alias("qn"),
-    )
+    ).join(probes, "q_id")
     n = e.select(
-        F.col("vec_id").alias("n_id"), F.col("label"),
+        F.col("vec_id").alias("n_id"),
         F.col("v").alias("nv"), F.col("norm").alias("nn"),
-    )
+    ).join(cells.select(F.col("vec_id").alias("n_id"), "cell"), "n_id")
     scored = (
         F.broadcast(q)
-        .join(n, "label")
+        .join(n, "cell")
         .where(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id",
-            F.col("label").cast("long").alias("cell"),
+            F.col("cell").cast("long").alias("cell"),
             "n_id",
             F.round(_cosine(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 9).alias(
                 "c9"
@@ -125,12 +182,24 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBED_IVF_TOPK = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {CENT_MOD} = 1),
+assign AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC,
+                                     c.cent_id ASC) AS rn
+  FROM e, c),
+cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM assign
+           WHERE rn <= {NPROBE} AND vec_id % {Q_MOD} = 0),
 scored AS (
-  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS cell, n.vec_id AS n_id,
+  SELECT p.q_id, CAST(p.cell AS BIGINT) AS cell, n.vec_id AS n_id,
          round(list_cosine_similarity(q.v, n.v), 9) AS c9
-  FROM e q JOIN e n ON q.label = n.label AND q.vec_id != n.vec_id
-  WHERE q.vec_id % {Q_MOD} = 0),
+  FROM probes p
+  JOIN e q ON q.vec_id = p.q_id
+  JOIN cells cn ON cn.cell = p.cell
+  JOIN e n ON n.vec_id = cn.vec_id AND n.vec_id != p.q_id),
 ranked AS (
   SELECT q_id, cell, n_id, c9,
          row_number() OVER (PARTITION BY q_id ORDER BY c9 DESC, n_id ASC) AS rank

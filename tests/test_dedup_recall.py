@@ -41,3 +41,42 @@ def test_banded_simhash_pairs_equal_brute_force(spark, tmp_path):
     }
     # perfect recall AND no false positives (the join verifies hamming)
     assert blocked == exact
+
+
+def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
+    """Real centroid assignment: every vector's cell is the argmax-
+    cosine seeded centroid (checked in numpy), and multi-probe IVF
+    recall@1 vs the brute-force baseline clears a floor on the
+    deterministic fixture (measured 0.4 with NPROBE=3 of ~13 cells —
+    probing ~23% of a near-uniform embedding set)."""
+    import numpy as np
+
+    from canal_spark.operators.similarity import (
+        CENT_MOD,
+        _with_norm,
+        ivf_cells,
+        q_embed_cosine_topk,
+        q_embed_ivf_topk,
+    )
+    from canal_spark.operators.common import load
+
+    sf = "/root/testdata/sf0.001"
+    e = _with_norm(load(spark, sf, "embeddings"))
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
+    cents = {i: v for i, v in vecs.items() if i % CENT_MOD == 1}
+    got = {r["vec_id"]: r["cell"] for r in ivf_cells(e).collect()}
+    for vid, v in vecs.items():
+        scores = {
+            cid: round(float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv))), 9)
+            for cid, cv in cents.items()
+        }
+        best = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        assert got[vid] == best, f"vec {vid}: {got[vid]} != argmax {best}"
+
+    brute = {
+        r["q_id"]: r["n_id"]
+        for r in q_embed_cosine_topk(spark, sf).where("rank=1").collect()
+    }
+    ivf = {r["q_id"]: r["n_id"] for r in q_embed_ivf_topk(spark, sf).collect()}
+    recall = sum(1 for q in brute if ivf.get(q) == brute[q]) / len(brute)
+    assert recall >= 0.3
