@@ -61,7 +61,7 @@ def record(
             {"before": tightness_before, "after": tightness_after}
             if tightness_before is not None or tightness_after is not None
             else None,
-            _dt.datetime.utcnow(),
+            _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
         )
     ]
     df = spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1)
