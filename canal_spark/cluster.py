@@ -149,12 +149,10 @@ def measure_tightness(spark: SparkSession, table: Table, snapshot_id: int | None
         return {"hash_range": 1.0, "sources_per_file": 0.0, "files": 0}
     key_cols = table.key_cols
     dim_col = table.partition_by[0] if table.partition_by else key_cols[0]
-    paths = [f"{table.root}/{e.path}" for e in entries]
     rows = (
-        spark.read.schema(table.spark_schema())
-        .parquet(*paths)
+        table.read_files(spark, entries, with_file_path="fp")
         .select(
-            F.col("_metadata.file_path").alias("fp"),
+            "fp",
             F.xxhash64(*[F.col(c) for c in key_cols]).alias("h"),
             F.col(dim_col).alias("source"),
         )
@@ -230,11 +228,10 @@ def cluster(
 
     total_rows = sum(e.rows for e in victims)
     n_out = max(1, -(-total_rows // target_file_rows))
-    paths = [f"{table.root}/{e.path}" for e in victims]
     key_cols = table.key_cols
     dim_col = table.partition_by[0] if table.partition_by else key_cols[0]
     df = with_cluster_key(
-        spark.read.schema(table.spark_schema()).parquet(*paths),
+        table.read_files(spark, victims),
         curve=curve,
         doc_col=key_cols,
         source_col=dim_col,

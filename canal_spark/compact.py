@@ -32,7 +32,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from canal_spark.table.format import DataFile, Table
-from canal_spark.table.writer import norm_file_path, write_datafiles
+from canal_spark.table.writer import write_datafiles
 
 TARGET_FILE_BYTES = 512 * 1024 * 1024
 
@@ -94,11 +94,9 @@ def plan_bins(
 def token_weights(spark: SparkSession, table: Table, entries: list[DataFile]) -> dict[str, int]:
     """Exact sum(n_tok) per file — a column-pruned scan of only n_tok
     (Parquet reads one column; tokens never leave disk)."""
-    paths = [f"{table.root}/{e.path}" for e in entries]
     rows = (
-        spark.read.schema(table.spark_schema())
-        .parquet(*paths)
-        .select(norm_file_path(F.col("_metadata.file_path")).alias("fp"), "n_tok")
+        table.read_files(spark, entries, with_file_path="fp")
+        .select("fp", "n_tok")
         .groupBy("fp")
         .agg(F.sum("n_tok").alias("w"))
         .collect()
@@ -134,7 +132,6 @@ def compact(
         bins = plan_bins(entries, target_bytes, small_file_bytes)
 
     result = CompactionResult(job_id=job_id)
-    schema = table.spark_schema()
     for start in range(0, len(bins), max_bins_per_commit):
         chunk = bins[start : start + max_bins_per_commit]
         import os
@@ -149,10 +146,9 @@ def compact(
         bin_map = spark.createDataFrame(
             [(p, b) for p, b in path_to_bin.items()], ["_fp", "_bin"]
         )
+        flat = [e for m in chunk for e in m]
         df = (
-            spark.read.schema(schema)
-            .parquet(*path_to_bin.keys())
-            .withColumn("_fp", norm_file_path(F.col("_metadata.file_path")))
+            table.read_files(spark, flat, with_file_path="_fp")
             .join(F.broadcast(bin_map), "_fp")
             .drop("_fp")
         )

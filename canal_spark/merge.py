@@ -339,8 +339,8 @@ def merge_into(
         # table.
         new_entries = []
         if affected:
-            paths = [f"{table.root}/{e.path}" for e in affected]
-            target_affected = spark.read.schema(table.spark_schema()).parquet(*paths)
+            # era-aware read: affected files may predate renames/widenings
+            target_affected = table.read_files(spark, affected)
             # CDC batches are normally small → broadcast the key set (no
             # shuffle at all).  A huge backfill batch must NOT be
             # broadcast: fall through to a shuffled anti-join and let

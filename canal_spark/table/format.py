@@ -58,12 +58,17 @@ class DataFile:
     rows: int
     bytes: int
     partition: dict[str, Any] = field(default_factory=dict)
-    # col -> {"min": v, "max": v, "nulls": n}; values JSON-native
+    # col -> {"min": v, "max": v, "nulls": n}; values JSON-native,
+    # keyed by the column names AS WRITTEN (the file's schema era)
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     # curve tag ("zorder-v1"/"hilbert-v1") when the file was written in
     # cluster order — lets clustering run incrementally (only untagged
     # files rewrite) instead of rewriting the table every pass
     sort_order: str | None = None
+    # schema-id the file was written under — reads resolve renames and
+    # type widenings by field-id between this era and the target schema
+    # (None on pre-tracking manifests -> current-name read)
+    schema_id: int | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -75,6 +80,8 @@ class DataFile:
         }
         if self.sort_order:
             d["sort_order"] = self.sort_order
+        if self.schema_id is not None:
+            d["schema_id"] = self.schema_id
         return d
 
     @staticmethod
@@ -86,6 +93,7 @@ class DataFile:
             partition=d.get("partition", {}),
             stats=d.get("stats", {}),
             sort_order=d.get("sort_order"),
+            schema_id=d.get("schema_id"),
         )
 
 
@@ -166,6 +174,27 @@ class Table:
     @property
     def current_schema_id(self) -> int:
         return self.metadata.get("current_schema_id", len(self.schemas) - 1)
+
+    @property
+    def field_id_history(self) -> list[dict[str, int]]:
+        """Per schema version: {column name -> stable field id} — the
+        Iceberg mechanism that makes renames/retypes safe: a rename
+        keeps the id under a new name; add after drop of the same name
+        mints a NEW id, so old data never resurrects under it."""
+        hist = self.metadata.get("field_ids")
+        if hist:
+            return [{k: int(v) for k, v in h.items()} for h in hist]
+        # legacy metadata: name-based identity — same name = same id
+        names: dict[str, int] = {}
+        out = []
+        for s in self.schemas:
+            for f in s["fields"]:
+                names.setdefault(f["name"], len(names))
+            out.append({f["name"]: names[f["name"]] for f in s["fields"]})
+        return out
+
+    def field_ids_for(self, schema_id: int) -> dict[str, int]:
+        return self.field_id_history[schema_id]
 
     @property
     def partition_by(self) -> list[str]:
@@ -285,6 +314,87 @@ class Table:
             return max(cands, key=lambda s: s.timestamp_ms)
         return self.current_snapshot()
 
+    # ---- era-aware reads --------------------------------------------------
+
+    def read_files(
+        self,
+        spark: SparkSession,
+        entries: list["DataFile"],
+        target_schema_id: int | None = None,
+        with_file_path: str | None = None,
+    ) -> DataFrame:
+        """Read data files projected to a target schema, resolving each
+        file's write-time schema era by FIELD ID.
+
+        Files written before a rename keep their old column name on
+        disk; the era read selects the old name and aliases it to the
+        target name (same field id).  Type widenings cast; columns added
+        after the file was written project as null; columns dropped and
+        re-added under the same name get a NEW field id, so old data
+        does not resurrect.  Files are grouped by era — one scan branch
+        per era (almost always 1-2), each with full pushdown, unioned by
+        name.  ``with_file_path`` adds a normalized file-path column
+        (for per-file joins like compaction's bin map).
+        """
+        from pyspark.sql import functions as FF
+        from pyspark.sql.types import StructType
+
+        tid = self.current_schema_id if target_schema_id is None else target_schema_id
+        target = StructType.fromJson(self.schemas[tid])
+        if not entries:
+            df = spark.createDataFrame([], target)
+            if with_file_path:
+                df = df.withColumn(with_file_path, FF.lit(None).cast("string"))
+            return df
+
+        groups: dict[int, list[str]] = {}
+        for e in entries:
+            sid = e.schema_id if e.schema_id is not None else tid
+            groups.setdefault(sid, []).append(os.path.join(self.root, e.path))
+
+        tgt_fids = self.field_ids_for(tid)
+        parts = []
+        for sid, paths in sorted(groups.items()):
+            era = StructType.fromJson(self.schemas[sid])
+            df = spark.read.schema(era).parquet(*paths)
+            if sid == tid:
+                cols = [FF.col(f.name) for f in target.fields]
+            else:
+                inv = {fid: name for name, fid in self.field_ids_for(sid).items()}
+                cols = []
+                for f in target.fields:
+                    src = inv.get(tgt_fids[f.name])
+                    if src is not None:
+                        cols.append(FF.col(src).cast(f.dataType).alias(f.name))
+                    else:
+                        cols.append(FF.lit(None).cast(f.dataType).alias(f.name))
+            if with_file_path:
+                cols.append(
+                    FF.regexp_replace(
+                        FF.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
+                    ).alias(with_file_path)
+                )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def era_stat_name(self, entry: "DataFile", col: str, target_schema_id: int | None = None) -> str:
+        """The name ``col`` had when ``entry`` was written (file stats
+        are keyed by write-time names)."""
+        tid = self.current_schema_id if target_schema_id is None else target_schema_id
+        sid = entry.schema_id if entry.schema_id is not None else tid
+        if sid == tid:
+            return col
+        fid = self.field_ids_for(tid).get(col)
+        if fid is None:
+            return col
+        for name, f in self.field_ids_for(sid).items():
+            if f == fid:
+                return name
+        return col
+
     # ---- scan (with manifest-level pruning) -------------------------------
 
     def scan(
@@ -306,15 +416,21 @@ class Table:
         """
         snap = self.resolve_snapshot(snapshot_id, as_of_version, as_of_timestamp_ms)
         entries = self.files(snap.snapshot_id) if snap is not None else []
-        entries = prune_files(entries, partition_filter, range_filter)
         # project with the schema AS OF the snapshot being read: after a
         # drop, a time-travel read of a pre-drop snapshot still returns
         # the dropped column's data
-        schema = self.schema_for_snapshot(snap)
-        if not entries:
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, e.path) for e in entries]
-        return spark.read.schema(schema).parquet(*paths)
+        tid = (
+            snap.schema_id
+            if snap is not None and snap.schema_id is not None
+            else self.current_schema_id
+        )
+        entries = prune_files(
+            entries,
+            partition_filter,
+            range_filter,
+            stat_name=lambda e, c: self.era_stat_name(e, c, tid),
+        )
+        return self.read_files(spark, entries, target_schema_id=tid)
 
     def row_count(self, snapshot_id: int | None = None) -> int:
         return sum(e.rows for e in self.files(snapshot_id))
@@ -332,6 +448,7 @@ class Table:
         operation: str = "append",
         summary: dict[str, Any] | None = None,
         new_schema_json: dict | None = None,
+        new_field_ids: dict[str, int] | None = None,
         new_properties: dict | None = None,
         max_retries: int = 5,
     ) -> Snapshot:
@@ -372,10 +489,28 @@ class Table:
             # schema evolution appends to the schema list; every snapshot
             # pins the schema-id it was committed under
             schemas = list(self.schemas)
+            fid_hist = [dict(h) for h in self.field_id_history]
             schema_id = self.current_schema_id
             if new_schema_json is not None:
                 schemas.append(new_schema_json)
                 schema_id = len(schemas) - 1
+                if new_field_ids is not None:
+                    fid_hist.append(dict(new_field_ids))
+                else:
+                    # name-based fallback: reuse ids of still-present
+                    # names, mint fresh ids for new ones
+                    prev = fid_hist[-1]
+                    next_id = max(
+                        [i for h in fid_hist for i in h.values()], default=-1
+                    ) + 1
+                    cur = {}
+                    for f in new_schema_json["fields"]:
+                        if f["name"] in prev:
+                            cur[f["name"]] = prev[f["name"]]
+                        else:
+                            cur[f["name"]] = next_id
+                            next_id += 1
+                    fid_hist.append(cur)
             snap = Snapshot(
                 snapshot_id=(parent.snapshot_id + 1) if parent else 1,
                 parent_id=parent.snapshot_id if parent else None,
@@ -397,6 +532,7 @@ class Table:
             meta["current_snapshot_id"] = snap.snapshot_id
             meta["schemas"] = schemas
             meta["current_schema_id"] = schema_id
+            meta["field_ids"] = fid_hist
             if new_schema_json is not None:
                 meta["schema"] = new_schema_json
             if new_properties is not None:
@@ -411,47 +547,109 @@ class Table:
 
     # ---- schema evolution (A6 DDL apply / B3 DDL-isolation analogue) -------
 
+    # widenings that are safe for era-read casts AND stat comparisons
+    _WIDENINGS = {
+        ("short", "integer"), ("short", "long"), ("short", "double"),
+        ("integer", "long"), ("integer", "double"),
+        ("long", "double"), ("float", "double"),
+    }
+
     def evolve_schema(
         self,
         add: list[tuple[str, str]] | None = None,
         drop: list[str] | None = None,
+        rename: list[tuple[str, str]] | None = None,
+        retype: list[tuple[str, str]] | None = None,
     ) -> Snapshot:
         """Apply a schema change as its own metadata-only commit — the
         engine's DDL barrier (the reference returns a DDL event alone in
         its own batch, store/.../MemoryEventStoreWithBuffer.java:294-327,
         and mirrors it to the target, RdbMirrorDbSyncService.executeDdl).
 
-        Only additive/drop evolution is supported: new columns must be
-        nullable (old files read as null via schema projection); dropped
-        columns simply leave dead bytes in old files until rewrite —
-        *dead* only for current-schema reads: every snapshot pins its
-        schema-id, so time travel to a pre-drop snapshot still projects
-        (and returns) the dropped column.  Renames need per-field IDs
-        (Iceberg's mechanism) — not supported by this mini-format, by
-        design.
+        Supported evolution (all metadata-only, per-field-id based, the
+        Iceberg mechanism):
+        * ``add``: new nullable columns (old files read as null) — a
+          re-added name mints a NEW field id, so data of a previously
+          dropped column never resurrects;
+        * ``drop``: leaves dead bytes in old files until rewrite; time
+          travel to pre-drop snapshots still returns the column;
+        * ``rename``: keeps the field id — era reads alias the old
+          on-disk name to the new one;
+        * ``retype``: widening casts only (int->long, float->double, …)
+          — era reads cast old files up.
+        Partition and key columns cannot be dropped or renamed (their
+        names key manifest partition values and pruning stats).
         """
-        from pyspark.sql.types import StructType, _parse_datatype_string
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
         schema = StructType.fromJson(self.schema_json)
+        fids = dict(self.field_ids_for(self.current_schema_id))
+        next_id = max(
+            [i for h in self.field_id_history for i in h.values()], default=-1
+        ) + 1
         names = {f.name for f in schema.fields}
+        protected = set(self.partition_by) | set(self.key_cols)
+
         for name, ddl_type in add or []:
             if name in names:
                 raise ValueError(f"column {name!r} already exists")
-            schema = schema.add(name, _parse_datatype_string(ddl_type), True)
+            schema = StructType(
+                schema.fields + [StructField(name, _parse_datatype_string(ddl_type), True)]
+            )
+            fids[name] = next_id  # fresh id even if the name existed before
+            next_id += 1
+            names.add(name)
         for name in drop or []:
             if name not in names:
                 raise ValueError(f"column {name!r} does not exist")
-            if name in self.partition_by:
-                raise ValueError(f"cannot drop partition column {name!r}")
+            if name in protected:
+                raise ValueError(f"cannot drop partition/key column {name!r}")
             schema = StructType([f for f in schema.fields if f.name != name])
+            fids.pop(name, None)
+            names.discard(name)
+        for old, new in rename or []:
+            if old not in names:
+                raise ValueError(f"column {old!r} does not exist")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if old in protected:
+                raise ValueError(f"cannot rename partition/key column {old!r}")
+            schema = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable) if f.name == old else f
+                    for f in schema.fields
+                ]
+            )
+            fids[new] = fids.pop(old)  # same id, new name
+            names.discard(old)
+            names.add(new)
+        for name, ddl_type in retype or []:
+            if name not in names:
+                raise ValueError(f"column {name!r} does not exist")
+            new_t = _parse_datatype_string(ddl_type)
+            old_t = next(f.dataType for f in schema.fields if f.name == name)
+            if (old_t.typeName(), new_t.typeName()) not in self._WIDENINGS:
+                raise ValueError(
+                    f"retype {name!r}: {old_t.typeName()} -> {new_t.typeName()} "
+                    "is not a supported widening"
+                )
+            schema = StructType(
+                [
+                    StructField(name, new_t, f.nullable) if f.name == name else f
+                    for f in schema.fields
+                ]
+            )
         return self.commit(
             added=[],
             operation="schema",
             summary={
                 "added-columns": ",".join(n for n, _ in (add or [])),
                 "dropped-columns": ",".join(drop or []),
+                "renamed-columns": ",".join(f"{o}->{n}" for o, n in (rename or [])),
+                "retyped-columns": ",".join(f"{n}:{t}" for n, t in (retype or [])),
             },
             new_schema_json=schema.jsonValue(),
+            new_field_ids=fids,
         )
 
     # ---- maintenance: snapshot expiry & manifest rewrite -------------------
@@ -591,8 +789,14 @@ def prune_files(
     entries: list[DataFile],
     partition_filter: dict[str, Any] | None = None,
     range_filter: dict[str, tuple] | None = None,
+    stat_name=None,
 ) -> list[DataFile]:
-    """Manifest-level file pruning by partition equality and stat overlap."""
+    """Manifest-level file pruning by partition equality and stat overlap.
+
+    ``stat_name(entry, col)`` resolves the column's write-time name for
+    stat lookup (file stats are keyed by the names of the file's schema
+    era; partition columns cannot be renamed, so partition values need
+    no translation)."""
     out = entries
     if partition_filter:
         out = [
@@ -604,7 +808,7 @@ def prune_files(
 
         def overlaps(e: DataFile) -> bool:
             for col, (lo, hi) in range_filter.items():
-                st = e.stats.get(col)
+                st = e.stats.get(stat_name(e, col) if stat_name else col)
                 if st is None or st.get("min") is None:
                     continue  # no stats -> cannot prune
                 if (hi is not None and st["min"] > hi) or (
@@ -670,6 +874,7 @@ def create_table(
         "schema": spark_schema.jsonValue(),
         "schemas": [spark_schema.jsonValue()],
         "current_schema_id": 0,
+        "field_ids": [{f.name: i for i, f in enumerate(spark_schema.fields)}],
         "partition_by": partition_by or [],
         "properties": properties or {},
         "snapshots": [],

@@ -178,6 +178,9 @@ def write_datafiles(
                 partition=partition,
                 stats=stats,
                 sort_order=sort_order,
+                # stamp the write-time schema era: reads resolve renames
+                # and widenings between this era and the read schema
+                schema_id=table.current_schema_id,
             )
         )
     return entries

@@ -78,6 +78,124 @@ def test_time_travel_pins_snapshot_schema(spark, token_table):
     assert "quality" not in table.scan(spark, snapshot_id=first).columns
 
 
+def test_rename_column_reads_old_files_by_field_id(spark, token_table):
+    """Rename keeps the field id: files written before the rename store
+    the old column name on disk, and the era read aliases it to the new
+    name — no rewrite (Iceberg's per-field-id mechanism)."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.table.writer import append
+
+    table, _ = token_table
+    files_before = {e.path for e in table.files()}
+    total = table.scan(spark).agg(F.sum("n_tok")).collect()[0][0]
+    pre_rename = table.current_snapshot_id
+
+    table.evolve_schema(rename=[("n_tok", "tok_len")])
+    assert {e.path for e in table.files()} == files_before  # metadata only
+    df = table.scan(spark)
+    assert "tok_len" in df.columns and "n_tok" not in df.columns
+    # old files' data is fully visible under the new name
+    assert df.agg(F.sum("tok_len")).collect()[0][0] == total
+    assert df.where(F.col("tok_len").isNull()).count() == 0
+
+    # new writes use the new name; mixed-era scan still consistent
+    extra = df.limit(3).select(
+        F.concat(F.lit("r:"), "doc_id").alias("doc_id"),
+        "tokens", F.col("tok_len"), "source",
+    )
+    append(spark, table, extra)
+    assert table.scan(spark).where(F.col("tok_len").isNull()).count() == 0
+
+    # time travel to the pre-rename snapshot shows the old name
+    tt = table.scan(spark, snapshot_id=pre_rename)
+    assert "n_tok" in tt.columns and "tok_len" not in tt.columns
+
+    # protected columns cannot be renamed
+    with pytest.raises(ValueError):
+        table.evolve_schema(rename=[("source", "src")])  # partition col
+    with pytest.raises(ValueError):
+        table.evolve_schema(rename=[("doc_id", "key")])  # key col
+
+
+def test_add_after_drop_does_not_resurrect_old_data(spark, token_table):
+    """Iceberg add-after-drop semantics: re-adding a dropped name mints
+    a NEW field id, so the old column's bytes never resurrect."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.table.writer import append
+
+    table, _ = token_table
+    table.evolve_schema(add=[("quality", "double")])
+    extra = table.scan(spark).limit(5).select(
+        F.concat(F.lit("q:"), "doc_id").alias("doc_id"),
+        "tokens", "n_tok", "source", F.lit(0.9).alias("quality"),
+    )
+    append(spark, table, extra)
+    assert table.scan(spark).where("quality = 0.9").count() == 5
+
+    table.evolve_schema(drop=["quality"])
+    table.evolve_schema(add=[("quality", "double")])
+    # same name, NEW id: all null, including the 5 rows that had 0.9
+    assert table.scan(spark).where(F.col("quality").isNotNull()).count() == 0
+
+
+def test_retype_widening_casts_old_files(spark, token_table):
+    from pyspark.sql import functions as F
+
+    table, _ = token_table
+    total = table.scan(spark).agg(F.sum("n_tok")).collect()[0][0]
+    table.evolve_schema(retype=[("n_tok", "bigint")])
+    df = table.scan(spark)
+    assert dict(df.dtypes)["n_tok"] == "bigint"
+    assert df.agg(F.sum("n_tok")).collect()[0][0] == total  # values intact
+
+    with pytest.raises(ValueError):
+        table.evolve_schema(retype=[("n_tok", "int")])  # narrowing
+    with pytest.raises(ValueError):
+        table.evolve_schema(retype=[("source", "bigint")])  # not a widening
+
+
+def test_merge_through_rename_boundary(spark, token_table):
+    """CDC apply keeps working across a rename: a post-rename changelog
+    (new column names) merges into a table whose files predate the
+    rename — the keep-side era read resolves the old files."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    from canal_spark.merge import merge_into
+
+    table, base = token_table
+    table.evolve_schema(rename=[("n_tok", "tok_len")])
+    cl_schema = StructType([
+        StructField("ordinal", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType(), False), True),
+        StructField("tok_len", IntegerType(), True),
+        StructField("source", StringType(), True),
+        StructField("es", TimestampType(), True),
+        StructField("batch_id", LongType(), True),
+    ])
+    E = dt.datetime(2026, 1, 1)
+    k0, k1 = base[0][0], base[1][0]
+    changes = [
+        (1, "U", k0, [7, 7], 2, base[0][3], E, 1),
+        (2, "D", k1, None, None, None, E, 1),
+    ]
+    res = merge_into(spark, table, spark.createDataFrame(changes, cl_schema))
+    assert res.applied
+    got = {r["doc_id"]: (list(r["tokens"]) if r["tokens"] else None, r["tok_len"])
+           for r in table.scan(spark).collect()}
+    assert got[k0] == ([7, 7], 2)
+    assert k1 not in got
+    assert len(got) == 1200 - 1
+
+
 def test_schema_change_is_metadata_only_commit(spark, token_table):
     """DDL barrier: no data files added/removed; the data of the parent
     snapshot is still exactly readable (scan equality)."""
