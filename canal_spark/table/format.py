@@ -361,11 +361,17 @@ class Table:
                 cols = [FF.col(f.name) for f in target.fields]
             else:
                 inv = {fid: name for name, fid in self.field_ids_for(sid).items()}
+                era_types = {f.name: f.dataType for f in era.fields}
                 cols = []
                 for f in target.fields:
                     src = inv.get(tgt_fids[f.name])
                     if src is not None:
-                        cols.append(FF.col(src).cast(f.dataType).alias(f.name))
+                        c = FF.col(src)
+                        # cast only on a real widening: Spark rejects
+                        # no-op casts between complex types (array->array)
+                        if era_types[src] != f.dataType:
+                            c = c.cast(f.dataType)
+                        cols.append(c.alias(f.name))
                     else:
                         cols.append(FF.lit(None).cast(f.dataType).alias(f.name))
             if with_file_path:
