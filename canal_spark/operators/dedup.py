@@ -365,6 +365,149 @@ SELECT doc_id, md5({_fp_concat}) AS fingerprint FROM mins
 """
 
 
+# --- near-dup group assignment (connected components) -----------------------
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph: every
+    doc in a near-dup cluster gets the cluster's MIN doc_id as its
+    group id — the 'which docs are the same document' step a dedup
+    pipeline runs after LSH, before keeping one doc per group.
+
+    Distributed shape: iterative min-label propagation (the DataFrame
+    restatement of GraphX connected components) — each round joins the
+    label frame to the edge list, takes the min label seen across
+    neighbors, and converges in O(component diameter) rounds (LSH
+    components are shallow).  Labels persist per round; edges and
+    labels are candidate-pair sized, never corpus sized.  The DuckDB
+    oracle computes the same labels via recursive transitive closure.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .persist()
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(20):  # >= diameter of any LSH component in practice
+        prop = (
+            edges.join(labels, edges["doc_a"] == labels["doc"])
+            .select(F.col("doc_b").alias("doc"), "lbl")
+        )
+        # localCheckpoint TRUNCATES the logical plan each round —
+        # without it the iterative lineage grows multiplicatively and
+        # the driver dies building the plan, not running it
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "_old"), "doc")
+            .where(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("group_id")
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a, doc_b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT doc_a AS doc FROM edges)
+, reach(src, dst) AS (
+    SELECT doc, doc FROM nodes
+  UNION
+    SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+)
+SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+"""
+
+
+# --- train/eval contamination check ------------------------------------------
+
+
+N_CONTAM = 3  # 3-word shingles for the overlap probe (5+ at corpus scale)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe: which training docs share word-shingles
+    (N_CONTAM-grams) with the held-out benchmark set (docs with
+    doc_id % 97 == 0 play the benchmark)?  Emits per contaminated train doc the number of
+    distinct shared shingles and of benchmark docs hit — the report a
+    pipeline uses to drop or flag leaked documents.
+
+    Scale shape: both sides shingle map-side, the overlap is a hash
+    equi-join on the shingle (benchmark side is the small build side —
+    broadcastable), aggregation is per train doc.  Never an all-pairs
+    document comparison.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= N_CONTAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {N_CONTAM - 1}),"
+                    f" i -> concat_ws(' ', slice(ws, i, {N_CONTAM})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .withColumn("h", md5int(F.col("g")))
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    train = grams.where(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         {duck_md5int("array_to_string(ws[i:i+" + str(N_CONTAM - 1) + "], ' ')")} AS h
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {N_CONTAM - 1})) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= {N_CONTAM}))),
+bench AS (SELECT doc_id AS bench_id, h FROM g WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, h FROM g WHERE doc_id % 97 != 0)
+SELECT t.doc_id,
+       count(DISTINCT t.h) AS n_shared_shingles,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM train t JOIN bench b USING (h)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -372,6 +515,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
+    "dedup_groups": q_dedup_groups,
+    "contamination_check": q_contamination_check,
 }
 
 ORACLES = {
@@ -381,4 +526,6 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_groups": SQL_DEDUP_GROUPS,
+    "contamination_check": SQL_CONTAMINATION,
 }

@@ -43,6 +43,41 @@ def test_banded_simhash_pairs_equal_brute_force(spark, tmp_path):
     assert blocked == exact
 
 
+def test_dedup_groups_are_valid_connected_components(spark):
+    """Label-propagation output is a correct component labeling of the
+    LSH candidate graph: both endpoints of every candidate pair share a
+    group, and each group's id is its minimum member (checked against a
+    python union-find on the same edges)."""
+    from canal_spark.operators.dedup import q_dedup_groups, q_dedup_minhash_lsh
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash_lsh(spark, sf).collect()]
+    got = {r["doc_id"]: r["group_id"] for r in q_dedup_groups(spark, sf).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expect = {}
+    for members in comps.values():
+        g = min(members)
+        for m in members:
+            expect[m] = g
+    assert got == expect
+
+
 def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
     """Real centroid assignment: every vector's cell is the argmax-
     cosine seeded centroid (checked in numpy), and multi-probe IVF
