@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canal_spark.operators.common import load
+from canal_spark.operators.common import duck_md5int, load, md5int
 
 # marker lexicons for the n-gram/stopword language heuristic
 LEX = {
@@ -132,14 +132,84 @@ FROM documents
 """
 
 
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step of a
+    training pipeline: each source stratum keeps a configured fraction
+    of its docs, selected by a stable content hash (md5int(doc_id) mod
+    10000 < rate), so the sample is reproducible across runs/engines
+    and needs no shuffle beyond the final per-source rollup.  Rates
+    here: 'high' sources (src1X) keep 50%, 'low' (src0-4) keep 10%,
+    the rest 25% — the same routing buckets as topic_routing."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").rlike("^src1[0-9]$"), F.lit(5000))
+        .when(F.col("source").rlike("^src[0-4]$"), F.lit(1000))
+        .otherwise(F.lit(2500))
+    )
+    keep = F.pmod(md5int(F.col("doc_id").cast("string")), F.lit(10000)) < rate
+    return (
+        docs.select("source", keep.cast("int").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+SQL_SAMPLE_MIX = f"""
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN {duck_md5int("CAST(doc_id AS VARCHAR)")} % 10000 <
+                (CASE WHEN regexp_matches(source, '^src1[0-9]$') THEN 5000
+                      WHEN regexp_matches(source, '^src[0-4]$')  THEN 1000
+                      ELSE 2500 END)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-QA profile: counts, language cardinality, and
+    exact length quantiles (median/p90 with linear interpolation — both
+    engines compute the same continuous quantile).  The profiling sweep
+    a pipeline runs before/after each processing stage; one partial-agg
+    shuffle per stratum."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    )
+
+
+SQL_COLUMN_PROFILE = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "sample_mix": q_sample_mix,
+    "column_profile": q_column_profile,
 }
 
 ORACLES = {
     "lang_id": SQL_LANG_ID,
     "quality_score": SQL_QUALITY_SCORE,
     "token_count": SQL_TOKEN_COUNT,
+    "sample_mix": SQL_SAMPLE_MIX,
+    "column_profile": SQL_COLUMN_PROFILE,
 }
