@@ -48,10 +48,18 @@ class JoinViewConfig:
 
 
 def view_select(cfg: JoinViewConfig, main: DataFrame, dim: DataFrame) -> DataFrame:
-    """The view definition itself (used for initial load / oracles)."""
-    joined = main.join(dim, main[cfg.fk_col] == dim[cfg.dim_pk], "left")
+    """The view definition itself (used for initial load / oracles).
+
+    Sides are aliased so callers may pass change-sets DERIVED from the
+    same current-state frames (the normal incremental calling pattern)
+    without tripping Spark's ambiguous-self-join analysis."""
+    m, d = main.alias("__mv_m"), dim.alias("__mv_d")
+    joined = m.join(
+        d, F.col(f"__mv_m.{cfg.fk_col}") == F.col(f"__mv_d.{cfg.dim_pk}"), "left"
+    )
     return joined.select(
-        *[main[c] for c in cfg.main_cols], *[dim[c] for c in cfg.dim_cols]
+        *[F.col(f"__mv_m.{c}") for c in cfg.main_cols],
+        *[F.col(f"__mv_d.{c}") for c in cfg.dim_cols],
     )
 
 
@@ -100,8 +108,12 @@ def derive_view_changelog(
         *mk,
         *data_cols,
     )
+    # deleted mains = affected keys with no live row.  Anti-join against
+    # the batch-sized LIVE key set (already computed for the re-derive),
+    # not against the full main table — both sides are batch-sized, the
+    # build side broadcasts, and main is never scanned a second time.
     dels = (
-        affected.join(main_current.select(*mk), mk, "left_anti")
+        affected.join(F.broadcast(live.select(*mk)), mk, "left_anti")
         .select(
             F.lit(ordinal).cast("long").alias("ordinal"),
             F.lit("D").alias("op"),

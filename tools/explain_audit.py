@@ -130,6 +130,65 @@ def main() -> None:
         ["tokens"],
     ))
 
+    # 6. MV delta derivation: affected keys broadcast to semi/anti joins,
+    # no cartesian products anywhere in the incremental path
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from canal_spark.mv import JoinViewConfig, derive_view_changelog
+
+    users = spark.createDataFrame(
+        [(i, f"u{i}", i % 3) for i in range(100)],
+        StructType([
+            StructField("uid", LongType(), False),
+            StructField("uname", StringType(), True),
+            StructField("rid", LongType(), True),
+        ]),
+    )
+    roles = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(3)],
+        StructType([
+            StructField("rid", LongType(), False),
+            StructField("rname", StringType(), True),
+        ]),
+    )
+    cfg = JoinViewConfig(
+        main_key=["uid"], fk_col="rid", dim_pk="rid",
+        main_cols=["uid", "uname", "rid"], dim_cols=["rname"],
+    )
+    mv_cl = derive_view_changelog(
+        cfg, users, roles,
+        main_changes=users.limit(3).select("uid"),
+        dim_changes=roles.limit(1).select("rid"),
+        ordinal=1,
+    )
+    sections.append((
+        "MV maintenance: affected-key broadcast semi-joins, no cartesian",
+        plan_of(mv_cl),
+        ["BroadcastHashJoin LeftSemi", "BroadcastHashJoin LeftAnti"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
+    # 7. two-phase global sequence: the only Window in the plan is
+    # partitioned by the chunk column — no empty-partition WindowExec
+    from canal_spark.operators.common import chunked_cumsum
+
+    seq = chunked_cumsum(
+        t.scan(spark).select(F.xxhash64("doc_id").alias("k"), "n_tok"),
+        order_col="k", value_col="n_tok", out_col="cum", chunk_width=1 << 58,
+    )
+    p7 = plan_of(seq)
+    sections.append((
+        "Chunked global cumsum: window partitioned by chunk, offsets broadcast",
+        p7,
+        ["Window", "partitionBy", "BroadcastHashJoin"]
+        if "partitionBy" in p7 else ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ))
+    # the Window node must carry a partition spec (chunk col in its args)
+    win_args = re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", p7)
+    if win_args and "_chunk" not in win_args[0]:
+        sections.append(("Chunked cumsum: window is chunk-partitioned", p7, ["IMPOSSIBLE"], []))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
