@@ -88,3 +88,34 @@ def test_apply_then_maintenance_jobs(cli_table, tmp_path):
 
     phases = {r["phase"] for r in read_lineage(spark, lt(lineage)).collect()}
     assert {"merge", "compact", "cluster"} <= phases
+
+
+def test_spark_submit_honors_cluster_master(tmp_path):
+    """Deployment contract: under spark-submit, jobs/common.session must
+    NOT override the submit-supplied master with a local[*] fallback
+    (spark.master is already in the gateway conf; PYSPARK_GATEWAY_PORT
+    marks the managed JVM).  Submits a probe via the real spark-submit
+    with --master local[3] and asserts the session sees exactly that."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not installed")
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import argparse\n"
+        "from canal_spark.jobs.common import session\n"
+        "spark = session(argparse.Namespace(app_name=None), 'probe')\n"
+        "print('MASTER=' + spark.conf.get('spark.master'))\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    out = subprocess.run(
+        [spark_submit, "--master", "local[3]", str(probe)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    masters = [l for l in out.stdout.splitlines() if l.startswith("MASTER=")]
+    assert masters == ["MASTER=local[3]"]
