@@ -236,12 +236,30 @@ def cluster(
         doc_col=key_cols,
         source_col=dim_col,
     )
-    out = (
-        df.repartitionByRange(n_out, "_ckey")
-        .sortWithinPartitions("_ckey")
-        .drop("_ckey")
+    # Analytic range partitioning: the curve key is a bijection of two
+    # uniform hashes, so it is uniform on [0, 2^62) BY CONSTRUCTION —
+    # equal-width bins are equal-frequency bins, and the range
+    # boundaries are known without sampling.  repartitionByRange would
+    # run a sampling job that re-executes the whole scan + Arrow curve
+    # kernel a second time (measured: the sampling pass was ~half the
+    # clustering cost); the explicit bin column + one-file-per-bin
+    # writer path gets balanced, range-disjoint, internally-sorted
+    # files with a single pass over the data.
+    span = 1 << 62
+    width = span // n_out + (1 if span % n_out else 0)
+    out = df.withColumn(
+        "_zbin", F.floor(F.col("_ckey") / F.lit(width)).cast("long")
     )
-    new_entries = write_datafiles(spark, table, out, sort_order=tag)
+    new_entries = write_datafiles(
+        spark,
+        table,
+        out,
+        group_col="_zbin",
+        n_groups=n_out,
+        sort_within_by=["_ckey"],
+        drop_cols=["_ckey"],
+        sort_order=tag,
+    )
     snap = table.commit(
         added=new_entries,
         removed_paths=[e.path for e in victims],

@@ -1,5 +1,5 @@
-"""spark-submit job: one full maintenance pass (merge -> compact ->
-cluster -> expire), the adapter consume-loop analogue.
+"""spark-submit job: one full maintenance pass (merge -> cluster ->
+compact -> expire), the adapter consume-loop analogue.
 
   spark-submit --py-files canal_spark.zip canal_spark/jobs/run_pass.py \\
       /warehouse/tokens --changelog /staging/changelog --lineage /warehouse/_lineage

@@ -1,4 +1,4 @@
-"""The maintenance pass: merge -> compact -> cluster -> expire.
+"""The maintenance pass: merge -> cluster -> compact -> expire.
 
 The Spark restatement of the reference's adapter consume loop
 (client-adapter/launcher/.../CanalAdapterWorker.java:83-135 —
@@ -64,17 +64,14 @@ def run_pass(
                 files_rewritten=m.files_rewritten, bytes_shuffled=m.bytes_rewritten,
             )
 
-    c = _compact.compact(
-        spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
-    )
-    rep.compact = c.__dict__
-    if lineage and c.commits:
-        _ckpt.record(
-            spark, lineage, job_id, "compact",
-            snapshot_id=c.snapshot_ids[-1], files_rewritten=c.files_removed,
-            bytes_shuffled=c.bytes_compacted,
-        )
-
+    # Cluster BEFORE compacting: the incremental cluster pass rewrites
+    # every untagged file (exactly what merge just produced) into
+    # ~target-size, curve-ordered, range-disjoint files — so compacting
+    # those same files first would be a pure double rewrite (every byte
+    # written twice per pass, the dominant write-amplification cost at
+    # the 10^12-row design point).  Compaction afterwards is the
+    # residual pass: it coalesces whatever is still small (clustered
+    # remainders, tiny partitions), usually a no-op.
     if do_cluster:
         z = _cluster.cluster(
             spark, table, curve=curve, target_file_rows=target_file_rows,
@@ -92,6 +89,17 @@ def run_pass(
                 tightness_before=z.tightness_before.get("hash_range"),
                 tightness_after=z.tightness_after.get("hash_range"),
             )
+
+    c = _compact.compact(
+        spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
+    )
+    rep.compact = c.__dict__
+    if lineage and c.commits:
+        _ckpt.record(
+            spark, lineage, job_id, "compact",
+            snapshot_id=c.snapshot_ids[-1], files_rewritten=c.files_removed,
+            bytes_shuffled=c.bytes_compacted,
+        )
 
     e = table.expire_snapshots(keep_last=keep_snapshots)
     rep.expire = e

@@ -126,6 +126,7 @@ def write_datafiles(
     group_col: str | None = None,
     n_groups: int | None = None,
     sort_within_by: list[str] | None = None,
+    drop_cols: list[str] | None = None,
     sort_order: str | None = None,
 ) -> list[DataFile]:
     """Write ``df`` into fresh immutable data files; return manifest entries.
@@ -147,6 +148,10 @@ def write_datafiles(
         grouped = df.repartition(n, group_col)
         if sort_within_by:
             grouped = grouped.sortWithinPartitions(*sort_within_by)
+        if drop_cols:
+            # projection after the sort: row order survives, the sort
+            # key (e.g. a curve key) doesn't reach the files
+            grouped = grouped.drop(*drop_cols)
         (
             grouped.withColumnRenamed(group_col, GROUP_COL)
             .write.partitionBy(GROUP_COL)
@@ -155,6 +160,8 @@ def write_datafiles(
     else:
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
+        if drop_cols:
+            df = df.drop(*drop_cols)
         df.write.parquet(prefix)
 
     paths = _list_parquet(prefix)
