@@ -92,15 +92,23 @@ def main() -> None:
         ["Window"],  # the window variant would be a global sort, no partial agg
     ))
 
-    # 4. cluster key + range partition: one exchange, Arrow UDF evaluated once
+    # 4. cluster rewrite: Arrow UDF evaluated once, ONE hash exchange on
+    # the analytic bin column — no range-sampling job (the sampling pass
+    # would re-execute the scan + Arrow kernel a second time)
     df = with_cluster_key(t.scan(spark))
-    clustered = df.repartitionByRange(8, "_ckey").sortWithinPartitions("_ckey")
+    width = (1 << 62) // 8 + 1
+    clustered = (
+        df.withColumn("_zbin", F.floor(F.col("_ckey") / F.lit(width)).cast("long"))
+        .repartition(8, "_zbin")
+        .sortWithinPartitions("_ckey")
+        .drop("_ckey")
+    )
     p4 = plan_of(clustered)
     sections.append((
-        "Cluster rewrite: Arrow-batched Z-order key, single range exchange",
+        "Cluster rewrite: Arrow-batched Z-order key, analytic bins, one hash exchange",
         p4,
-        ["ArrowEvalPython", "rangepartitioning(_ckey"],
-        ["CartesianProduct"],
+        ["ArrowEvalPython", "hashpartitioning(_zbin"],
+        ["CartesianProduct", "rangepartitioning"],
     ))
     # the Arrow kernel must appear exactly once in the plan tree
     if len(re.findall(r"ArrowEvalPython \(\d+\)", p4)) != 1:
