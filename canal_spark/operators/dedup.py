@@ -289,47 +289,62 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {HAM_MAX}
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard for adjacent doc_id pairs (the blocking key;
-    at scale pairs come from LSH candidates instead)."""
+    """Exact word-set Jaccard VERIFICATION of the MinHash-LSH candidate
+    pairs — the verify stage of the dedup pipeline: LSH proposes,
+    Jaccard disposes (keep pairs >= 0.2).
+
+    Scale shape: candidate pairs (never all-pairs) drive the work; the
+    intersection is computed by joining the exploded distinct-word
+    frames through the pair list on (doc, word) — shuffle volume is
+    O(words of candidate docs), and set sizes come from one partial
+    aggregation."""
     docs = load(spark, sf_dir, "documents")
     wd = _words(docs).select("doc_id", F.explode("ws").alias("w")).distinct()
     sizes = wd.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = wd.alias("a")
-    b = wd.withColumn("doc_id", F.col("doc_id") - 1).alias("b")  # pair (d, d+1)
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
     inter = (
-        a.join(b, ["doc_id", "w"])
-        .groupBy("doc_id")
+        pairs.join(wd.select(F.col("doc_id").alias("doc_a"), "w"), "doc_a")
+        .join(wd.select(F.col("doc_id").alias("doc_b"), F.col("w")), ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sz").alias("szb"))
     out = (
-        inter.join(sa, "doc_id")
-        .join(sb, "doc_id")
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
         .select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + 1).alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(
-                F.col("inter") / (F.col("sz") + F.col("szb") - F.col("inter")), 6
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
             ).alias("jaccard"),
         )
     )
     return out.where("jaccard >= 0.2")
 
 
-SQL_NGRAM_JACCARD = """
-WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents),
+SQL_NGRAM_JACCARD = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents),
 sz AS (SELECT doc_id, count(*) AS sz FROM wd GROUP BY doc_id),
-inter AS (SELECT a.doc_id, count(*) AS inter
-          FROM wd a JOIN wd b ON b.doc_id = a.doc_id + 1 AND b.w = a.w
-          GROUP BY a.doc_id)
-SELECT i.doc_id AS doc_a, i.doc_id + 1 AS doc_b,
-       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter
+  FROM pairs p
+  JOIN wd wa ON wa.doc_id = p.doc_a
+  JOIN wd wb ON wb.doc_id = p.doc_b AND wb.w = wa.w
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i
-JOIN sz sa ON sa.doc_id = i.doc_id
-JOIN sz sb ON sb.doc_id = i.doc_id + 1
-WHERE round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) >= 0.2
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) >= 0.2
 """
 
 
