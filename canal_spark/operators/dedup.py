@@ -410,6 +410,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(20):  # >= diameter of any LSH component in practice
         prop = (
             edges.join(labels, edges["doc_a"] == labels["doc"])
@@ -424,14 +425,14 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "_old"), "doc")
-            .where(F.col("lbl") != F.col("_old"))
-            .count()
-        )
+        # labels only ever decrease, so sum(lbl) is a monotone
+        # convergence witness — one cheap agg on the checkpointed
+        # frame instead of a join-and-count per round
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("group_id")
