@@ -226,29 +226,53 @@ def cluster(
             tightness_before=before, tightness_after=before, job_id=job_id,
         )
 
-    total_rows = sum(e.rows for e in victims)
-    n_out = max(1, -(-total_rows // target_file_rows))
     key_cols = table.key_cols
-    dim_col = table.partition_by[0] if table.partition_by else key_cols[0]
-    df = with_cluster_key(
-        table.read_files(spark, victims),
-        curve=curve,
-        doc_col=key_cols,
-        source_col=dim_col,
-    )
-    # Analytic range partitioning: the curve key is a bijection of two
-    # uniform hashes, so it is uniform on [0, 2^62) BY CONSTRUCTION —
-    # equal-width bins are equal-frequency bins, and the range
-    # boundaries are known without sampling.  repartitionByRange would
-    # run a sampling job that re-executes the whole scan + Arrow curve
-    # kernel a second time (measured: the sampling pass was ~half the
-    # clustering cost); the explicit bin column + one-file-per-bin
-    # writer path gets balanced, range-disjoint, internally-sorted
-    # files with a single pass over the data.
+    dim_col = table.partition_by[0] if table.partition_by else None
+    raw = table.read_files(spark, victims)
+
+    # Analytic range partitioning, no sampling job.  The curve key as a
+    # whole is NOT uniform (the source dim is low-cardinality), but the
+    # key-hash dim IS uniform on [0, 2^62) by construction — so bins are
+    # computed per PARTITION STRATUM: per-stratum row counts come from
+    # one cheap column-pruned agg (no curve kernel), each stratum gets
+    # ceil(rows/target) equal-width slices of the uniform key hash, and
+    # the one-file-per-bin writer emits balanced (binomial spread only),
+    # source-homogeneous, internally-curve-sorted files in a single
+    # data pass.  repartitionByRange would instead run a sampling job
+    # re-executing the whole scan + Arrow kernel a second time.
+    # Stratum-homogeneous files also keep manifest partition inference
+    # (min == max) working, so partition-filtered scans prune.
     span = 1 << 62
-    width = span // n_out + (1 if span % n_out else 0)
-    out = df.withColumn(
-        "_zbin", F.floor(F.col("_ckey") / F.lit(width)).cast("long")
+    b_hash = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(span))
+    if dim_col is not None:
+        strat = F.coalesce(F.col(dim_col).cast("string"), F.lit("\x00null"))
+        counts = {
+            r["_s"]: r["count"]
+            for r in raw.groupBy(strat.alias("_s")).count().collect()
+        }
+    else:
+        counts = {"": sum(e.rows for e in victims)}
+        strat = F.lit("")
+    offsets, off = [], 0
+    for s in sorted(counts):
+        n_s = max(1, -(-counts[s] // target_file_rows))
+        offsets.append((s, off, span // n_s + (1 if span % n_s else 0)))
+        off += n_s
+    n_out = off
+    bin_map = F.broadcast(
+        spark.createDataFrame(offsets, ["_s", "_boff", "_bwidth"])
+    )
+    df = with_cluster_key(
+        raw, curve=curve, doc_col=key_cols,
+        source_col=dim_col if dim_col is not None else key_cols[0],
+    )
+    out = (
+        df.withColumn("_s", strat)
+        .join(bin_map, "_s")
+        .withColumn(
+            "_zbin",
+            (F.col("_boff") + F.floor(b_hash / F.col("_bwidth"))).cast("long"),
+        )
     )
     new_entries = write_datafiles(
         spark,
@@ -257,7 +281,7 @@ def cluster(
         group_col="_zbin",
         n_groups=n_out,
         sort_within_by=["_ckey"],
-        drop_cols=["_ckey"],
+        drop_cols=["_ckey", "_s", "_boff", "_bwidth"],
         sort_order=tag,
     )
     snap = table.commit(

@@ -73,6 +73,11 @@ def test_cluster_rewrite_scan_equal_and_tighter(spark, token_table, curve):
     assert (
         res.tightness_after["hash_range"] < res.tightness_before["hash_range"]
     ), (res.tightness_before, res.tightness_after)
+    # analytic equal-width bins on a hash-uniform key must yield
+    # balanced files without any sampling pass (binomial spread only)
+    sizes = [e.rows for e in t.files()]
+    if len(sizes) >= 3:
+        assert max(sizes) <= 3 * min(sizes), sizes
 
 
 def test_cluster_improves_source_locality(spark, token_table):
