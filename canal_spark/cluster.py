@@ -232,9 +232,9 @@ def cluster(
 
     # Analytic range partitioning, no sampling job.  The curve key as a
     # whole is NOT uniform (the source dim is low-cardinality), but the
-    # key-hash dim IS uniform on [0, 2^62) by construction — so bins are
-    # computed per PARTITION STRATUM: per-stratum row counts come from
-    # one cheap column-pruned agg (no curve kernel), each stratum gets
+    # key-hash dim IS uniform by construction — so bins are computed per
+    # PARTITION STRATUM: per-stratum row counts come from one cheap
+    # column-pruned agg (no curve kernel), each stratum gets
     # ceil(rows/target) equal-width slices of the uniform key hash, and
     # the one-file-per-bin writer emits balanced (binomial spread only),
     # source-homogeneous, internally-curve-sorted files in a single
@@ -242,8 +242,17 @@ def cluster(
     # re-executing the whole scan + Arrow kernel a second time.
     # Stratum-homogeneous files also keep manifest partition inference
     # (min == max) working, so partition-filtered scans prune.
-    span = 1 << 62
-    b_hash = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(span))
+    #
+    # CRITICAL: the bin domain must be the SAME top-31-bit value the
+    # curve kernel sorts by (``hash >> 33``, with_cluster_key above) —
+    # within a stratum the Morton key is monotone in that value, so
+    # equal-width slices of [0, 2^31) produce ckey-contiguous, DISJOINT
+    # files whose per-file hash min/max width is ~1/bins of full range.
+    # (Binning ``pmod(hash, 2^62)`` instead would drop the top 2 hash
+    # bits and mix all four top-bit quadrants into every bin, leaving
+    # per-file hash ranges ~0.77 of full range — useless for pruning.)
+    span = 1 << 31
+    b_hash = F.shiftrightunsigned(F.xxhash64(*[F.col(c) for c in key_cols]), 33)
     if dim_col is not None:
         strat = F.coalesce(F.col(dim_col).cast("string"), F.lit("\x00null"))
         counts = {
@@ -268,10 +277,14 @@ def cluster(
     )
     out = (
         df.withColumn("_s", strat)
+        .withColumn("_bh", b_hash)
         .join(bin_map, "_s")
+        # integer division: double-precision F.floor(a/b) can misround
+        # at power-of-two boundaries and spill rows into the next
+        # stratum's bin, breaking min==max partition inference
         .withColumn(
             "_zbin",
-            (F.col("_boff") + F.floor(b_hash / F.col("_bwidth"))).cast("long"),
+            (F.col("_boff") + F.expr("_bh DIV _bwidth")).cast("long"),
         )
     )
     new_entries = write_datafiles(
@@ -281,7 +294,7 @@ def cluster(
         group_col="_zbin",
         n_groups=n_out,
         sort_within_by=["_ckey"],
-        drop_cols=["_ckey", "_s", "_boff", "_bwidth"],
+        drop_cols=["_ckey", "_s", "_bh", "_boff", "_bwidth"],
         sort_order=tag,
     )
     snap = table.commit(

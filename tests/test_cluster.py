@@ -73,11 +73,47 @@ def test_cluster_rewrite_scan_equal_and_tighter(spark, token_table, curve):
     assert (
         res.tightness_after["hash_range"] < res.tightness_before["hash_range"]
     ), (res.tightness_before, res.tightness_after)
+    # quantitative bound: bins are equal-width slices of the SAME
+    # top-31-bit domain the curve sorts by, so per-file hash range is
+    # ~1/bins-per-stratum (1200 rows / 4 sources / 200 target = 2 bins
+    # per stratum -> ~0.5), never the ~0.77 a wrong-domain bin yields
+    assert res.tightness_after["hash_range"] <= 0.6, res.tightness_after
     # analytic equal-width bins on a hash-uniform key must yield
     # balanced files without any sampling pass (binomial spread only)
     sizes = [e.rows for e in t.files()]
     if len(sizes) >= 3:
         assert max(sizes) <= 3 * min(sizes), sizes
+
+
+def test_cluster_bins_are_disjoint_and_tight(spark, token_table):
+    """Files within a stratum cover disjoint, contiguous slices of the
+    hash dimension; per-file normalized range ~ 1/bins-per-stratum."""
+    t, _ = token_table
+    res = cluster(spark, t, curve="zorder", target_file_rows=40)
+    # 1200 rows / 4 sources = ~300 rows/stratum -> ~8 bins/stratum;
+    # expected per-file hash range ~1/8 = 0.125 (+binomial edge noise)
+    assert res.tightness_after["hash_range"] < 0.2, res.tightness_after
+    # disjointness: per-file (source, hash) intervals must not overlap
+    from pyspark.sql import functions as F
+
+    per_file = (
+        t.read_files(spark, t.files(), with_file_path="fp")
+        .select(
+            "fp",
+            "source",
+            F.shiftrightunsigned(F.xxhash64("doc_id"), 33).alias("bh"),
+        )
+        .groupBy("fp", "source")
+        .agg(F.min("bh").alias("mn"), F.max("bh").alias("mx"))
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in per_file:
+        by_src.setdefault(r["source"], []).append((r["mn"], r["mx"]))
+    for src, spans in by_src.items():
+        spans.sort()
+        for (m1, x1), (m2, _x2) in zip(spans, spans[1:]):
+            assert x1 < m2, (src, spans)
 
 
 def test_cluster_improves_source_locality(spark, token_table):
