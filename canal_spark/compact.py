@@ -91,14 +91,31 @@ def plan_bins(
     return bins
 
 
-def token_weights(spark: SparkSession, table: Table, entries: list[DataFile]) -> dict[str, int]:
-    """Exact sum(n_tok) per file — a column-pruned scan of only n_tok
-    (Parquet reads one column; tokens never leave disk)."""
+def token_weights(
+    spark: SparkSession,
+    table: Table,
+    entries: list[DataFile],
+    weight_col: str = "n_tok",
+) -> dict[str, int]:
+    """Exact sum(weight_col) per file — a column-pruned scan of only the
+    weight column (Parquet reads one column; tokens never leave disk).
+
+    The weight column is resolved against the table's CURRENT schema:
+    after ``evolve_schema(rename=[("n_tok", ...)])`` the old name no
+    longer exists and packing by it must fail loudly, not with an
+    AnalysisException deep inside the select."""
+    names = table.spark_schema().fieldNames()
+    if weight_col not in names:
+        raise ValueError(
+            f"pack_by weight column {weight_col!r} not in the table's current "
+            f"schema {names} — if the column was renamed via evolve_schema, "
+            "pass its current name"
+        )
     rows = (
         table.read_files(spark, entries, with_file_path="fp")
-        .select("fp", "n_tok")
+        .select("fp", weight_col)
         .groupBy("fp")
-        .agg(F.sum("n_tok").alias("w"))
+        .agg(F.sum(weight_col).alias("w"))
         .collect()
     )
     import os
@@ -112,18 +129,23 @@ def compact(
     table: Table,
     target_bytes: int = TARGET_FILE_BYTES,
     small_file_bytes: int | None = None,
-    pack_by: str = "bytes",  # "bytes" | "n_tok"
+    pack_by: str = "bytes",  # "bytes" | a weight column name (e.g. "n_tok")
     tokens_per_target: int | None = None,
     max_bins_per_commit: int = 64,
     job_id: str | None = None,
 ) -> CompactionResult:
-    """Rewrite small files into ~target-size files; scan-equivalent."""
+    """Rewrite small files into ~target-size files; scan-equivalent.
+
+    ``pack_by`` is either ``"bytes"`` or the name of a numeric column in
+    the table's *current* schema whose per-file sum becomes the bin
+    budget (validated in :func:`token_weights` — survives renames as
+    long as the caller passes the current name)."""
     job_id = job_id or uuid.uuid4().hex[:12]
     entries = table.files()
-    if pack_by == "n_tok":
+    if pack_by != "bytes":
         small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
         victims = [e for e in entries if e.bytes < small]
-        weights = token_weights(spark, table, victims)
+        weights = token_weights(spark, table, victims, weight_col=pack_by)
         tgt_w = tokens_per_target or target_bytes // 4  # ~4 B/token
         bins = plan_bins(
             entries, target_bytes, small_file_bytes, weights=weights, target_weight=tgt_w

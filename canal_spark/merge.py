@@ -47,6 +47,12 @@ from canal_spark.table.writer import write_datafiles
 
 CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
 GTID_KEY = "merge-gtid-set"  # {stream_id: ordinal} for multi-stream sources
+# Null stream_id rows checkpoint under this sentinel stream.  Without
+# it, a null key JSON-serializes as the string "null" in the stored
+# gtid-set while gmap[null] yields null -> coalesce -> 0 on the filter
+# side, so null-stream rows would NEVER be filtered by their checkpoint
+# and a stale redelivery could re-apply old values over newer state.
+NULL_STREAM = "\x00null-stream"
 # retained for back-compat with callers that import it; merge_into itself
 # derives data columns from the target table's schema
 DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
@@ -199,6 +205,7 @@ def merge_into(
     # each stream's rows filter against ITS mark (unseen streams start
     # at 0), so interleaved multi-master sequences resume independently.
     has_streams = "stream_id" in changes.columns
+    stream_key = F.coalesce(F.col("stream_id"), F.lit(NULL_STREAM))
     if has_streams:
         gset = merge_gtid_set(table)
         if gset:
@@ -206,7 +213,7 @@ def merge_into(
                 *[x for k, v in sorted(gset.items()) for x in (F.lit(k), F.lit(v))]
             )
             stream_hwm = F.coalesce(
-                gmap[F.col("stream_id")], F.lit(0).cast("long")
+                gmap[stream_key], F.lit(0).cast("long")
             )
         else:
             stream_hwm = F.lit(0).cast("long")
@@ -290,7 +297,7 @@ def merge_into(
         if has_streams:
             # per-stream ack points (bounded by stream count)
             new_gset = dict(merge_gtid_set(table))
-            for r in slice_df.groupBy("stream_id").agg(
+            for r in slice_df.groupBy(stream_key.alias("stream_id")).agg(
                 F.max("ordinal").alias("mo")
             ).collect():
                 sid = r["stream_id"]

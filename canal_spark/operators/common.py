@@ -41,7 +41,13 @@ def _broadcast_prefix_offsets(spark, totals: DataFrame, zero):
     """
     from pyspark.sql.types import StructField, StructType
 
-    rows = sorted(totals.collect(), key=lambda r: r["_chunk"])
+    # nulls-first sort key: a null chunk (e.g. chunked_row_number over a
+    # null ts -> to_date null) must sort FIRST, matching the
+    # single-partition window's nulls-first order this pattern replaces;
+    # a bare key=r["_chunk"] would raise TypeError (None vs date).
+    # groupBy guarantees at most one null-chunk row, so the tuple's
+    # second element never compares None against None.
+    rows = sorted(totals.collect(), key=lambda r: (r["_chunk"] is not None, r["_chunk"]))
     acc, out = zero, []
     for r in rows:
         out.append((r["_chunk"], acc))
@@ -86,8 +92,11 @@ def chunked_cumsum(
     d = d.withColumn("_loc", F.sum(value).over(w_local))
     totals = d.groupBy("_chunk").agg(F.sum(value).alias("_tot"))
     offs = _broadcast_prefix_offsets(spark, totals, 0)
+    # null-safe join: a plain equi-join on a null chunk silently DROPS
+    # those rows (null != null), where the window this replaces kept them
     return (
-        d.join(offs, "_chunk")
+        d.join(offs, d["_chunk"].eqNullSafe(offs["_chunk"]))
+        .drop(offs["_chunk"])
         .withColumn(out_col, F.col("_loc") + F.col("_off"))
         .drop("_chunk", "_loc", "_off")
     )
@@ -115,8 +124,10 @@ def chunked_row_number(
     d = d.withColumn("_loc", F.row_number().over(w_local).cast("long"))
     totals = d.groupBy("_chunk").agg(F.count("*").alias("_tot"))
     offs = _broadcast_prefix_offsets(spark, totals, 0)
+    # null-safe join: see chunked_cumsum — null chunks must not vanish
     return (
-        d.join(offs, "_chunk")
+        d.join(offs, d["_chunk"].eqNullSafe(offs["_chunk"]))
+        .drop(offs["_chunk"])
         .withColumn(out_col, F.col("_loc") + F.col("_off"))
         .drop("_chunk", "_loc", "_off")
     )

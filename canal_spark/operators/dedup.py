@@ -382,6 +382,8 @@ SELECT doc_id, md5({_fp_concat}) AS fingerprint FROM mins
 
 # --- near-dup group assignment (connected components) -----------------------
 
+MAX_CC_ROUNDS = 50  # >= diameter of any LSH component in practice
+
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate graph: every
@@ -403,27 +405,35 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).persist()
-    labels = (
+
+    # Plan truncation per round: the iterative lineage grows
+    # multiplicatively and the driver dies building the plan, not
+    # running it.  With a RELIABLE checkpoint dir configured
+    # (sc.setCheckpointDir) the rounds checkpoint to durable storage —
+    # executor loss at 10^9-edge scale recovers from the last round;
+    # localCheckpoint (the local[?] default) truncates the plan but
+    # blocks lineage recovery, fine in-sandbox only.
+    sc = spark.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    labels = _ckpt(
         edges.select(F.col("doc_a").alias("doc"))
         .distinct()
         .withColumn("lbl", F.col("doc"))
-        .persist()
     )
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = None
-    for _ in range(20):  # >= diameter of any LSH component in practice
+    prev_sum, converged = None, False
+    for _ in range(MAX_CC_ROUNDS):
         prop = (
             edges.join(labels, edges["doc_a"] == labels["doc"])
             .select(F.col("doc_b").alias("doc"), "lbl")
         )
-        # localCheckpoint TRUNCATES the logical plan each round —
-        # without it the iterative lineage grows multiplicatively and
-        # the driver dies building the plan, not running it
-        new_labels = (
+        new_labels = _ckpt(
             labels.unionByName(prop)
             .groupBy("doc")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so sum(lbl) is a monotone
         # convergence witness — one cheap agg on the checkpointed
@@ -431,9 +441,17 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # a component with diameter > MAX_CC_ROUNDS (chained templated
+        # near-dups) would otherwise return silently WRONG group labels
+        raise RuntimeError(
+            f"dedup_groups label propagation did not converge in "
+            f"{MAX_CC_ROUNDS} rounds — raise MAX_CC_ROUNDS for this graph"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("group_id")
     )
@@ -497,8 +515,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "h"
     )
     train = grams.where(F.col("doc_id") % 97 != 0)
+    # No forced broadcast hint: the bench side is corpus-derived here
+    # and a real held-out suite's distinct-shingle frame can exceed
+    # broadcast limits — AQE picks broadcast when the side is actually
+    # small (it is at every test SF) and falls back to a shuffled hash
+    # join (benign: the join key is the shingle hash, uniform) when not.
     return (
-        train.join(F.broadcast(bench), "h")
+        train.join(bench, "h")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("h").alias("n_shared_shingles"),

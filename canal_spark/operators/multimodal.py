@@ -45,40 +45,73 @@ def with_payload(df: DataFrame) -> DataFrame:
     )
 
 
+def _byte_val(col: str, i: int):
+    """Value of 1-based byte ``i`` of a binary column, 0 past the end —
+    pure JVM (substring on binary -> hex -> base-16 parse)."""
+    return F.coalesce(
+        F.conv(F.hex(F.expr(f"substring({col}, {i}, 1)")), 16, 10).cast("int"),
+        F.lit(0),
+    )
+
+
 def q_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas over binary payloads: parse the fake 2-byte header
-    into (width, height), plus size and a positional checksum.  This is
-    the exact batch shape a real decoder plugs into."""
+    """Media metadata, entirely JVM-side: `n_bytes` is `length(payload)`,
+    the fake 2-byte header parse is substring/hex arithmetic, and the
+    checksum is the 60-bit md5 (`F.md5` accepts binary) — zero Python in
+    the hot path, whole-stage codegen end to end.  A REAL codec (JPEG
+    dims etc.) cannot be expressed in JVM exprs; that path goes through
+    :func:`decode_media`, the mapInPandas plug-point with this exact
+    output schema."""
+    docs = with_payload(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        (_byte_val("payload", 1) + 128).alias("width"),
+        (_byte_val("payload", 2) + 128).alias("height"),
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def decode_media(df: DataFrame, decode_batch=None, schema: str = MEDIA_SCHEMA) -> DataFrame:
+    """Codec plug-point: one Arrow-batched mapInPandas pass with the
+    canonical (doc_id, media_type, payload) -> MEDIA_SCHEMA signature.
+    ``decode_batch`` is an iterator-of-pandas-DataFrames transform; the
+    default fake parses the 2-byte header with pandas' vectorized str
+    accessor on the bytes objects (no Python lambda per row) so the
+    plug-point itself demonstrates the batch-vectorized shape a real
+    decoder (PIL/libjpeg via numpy frombuffer) should use."""
+    import numpy as np
     import pandas as pd
 
-    docs = with_payload(load(spark, sf_dir, "documents"))
-
-    def _decode_batch(batches):
+    def _fake_decode(batches):
         import hashlib
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            # fake header: byte0 -> width, byte1 -> height (128 + code)
-            width = payloads.map(lambda b: (b[0] if len(b) > 0 else 0) + 128)
-            height = payloads.map(lambda b: (b[1] if len(b) > 1 else 0) + 128)
-            # content checksum: 60-bit md5 (cross-engine-checkable)
-            checksum = payloads.map(
-                lambda b: int(hashlib.md5(b).hexdigest()[:15], 16)
+            p = pdf["payload"]
+            nb = p.str.len().fillna(0).astype("int64")
+            b0 = p.str[0:1].map(lambda b: b[0] if b else 0).astype("int32")
+            b1 = p.str[1:2].map(lambda b: b[0] if b else 0).astype("int32")
+            ck = np.fromiter(
+                (int(hashlib.md5(b).hexdigest()[:15], 16) for b in p),
+                dtype=np.int64,
+                count=len(p),
             )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": width.astype("int32"),
-                    "height": height.astype("int32"),
-                    "checksum": checksum.astype("int64"),
+                    "n_bytes": nb,
+                    "width": b0 + 128,
+                    "height": b1 + 128,
+                    "checksum": ck,
                 }
             )
 
-    return docs.select("doc_id", "media_type", "payload").mapInPandas(
-        _decode_batch, MEDIA_SCHEMA
+    return df.select("doc_id", "media_type", "payload").mapInPandas(
+        decode_batch or _fake_decode, schema
     )
 
 

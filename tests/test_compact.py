@@ -85,3 +85,23 @@ def test_compact_by_token_budget(spark, tmp_table_root):
             .collect()
         )
         assert sums  # smoke: table intact per partition
+
+
+def test_compact_pack_by_after_rename_validates_and_works(spark, tmp_table_root):
+    """pack_by resolves against the CURRENT schema: the old name fails
+    loudly after a rename; the new name packs fine (era-aware read)."""
+    import pytest
+
+    t = _fragmented(spark, tmp_table_root)
+    before = scan_dict(spark, t)
+    t.evolve_schema(rename=[("n_tok", "tok_len")])
+    with pytest.raises(ValueError, match="n_tok"):
+        compact(spark, t, target_bytes=1 << 20, pack_by="n_tok",
+                tokens_per_target=40_000)
+    res = compact(spark, t, target_bytes=1 << 20, pack_by="tok_len",
+                  tokens_per_target=40_000)
+    assert res.bins_written >= 1
+    # scan intact modulo the rename (scan_dict expects the old name)
+    rows = t.scan(spark).collect()
+    assert len(rows) == len(before)
+    assert "tok_len" in rows[0].asDict()

@@ -115,3 +115,23 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
     ivf = {r["q_id"]: r["n_id"] for r in q_embed_ivf_topk(spark, sf).collect()}
     recall = sum(1 for q in brute if ivf.get(q) == brute[q]) / len(brute)
     assert recall >= 0.3
+
+
+def test_dedup_groups_reliable_checkpoint_same_labels(spark, tmp_path):
+    """With a reliable checkpoint dir configured the CC loop switches
+    from localCheckpoint (plan truncation only) to DataFrame.checkpoint
+    (lineage-recoverable) — labels must be identical either way."""
+    from canal_spark.operators.dedup import q_dedup_groups
+
+    sf = "/root/testdata/sf0.001"
+    base = {r["doc_id"]: r["group_id"] for r in q_dedup_groups(spark, sf).collect()}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel = {r["doc_id"]: r["group_id"] for r in q_dedup_groups(spark, sf).collect()}
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert rel == base
+    import os
+    assert os.listdir(str(tmp_path / "ckpt"))  # checkpoints actually written

@@ -43,3 +43,21 @@ def test_payload_is_byte_exact(spark):
     docs = with_payload(load(spark, "/root/testdata/sf0.001", "documents"))
     bad = docs.where(F.decode("payload", "UTF-8") != F.col("text")).count()
     assert bad == 0
+
+
+def test_decode_media_plug_point_matches_jvm_path(spark):
+    """The mapInPandas codec plug-point (default fake decode) must agree
+    exactly with the vectorized JVM metadata path — a real codec swaps
+    in with the same signature and inherits tested plumbing."""
+    from canal_spark.operators.multimodal import (
+        decode_media,
+        q_media_meta_extract,
+        with_payload,
+    )
+    from canal_spark.operators.common import load
+
+    sf = "/root/testdata/sf0.001"
+    jvm = {r["doc_id"]: r.asDict() for r in q_media_meta_extract(spark, sf).collect()}
+    docs = with_payload(load(spark, sf, "documents"))
+    plug = {r["doc_id"]: r.asDict() for r in decode_media(docs).collect()}
+    assert plug == jvm

@@ -56,6 +56,51 @@ def test_gtid_two_stream_resume(spark, token_table):
     # full replay of both batches: per-stream marks filter everything
     res3 = merge_into(spark, t, spark.createDataFrame(b1 + b2, schema))
     assert not res3.applied
+
+
+def test_gtid_null_stream_id_checkpoints_and_filters(spark, token_table):
+    """A null stream_id must checkpoint under a sentinel stream and be
+    filtered by it on replay — not silently re-applied.  (JSON turns a
+    None key into the string \"null\" while gmap[null] -> null -> 0 on
+    the filter side, so without normalization a stale redelivery of
+    null-stream rows overwrites newer state.)"""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.merge import NULL_STREAM, merge_gtid_set, merge_into
+
+    t, base = token_table
+    E = dt.datetime(2026, 1, 1)
+
+    def mk(stream, ordinal, key, toks):
+        return (ordinal, "U", key, toks, len(toks), key.split(":")[0], E, 1,
+                None, None, stream)
+
+    ks = [r[0] for r in base[:3]]
+    schema = changelog_df(spark, []).withColumn(
+        "stream_id", F.lit(None).cast("string")  # nullable stream_id
+    ).schema
+
+    # batch 1: named stream A + a NULL stream
+    b1 = [mk("A", 1, ks[0], [1]), mk(None, 1, ks[1], [2]),
+          mk(None, 2, ks[2], [3])]
+    assert merge_into(spark, t, spark.createDataFrame(b1, schema)).applied
+    assert merge_gtid_set(t) == {"A": 1, NULL_STREAM: 2}
+
+    # newer null-stream write...
+    b2 = [mk(None, 3, ks[1], [22])]
+    assert merge_into(spark, t, spark.createDataFrame(b2, schema)).applied
+
+    # ...then a stale redelivery of the ORIGINAL null-stream rows: must
+    # be a no-op (filtered by the sentinel stream's mark), never an
+    # overwrite of the newer value
+    res = merge_into(spark, t, spark.createDataFrame(b1, schema))
+    assert not res.applied
+    got = {r["doc_id"]: list(r["tokens"]) for r in t.scan(spark)
+           .where(F.col("doc_id").isin(ks)).collect()}
+    assert got[ks[1]] == [22]
+    assert merge_gtid_set(t) == {"A": 1, NULL_STREAM: 3}
 from canal_spark.maintenance import run_pass
 from canal_spark.merge import merge_into, merge_high_water_mark
 from canal_spark.table.writer import write_datafiles
