@@ -124,6 +124,193 @@ def derive_view_changelog(
     return ups.unionByName(dels)
 
 
+# --------------------------------------------------------------------------
+# N-dimension star views + one-to-many child aggregation
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class DimJoin:
+    """One dimension of a star view: LEFT JOIN dim ON m.<fk_col> =
+    d.<dim_pk>.  A list of these is the multi-table equi-join form the
+    reference's SqlParser accepts (es/config/SqlParser.java:40-66
+    parses N joined tables into per-table field lists)."""
+
+    fk_col: str  # FK column on the main table
+    dim_pk: str  # PK column on this dimension
+    dim_cols: list[str]  # view columns taken from this dimension
+
+
+@dataclass
+class ChildAgg:
+    """One-to-many child table collapsed into the view row — the
+    subquery form of the reference's ES views
+    (LabelSyncJoinSubTest.java: labels group-concat per user;
+    ESSyncService.java:579-650 re-runs the subquery for affected main
+    keys on any child change).  ``agg`` maps view column -> SQL
+    aggregate expression over the child frame, e.g.
+    ``{"labels": "sort_array(collect_list(label))"}``."""
+
+    child_fk: str  # column on the child referencing the main key
+    agg: dict[str, str]  # out_col -> aggregate SQL over child rows
+
+
+@dataclass
+class StarViewConfig:
+    """SELECT m.<main_cols>, d1.<...>, ..., child-agg cols
+    FROM main m LEFT JOIN dim_i ... LEFT JOIN (child subquery) —
+    the declared (not parsed) superset of :class:`JoinViewConfig`."""
+
+    main_key: list[str]  # view pk == main-table pk (single col if child used)
+    main_cols: list[str]  # must cover keys + every fk
+    dims: list[DimJoin]
+    child: ChildAgg | None = None
+
+
+def _child_agg_frame(cfg: StarViewConfig, child: DataFrame) -> DataFrame:
+    c = cfg.child
+    return child.groupBy(F.col(c.child_fk).alias("__mv_ck")).agg(
+        *[F.expr(e).alias(name) for name, e in c.agg.items()]
+    )
+
+
+def star_view_select(
+    cfg: StarViewConfig,
+    main: DataFrame,
+    dims: list[DataFrame],
+    child: DataFrame | None = None,
+) -> DataFrame:
+    """The star-view definition (initial load / recompute oracle)."""
+    if len(dims) != len(cfg.dims):
+        raise ValueError(f"expected {len(cfg.dims)} dim frames, got {len(dims)}")
+    m = main.alias("__mv_m")
+    out_cols = [F.col(f"__mv_m.{c}") for c in cfg.main_cols]
+    joined = m
+    for i, (dj, d) in enumerate(zip(cfg.dims, dims)):
+        a = f"__mv_d{i}"
+        joined = joined.join(
+            d.alias(a),
+            F.col(f"__mv_m.{dj.fk_col}") == F.col(f"{a}.{dj.dim_pk}"),
+            "left",
+        )
+        out_cols += [F.col(f"{a}.{c}") for c in dj.dim_cols]
+    if cfg.child is not None:
+        if child is None:
+            raise ValueError("config declares a child table; none passed")
+        if len(cfg.main_key) != 1:
+            raise ValueError("child aggregation requires a single-column main key")
+        agg = _child_agg_frame(cfg, child)
+        joined = joined.join(
+            agg,
+            F.col(f"__mv_m.{cfg.main_key[0]}") == agg["__mv_ck"],
+            "left",
+        )
+        out_cols += [F.col(c) for c in cfg.child.agg]
+    return joined.select(*out_cols)
+
+
+def derive_star_view_changelog(
+    cfg: StarViewConfig,
+    main_current: DataFrame,
+    dim_currents: list[DataFrame],
+    ordinal: int,
+    main_changes: DataFrame | None = None,
+    dim_changes: list[DataFrame | None] | None = None,
+    child_current: DataFrame | None = None,
+    child_changes: DataFrame | None = None,
+) -> DataFrame:
+    """Changelog of view rows invalidated by one batch of changes across
+    main, any subset of dimensions, and the child table.
+
+    affected = keys(main_changes)
+             ∪ (per changed dim i) keys(main ⋉ changed dim-pks)
+             ∪ distinct child_fk of child_changes          -- subquery path
+    then re-derive ONLY those rows from current state; deletes are
+    affected keys with no live main row.  Every affected-key frame is
+    batch-sized by CDC contract -> broadcast semi-joins; the re-derive
+    joins run over the affected subset only, never the full view.
+    """
+    mk = cfg.main_key
+    parts = []
+    if main_changes is not None:
+        parts.append(main_changes.select(*mk))
+    for i, dch in enumerate(dim_changes or []):
+        if dch is None:
+            continue
+        dj = cfg.dims[i]
+        keys = dch.select(dj.dim_pk).distinct()
+        parts.append(
+            main_current.join(
+                F.broadcast(keys),
+                main_current[dj.fk_col] == keys[dj.dim_pk],
+                "leftsemi",
+            ).select(*mk)
+        )
+    if child_changes is not None:
+        if cfg.child is None:
+            raise ValueError("child_changes passed but config has no child")
+        # child-side change: the affected main keys are right on the
+        # child rows (ESSyncService re-runs the subquery per main key)
+        parts.append(
+            child_changes.select(
+                F.col(cfg.child.child_fk).alias(mk[0])
+            ).distinct()
+        )
+    if not parts:
+        raise ValueError("at least one changes frame required")
+    affected = parts[0]
+    for p in parts[1:]:
+        affected = affected.unionByName(p)
+    affected = affected.distinct()
+
+    live = main_current.join(F.broadcast(affected), mk, "leftsemi")
+    after = star_view_select(cfg, live, dim_currents, child_current)
+    data_cols = [c for c in after.columns if c not in mk]
+    ups = after.select(
+        F.lit(ordinal).cast("long").alias("ordinal"),
+        F.lit("U").alias("op"),
+        *mk,
+        *data_cols,
+    )
+    dels = affected.join(F.broadcast(live.select(*mk)), mk, "left_anti").select(
+        F.lit(ordinal).cast("long").alias("ordinal"),
+        F.lit("D").alias("op"),
+        *mk,
+        *[F.lit(None).cast(dict(after.dtypes)[c]).alias(c) for c in data_cols],
+    )
+    return ups.unionByName(dels)
+
+
+def maintain_star_view(
+    spark: SparkSession,
+    view: Table,
+    cfg: StarViewConfig,
+    main_current: DataFrame,
+    dim_currents: list[DataFrame],
+    main_changes: DataFrame | None = None,
+    dim_changes: list[DataFrame | None] | None = None,
+    child_current: DataFrame | None = None,
+    child_changes: DataFrame | None = None,
+    batch_ordinal: int | None = None,
+    **merge_kw,
+) -> MergeResult:
+    """Apply one batch of star-schema changes to the materialized view —
+    same MERGE-only write path (snapshot isolation, hwm idempotence,
+    no-op suppression) as :func:`maintain_join_view`."""
+    ordinal = batch_ordinal if batch_ordinal is not None else merge_high_water_mark(view) + 1
+    cl = derive_star_view_changelog(
+        cfg,
+        main_current,
+        dim_currents,
+        ordinal,
+        main_changes=main_changes,
+        dim_changes=dim_changes,
+        child_current=child_current,
+        child_changes=child_changes,
+    )
+    return merge_into(spark, view, cl, **merge_kw)
+
+
 def maintain_join_view(
     spark: SparkSession,
     view: Table,
