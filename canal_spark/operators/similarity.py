@@ -93,45 +93,85 @@ CENT_MOD = 41  # seeded coarse-centroid picks: vec_id % 41 == 1 (~n/41 cells)
 NPROBE = 3  # queries search their top-3 nearest cells (multi-probe IVF)
 
 
-def _centroid_scores(targets: DataFrame, full: DataFrame | None = None) -> DataFrame:
-    """(vec_id, cent_id, cc): each target vector scored against the
-    broadcast seeded-centroid set — K = n/CENT_MOD rows per vector,
-    map-side.  Centroids always come from ``full`` (default: targets),
-    never from a filtered subset."""
-    cents = (full if full is not None else targets).where(
-        F.col("vec_id") % CENT_MOD == 1
-    ).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cn"),
+def _argmax_cell(scores: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, ties to the lower
+    centroid id — map-side partial aggregate (max_by)."""
+    return scores.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cc"), (-F.col("cent_id")).alias("nid"))
+        ).alias("cell")
     )
+
+
+def _scores_against(targets: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, cc) of each target against an explicit
+    broadcast centroid frame (cent_id, cv, cn)."""
     return (
         targets.select("vec_id", "v", "norm")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "cent_id",
-            F.round(_cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cn")), 9).alias("cc"),
+            F.round(
+                _cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cn")), 9
+            ).alias("cc"),
         )
     )
 
 
-def ivf_cells(e: DataFrame) -> DataFrame:
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """IVF coarse centroids: deterministic seed picks + ONE Lloyd
+    refinement step (assign to seeds, recompute each cell's centroid as
+    the per-dimension mean of its members).  Components round to 6
+    decimals so Spark and DuckDB agree bit-for-bit on the refined
+    codebook despite engine-specific float summation order.
+
+    Scale shape: the seed assignment is a broadcast crossJoin +
+    map-side argmax; the mean is posexplode -> (cell, dim) partial agg
+    (64·K cells — centroid-scale, not data-scale) reassembled in dim
+    order.  Empty cells simply drop out of the codebook.
+    """
+    seeds = e.where(F.col("vec_id") % CENT_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    assign0 = _argmax_cell(_scores_against(e, seeds))
+    members = e.select("vec_id", "v").join(assign0, "vec_id")
+    dim_means = (
+        members.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    cents = (
+        dim_means.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        .select(F.col("cell").alias("cent_id"), "cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return cents.withColumn("cn", F.sqrt(dot))
+
+
+def ivf_cells(e: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     """Real IVF coarse quantization: (vec_id, cell) where cell is the
-    nearest seeded centroid by cosine (k-means-lite: deterministic seed
-    picks, one assignment pass — the inverted-file structure an ANN
-    sweep partitions by).
+    nearest centroid of the (Lloyd-refined) codebook by cosine — the
+    inverted-file structure an ANN sweep partitions by.
 
     Plan shape: every vector scores against the BROADCAST centroid set
     (K = n/CENT_MOD, bounded) and max_by picks the argmax — a map-side
     crossJoin + partial aggregate, no all-pairs anything; ties break on
     the lower centroid id for cross-engine determinism.
     """
-    return _centroid_scores(e).groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cc"), (-F.col("cent_id")).alias("nid"))
-        ).alias("cell")
-    )
+    if cents is None:
+        cents = ivf_centroids(e)
+    return _argmax_cell(_scores_against(e, cents))
 
 
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +183,12 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _with_norm(load(spark, sf_dir, "embeddings"))
-    cells = ivf_cells(e)
+    cents = ivf_centroids(e)
+    cells = ivf_cells(e, cents)
     queries = e.where(F.col("vec_id") % Q_MOD == 0)
     wp = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
     probes = (
-        _centroid_scores(queries, full=e)
+        _scores_against(queries, cents)
         .withColumn("_pr", F.row_number().over(wp))
         .where(F.col("_pr") <= NPROBE)
         .select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("cell"))
@@ -183,7 +224,22 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBED_IVF_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {CENT_MOD} = 1),
+seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {CENT_MOD} = 1),
+a0 AS (
+  SELECT e.vec_id, s.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, s.cv), 9) DESC,
+                                     s.cent_id ASC) AS rn
+  FROM e, seeds s),
+assign0 AS (SELECT vec_id, cent_id AS cell FROM a0 WHERE rn = 1),
+dim_means AS (
+  SELECT a.cell, u.pos, round(avg(u.x), 6) AS m
+  FROM assign0 a JOIN e ON e.vec_id = a.vec_id,
+       LATERAL (SELECT unnest(e.v) AS x,
+                       generate_subscripts(e.v, 1) AS pos) u
+  GROUP BY a.cell, u.pos),
+c AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
+      FROM dim_means GROUP BY cell),
 assign AS (
   SELECT e.vec_id, c.cent_id,
          row_number() OVER (PARTITION BY e.vec_id

@@ -26,18 +26,92 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from canal_spark.merge import merge_into
 from canal_spark.schema import CHANGELOG_SCHEMA
 from canal_spark.table.format import Table
 
 
+# FlatMessage wire envelope as produced by deliver.build_mq_frame /
+# deliver_kafka (protocol/.../FlatMessage.java; `old` carries ONLY the
+# changed columns of an UPDATE, RdbSyncService.update:296-314)
+FLAT_MESSAGE_WIRE_SCHEMA = (
+    "database string, table string, type string, es bigint, ts bigint, "
+    "pkNames array<string>, data array<map<string,string>>, "
+    "old array<map<string,string>>"
+)
+
+
+def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-source frame into the engine's changelog frame —
+    the ingest half of C7, symmetric with ``deliver_kafka``
+    (CanalKafkaProducer.java:81-190 produce side,
+    CanalAdapterKafkaWorker consume side).
+
+    ``raw`` has Spark's Kafka source columns (key/value binary, topic,
+    partition, offset, timestamp); works identically on a batch frame
+    with the same columns (how the sandbox tests it, brokers absent).
+    Positions map onto merge's GTID mode: ``ordinal`` = the Kafka
+    offset, ``stream_id`` = ``topic-partition`` — so the table
+    checkpoints {topic-partition: max offset}, exactly Kafka's own
+    consumer position algebra, and per-partition replays filter to
+    no-ops independently.  All decode is JVM-side from_json/casts.
+    """
+    m = F.from_json(F.col("value").cast("string"), FLAT_MESSAGE_WIRE_SCHEMA)
+    cells = m["data"][0]
+    old = m["old"][0]
+    op = (
+        F.when(m["type"] == "INSERT", "I")
+        .when(m["type"] == "UPDATE", "U")
+        .otherwise("D")
+    )
+    doc_id = cells["doc_id"]
+    return raw.select(
+        F.col("offset").cast("long").alias("ordinal"),
+        op.alias("op"),
+        doc_id.alias("doc_id"),
+        F.from_json(cells["tokens"], "array<int>").alias("tokens"),
+        cells["n_tok"].cast("int").alias("n_tok"),
+        # D rows carry source=null by changelog contract; doc_id embeds
+        # the source prefix for I/U (same invariant deliver routes on)
+        F.when(op != "D", F.split(doc_id, ":")[0]).alias("source"),
+        F.timestamp_millis(m["es"]).alias("es"),
+        F.lit(None).cast("long").alias("batch_id"),
+        F.from_json(old["tokens"], "array<int>").alias("before_tokens"),
+        old["n_tok"].cast("int").alias("before_n_tok"),
+        F.concat_ws("-", "topic", F.col("partition").cast("string")).alias(
+            "stream_id"
+        ),
+    )
+
+
 def stream_changelog_reader(
     spark: SparkSession,
     changelog_dir: str,
     max_files_per_trigger: int | None = None,
+    reader: str = "files",  # "files" | "kafka"
+    kafka_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Streaming DataFrame over a directory of changelog parquet files."""
+    """Streaming changelog frame from either source.
+
+    * ``reader="files"``: parquet file-stream over ``changelog_dir``
+      (S2's LocalBinLogConnection analogue);
+    * ``reader="kafka"``: ``readStream.format("kafka")`` subscribed to
+      ``changelog_dir`` as the topic pattern, decoded by
+      :func:`kafka_changelog_frame` (S1's network dump analogue —
+      requires the spark-sql-kafka package + brokers; the decode logic
+      itself is broker-independent and unit-tested).  Flow control via
+      ``kafka_options={"maxOffsetsPerTrigger": ...}`` (the MEMSIZE-style
+      batch cap) plus bootstrap servers etc.
+    """
+    if reader == "kafka":
+        r = spark.readStream.format("kafka").option("subscribe", changelog_dir)
+        for k, v in (kafka_options or {}).items():
+            r = r.option(k, str(v))
+        return kafka_changelog_frame(r.load())
+    if reader != "files":
+        raise ValueError(f"unknown reader {reader!r}")
     r = spark.readStream.schema(CHANGELOG_SCHEMA)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -60,6 +134,8 @@ def stream_apply(
     target_file_rows: int = 200_000,
     available_now: bool = True,
     await_seconds: float | None = None,
+    reader: str = "files",
+    kafka_options: dict[str, str] | None = None,
 ) -> StreamApplyResult:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
@@ -80,7 +156,10 @@ def stream_apply(
                  "snapshot_id": m.snapshot_id, "rows_upserted": m.rows_upserted}
             )
 
-    stream = stream_changelog_reader(spark, changelog_dir, max_files_per_trigger)
+    stream = stream_changelog_reader(
+        spark, changelog_dir, max_files_per_trigger,
+        reader=reader, kafka_options=kafka_options,
+    )
     w = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)

@@ -79,17 +79,20 @@ def test_dedup_groups_are_valid_connected_components(spark):
 
 
 def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
-    """Real centroid assignment: every vector's cell is the argmax-
-    cosine seeded centroid (checked in numpy), and multi-probe IVF
-    recall@1 vs the brute-force baseline clears a floor on the
-    deterministic fixture (measured 0.4 with NPROBE=3 of ~13 cells —
-    probing ~23% of a near-uniform embedding set)."""
+    """Real centroid assignment with one Lloyd refinement: the refined
+    codebook equals a numpy replication (seed-assign -> per-cell mean
+    rounded to 6 -> reassign), every vector's cell is the argmax-cosine
+    refined centroid, and multi-probe IVF recall@1 vs brute force
+    clears the floor — measured 0.5 refined vs 0.4 seeded with NPROBE=3
+    of ~13 cells on the deterministic fixture (the Lloyd step buys
+    +0.1 recall at fixed probe budget)."""
     import numpy as np
 
     from canal_spark.operators.similarity import (
         CENT_MOD,
         _with_norm,
         ivf_cells,
+        ivf_centroids,
         q_embed_cosine_topk,
         q_embed_ivf_topk,
     )
@@ -98,14 +101,30 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
     sf = "/root/testdata/sf0.001"
     e = _with_norm(load(spark, sf, "embeddings"))
     vecs = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
-    cents = {i: v for i, v in vecs.items() if i % CENT_MOD == 1}
-    got = {r["vec_id"]: r["cell"] for r in ivf_cells(e).collect()}
-    for vid, v in vecs.items():
+    seeds = {i: v for i, v in vecs.items() if i % CENT_MOD == 1}
+
+    def argmax(v, cdict):
         scores = {
             cid: round(float(v @ cv / (np.linalg.norm(v) * np.linalg.norm(cv))), 9)
-            for cid, cv in cents.items()
+            for cid, cv in cdict.items()
         }
-        best = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        return max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+    # numpy replication of the one-step Lloyd update
+    assign0 = {vid: argmax(v, seeds) for vid, v in vecs.items()}
+    refined = {}
+    for cell in set(assign0.values()):
+        members = np.array([vecs[vid] for vid, c in assign0.items() if c == cell])
+        refined[cell] = np.round(members.mean(axis=0), 6)
+
+    got_cents = {r["cent_id"]: np.array(r["cv"]) for r in ivf_centroids(e).collect()}
+    assert set(got_cents) == set(refined)
+    for cid in refined:
+        assert np.allclose(got_cents[cid], refined[cid], atol=1e-9), cid
+
+    got = {r["vec_id"]: r["cell"] for r in ivf_cells(e).collect()}
+    for vid, v in vecs.items():
+        best = argmax(v, refined)
         assert got[vid] == best, f"vec {vid}: {got[vid]} != argmax {best}"
 
     brute = {
@@ -114,7 +133,7 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
     }
     ivf = {r["q_id"]: r["n_id"] for r in q_embed_ivf_topk(spark, sf).collect()}
     recall = sum(1 for q in brute if ivf.get(q) == brute[q]) / len(brute)
-    assert recall >= 0.3
+    assert recall >= 0.5  # seeded codebook scored 0.4 on this fixture
 
 
 def test_dedup_groups_reliable_checkpoint_same_labels(spark, tmp_path):

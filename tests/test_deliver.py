@@ -106,3 +106,62 @@ def test_kafka_frame_contract(spark, token_table):
         assert 0 <= r["lane"] < 6
         assert r["value"].startswith('{"database"')
     assert all(len(v) == 1 for v in per_key.values())
+
+
+def test_kafka_ingest_roundtrip_and_gtid_positions(spark, token_table):
+    """C7 symmetry: deliver's FlatMessage frame, wrapped as Kafka
+    records (key/value/topic/partition/offset), decodes back through
+    kafka_changelog_frame into the changelog shape — and the decoded
+    frame MERGEs with per-(topic,partition) GTID checkpoints, Kafka's
+    own position algebra."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.deliver import build_mq_frame
+    from canal_spark.merge import merge_gtid_set, merge_into
+    from canal_spark.streaming.apply import kafka_changelog_frame
+
+    t, base = token_table
+    rows = synth_changelog_rows(base, 300, seed=63)
+    changes = changelog_df(spark, rows)
+    frame = build_mq_frame(changes, lanes=4)
+
+    # simulate the Kafka record frame a real source would produce:
+    # offset = per-(topic,partition) position; ordinal is monotone per
+    # key already, so it serves as a valid offset stand-in
+    records = frame.select(
+        F.encode("key", "UTF-8").alias("key"),
+        F.encode("value", "UTF-8").alias("value"),
+        "topic",
+        F.col("lane").alias("partition"),
+        F.col("ordinal").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    decoded = kafka_changelog_frame(records)
+
+    orig = {
+        (r["doc_id"], r["ordinal"]): r
+        for r in changes.select(
+            "doc_id", "op", "ordinal", "tokens", "n_tok", "source"
+        ).collect()
+    }
+    got = decoded.collect()
+    assert len(got) == 300
+    for r in got:
+        o = orig[(r["doc_id"], r["ordinal"])]
+        assert r["op"] == o["op"]
+        assert (r["tokens"] or None) == (o["tokens"] or None)
+        assert r["n_tok"] == o["n_tok"]
+        if r["op"] != "D":
+            assert r["source"] == o["source"]
+        assert r["stream_id"] == f"tokens.{r['doc_id'].split(':')[0]}-" + str(
+            r["stream_id"].rsplit("-", 1)[1]
+        ) and r["stream_id"].rsplit("-", 1)[1].isdigit()
+
+    # decoded frame applies through MERGE with per-stream checkpoints
+    res = merge_into(spark, t, decoded)
+    assert res.applied
+    gset = merge_gtid_set(t)
+    assert gset and all("-" in k for k in gset)
+    # replay of the same records: every stream filters to empty
+    assert not merge_into(spark, t, decoded).applied
