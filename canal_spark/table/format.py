@@ -69,6 +69,10 @@ class DataFile:
     # type widenings by field-id between this era and the target schema
     # (None on pre-tracking manifests -> current-name read)
     schema_id: int | None = None
+    # partition-spec id the file was written under (Iceberg partition
+    # evolution: old files keep their old spec's partition values; new
+    # files carry the new spec's — scans prune each file by ITS spec)
+    spec_id: int | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -82,6 +86,8 @@ class DataFile:
             d["sort_order"] = self.sort_order
         if self.schema_id is not None:
             d["schema_id"] = self.schema_id
+        if self.spec_id is not None:
+            d["spec_id"] = self.spec_id
         return d
 
     @staticmethod
@@ -94,6 +100,7 @@ class DataFile:
             stats=d.get("stats", {}),
             sort_order=d.get("sort_order"),
             schema_id=d.get("schema_id"),
+            spec_id=d.get("spec_id"),
         )
 
 
@@ -197,8 +204,23 @@ class Table:
         return self.field_id_history[schema_id]
 
     @property
+    def partition_specs(self) -> list[list[str]]:
+        """Partition-spec history (index = spec_id) — Iceberg partition
+        evolution: the spec is metadata, re-speccing never rewrites
+        data.  Legacy metadata has one spec, the create-time one."""
+        specs = self.metadata.get("partition_specs")
+        if specs is not None:
+            return [list(s) for s in specs]
+        return [list(self.metadata.get("partition_by", []))]
+
+    @property
+    def default_spec_id(self) -> int:
+        return int(self.metadata.get("default_spec_id", 0))
+
+    @property
     def partition_by(self) -> list[str]:
-        return self.metadata.get("partition_by", [])
+        """The CURRENT (default) partition spec — what new writes use."""
+        return self.partition_specs[self.default_spec_id]
 
     @property
     def key_cols(self) -> list[str]:
@@ -456,6 +478,7 @@ class Table:
         new_schema_json: dict | None = None,
         new_field_ids: dict[str, int] | None = None,
         new_properties: dict | None = None,
+        new_partition_spec: list[str] | None = None,
         max_retries: int = 5,
     ) -> Snapshot:
         """Atomically commit a new snapshot (optimistic concurrency).
@@ -543,6 +566,17 @@ class Table:
                 meta["schema"] = new_schema_json
             if new_properties is not None:
                 meta["properties"] = {**self.properties, **new_properties}
+            if new_partition_spec is not None:
+                specs = [list(s) for s in self.partition_specs]
+                spec = list(new_partition_spec)
+                if spec in specs:
+                    spec_id = specs.index(spec)
+                else:
+                    specs.append(spec)
+                    spec_id = len(specs) - 1
+                meta["partition_specs"] = specs
+                meta["default_spec_id"] = spec_id
+                meta["partition_by"] = spec  # legacy readers
             try:
                 _write_metadata_exclusive(self.root, meta)
                 self.metadata = meta
@@ -594,7 +628,11 @@ class Table:
             [i for h in self.field_id_history for i in h.values()], default=-1
         ) + 1
         names = {f.name for f in schema.fields}
-        protected = set(self.partition_by) | set(self.key_cols)
+        # every spec in the history is protected: old files' manifest
+        # partition values are keyed by their spec's column names
+        protected = {c for spec in self.partition_specs for c in spec} | set(
+            self.key_cols
+        )
 
         for name, ddl_type in add or []:
             if name in names:
@@ -656,6 +694,32 @@ class Table:
             },
             new_schema_json=schema.jsonValue(),
             new_field_ids=fids,
+        )
+
+    # ---- partition-spec evolution (Iceberg partition evolution) ------------
+
+    def evolve_partition_spec(self, partition_by: list[str]) -> Snapshot:
+        """Change the table's partition spec as a metadata-only commit.
+
+        Old data files keep their old spec's partition values and are
+        pruned by those (or by column stats when the filtered column
+        isn't in their spec — never silently dropped); files written
+        after this commit carry the new spec.  This is Iceberg partition
+        evolution: re-speccing a 100 TB table is a metadata operation,
+        and the layout migrates incrementally as maintenance rewrites
+        files (compaction/clustering write under the new spec).
+        """
+        names = {f["name"] for f in self.schema_json["fields"]}
+        for c in partition_by:
+            if c not in names:
+                raise ValueError(f"partition column {c!r} not in schema")
+        if list(partition_by) == self.partition_by:
+            raise ValueError("new partition spec equals the current spec")
+        return self.commit(
+            added=[],
+            operation="partition-spec",
+            summary={"new-partition-spec": ",".join(partition_by) or "<unpartitioned>"},
+            new_partition_spec=list(partition_by),
         )
 
     # ---- maintenance: snapshot expiry & manifest rewrite -------------------
@@ -802,14 +866,30 @@ def prune_files(
     ``stat_name(entry, col)`` resolves the column's write-time name for
     stat lookup (file stats are keyed by the names of the file's schema
     era; partition columns cannot be renamed, so partition values need
-    no translation)."""
+    no translation).
+
+    Partition pruning is per-file-spec safe: a file whose spec (or
+    min==max inference) does not carry the filtered column is pruned by
+    that column's STATS range instead, and KEPT when it has neither —
+    dropping it would silently lose matching rows (files written under
+    an older partition spec, or stratum-mixed files)."""
     out = entries
     if partition_filter:
-        out = [
-            e
-            for e in out
-            if all(e.partition.get(k) == v for k, v in partition_filter.items())
-        ]
+
+        def part_match(e: DataFile) -> bool:
+            for k, v in partition_filter.items():
+                if k in e.partition:
+                    if e.partition[k] != v:
+                        return False
+                else:
+                    st = e.stats.get(stat_name(e, k) if stat_name else k)
+                    if st and st.get("min") is not None:
+                        if not (st["min"] <= v <= st["max"]):
+                            return False
+                    # no partition value, no stats -> cannot prune
+            return True
+
+        out = [e for e in out if part_match(e)]
     if range_filter:
 
         def overlaps(e: DataFile) -> bool:
@@ -882,6 +962,8 @@ def create_table(
         "current_schema_id": 0,
         "field_ids": [{f.name: i for i, f in enumerate(spark_schema.fields)}],
         "partition_by": partition_by or [],
+        "partition_specs": [partition_by or []],
+        "default_spec_id": 0,
         "properties": properties or {},
         "snapshots": [],
         "current_snapshot_id": None,

@@ -188,6 +188,8 @@ def write_datafiles(
                 # stamp the write-time schema era: reads resolve renames
                 # and widenings between this era and the read schema
                 schema_id=table.current_schema_id,
+                # and the write-time partition spec (partition evolution)
+                spec_id=table.default_spec_id,
             )
         )
     return entries

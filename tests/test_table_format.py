@@ -11,7 +11,7 @@ from canal_spark import create_table, load_table
 from canal_spark.schema import TOKEN_TABLE_SCHEMA
 from canal_spark.table.format import CommitConflict, prune_files
 from canal_spark.table.writer import append
-from canal_spark.changelog import base_table_df
+from canal_spark.changelog import base_table_df, synth_token_rows
 
 
 def test_create_and_append(spark, tmp_table_root):
@@ -68,7 +68,20 @@ def test_partition_and_range_pruning(spark, tmp_table_root):
     pure = [e for e in entries if "source" in e.partition]
     assert pure, "expected at least one single-source file to carry a partition value"
     only_web = prune_files(entries, partition_filter={"source": "web"})
-    assert all(e.partition.get("source") == "web" for e in only_web)
+    # every file with a partition value != web is pruned; every file
+    # that could contain web rows (value == web, or no value but stats
+    # range covering "web") is kept — pruning is safe, never lossy
+    assert all(
+        e.partition.get("source") == "web" or "source" not in e.partition
+        for e in only_web
+    )
+    dropped = [e for e in entries if e not in only_web]
+    for e in dropped:
+        st = e.stats.get("source") or {}
+        excludes = e.partition.get("source") not in (None, "web") or (
+            st.get("min") is not None and not (st["min"] <= "web" <= st["max"])
+        )
+        assert excludes, f"lossy prune: {e.path}"
     # range pruning on doc_id
     some = prune_files(entries, range_filter={"doc_id": ("books:", "books:~")})
     assert len(some) <= len(entries)
@@ -134,3 +147,56 @@ def test_schema_evolution_add_column(spark, tmp_table_root):
     df = t.scan(spark)
     assert "lang" in df.columns
     assert df.where("lang is null").count() == 20  # old files read as null
+
+
+def test_partition_spec_evolution(spark, tmp_table_root):
+    """Iceberg partition evolution: re-spec is metadata-only; old files
+    read via their old spec, new writes carry the new spec, scans stay
+    equal and partition-filtered scans never lose rows."""
+    import pytest
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.merge import merge_into
+    from tests.conftest import scan_dict
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)  # unpartitioned
+    base = synth_token_rows(600)
+    append(spark, t, base_table_df(spark, 600).repartition(4))
+    before = scan_dict(spark, t)
+    old_files = {e.path for e in t.files()}
+    assert all(e.spec_id == 0 and e.partition == {} for e in t.files())
+
+    snap = t.evolve_partition_spec(["source"])
+    assert snap.operation == "partition-spec"
+    assert t.partition_by == ["source"]
+    assert t.partition_specs == [[], ["source"]]
+    # metadata-only: no data files touched
+    assert {e.path for e in t.files()} == old_files
+    assert scan_dict(spark, t) == before
+
+    # new writes under the new spec
+    rows = synth_changelog_rows(base, 150, seed=91)
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    new_entries = [e for e in t.refresh().files() if e.path not in old_files]
+    assert new_entries and all(e.spec_id == 1 for e in new_entries)
+
+    # partition-filtered scan: old-spec files (no partition value) must
+    # not be silently dropped — all 'web' rows present
+    web = t.scan(spark, partition_filter={"source": "web"})
+    full = t.scan(spark)
+    assert (
+        web.where("source = 'web'").count()
+        == full.where("source = 'web'").count()
+    )
+
+    # re-speccing to the same spec is an error; evolving back reuses the
+    # original spec id
+    with pytest.raises(ValueError):
+        t.evolve_partition_spec(["source"])
+    t.evolve_partition_spec([])
+    assert t.default_spec_id == 0 and t.partition_specs == [[], ["source"]]
+
+    # partition columns of ANY historical spec stay protected
+    with pytest.raises(ValueError):
+        t.evolve_schema(rename=[("source", "src")])
