@@ -1,0 +1,50 @@
+"""Two-phase chunked sequence ops (operators/common.py): exactness vs
+the single-partition window they replace, including null order keys —
+nulls sort first (matching window nulls-first order) and must never be
+silently dropped by the offset join."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from canal_spark.operators.common import chunked_cumsum, chunked_row_number
+
+
+def test_chunked_cumsum_matches_window(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 7 % 997).alias("k"), F.lit(1).alias("v")
+    ).distinct()
+    got = {
+        r["k"]: r["cs"]
+        for r in chunked_cumsum(df, "k", "v", "cs", chunk_width=100).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cs"]
+        for r in df.withColumn("cs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_chunked_row_number_with_null_chunk_keeps_rows_first(spark):
+    """A null ts -> to_date null chunk: rows survive (null-safe join)
+    and take the FIRST sequence positions (window nulls-first order)."""
+    import datetime as dt
+
+    rows = [(None, "a"), (dt.datetime(2026, 1, 2, 5), "b"),
+            (dt.datetime(2026, 1, 1, 9), "c"), (None, "d"),
+            (dt.datetime(2026, 1, 2, 7), "e")]
+    df = spark.createDataFrame(rows, "ts timestamp, id string")
+    out = chunked_row_number(
+        df, ["ts", "id"], F.to_date("ts"), "seq"
+    ).collect()
+    assert len(out) == 5  # nothing dropped
+    by_id = {r["id"]: r["seq"] for r in out}
+    # same as the exact single-partition window (nulls first)
+    w = Window.orderBy("ts", "id")
+    want = {
+        r["id"]: r["seq"]
+        for r in df.withColumn("seq", F.row_number().over(w).cast("long")).collect()
+    }
+    assert by_id == want
+    assert {by_id["a"], by_id["d"]} == {1, 2}
