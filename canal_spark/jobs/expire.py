@@ -14,6 +14,11 @@ def main() -> None:
     p.add_argument("--keep-last", type=int, default=5)
     p.add_argument("--older-than-hours", type=float, default=None)
     p.add_argument("--rewrite-manifests", action="store_true")
+    p.add_argument(
+        "--remove-orphans-hours", type=float, default=None,
+        help="also delete uncommitted data files older than this many "
+             "hours (crash debris; Iceberg remove_orphan_files)",
+    )
     args = p.parse_args()
 
     import time
@@ -30,6 +35,10 @@ def main() -> None:
     out = {"job": "expire", **rep}
     if args.rewrite_manifests:
         out["rewrite_manifests"] = table.rewrite_manifests()
+    if args.remove_orphans_hours is not None:
+        out["remove_orphans"] = table.remove_orphan_files(
+            older_than_s=args.remove_orphans_hours * 3600
+        )
     emit(out)
 
 

@@ -799,6 +799,81 @@ class Table:
             "manifests_deleted": deleted_manifests,
         }
 
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> dict:
+        """Delete data files under the table root referenced by NO
+        retained snapshot — the debris a writer crash leaves between
+        ``write_datafiles`` and ``commit`` (Iceberg's
+        remove_orphan_files).  Only files older than ``older_than_s``
+        are touched, so an in-flight write's staging files (written,
+        not yet committed) are never swept.  O(#files) driver-side:
+        one directory walk + the manifest union, no data scan."""
+        live: set[str] = set()
+        for s in self.snapshots:
+            for m in s.manifests:
+                live.update(e.path for e in self._read_manifest(m))
+        cutoff = time.time() - older_than_s
+        removed = scanned = 0
+        for dirpath, _dirs, names in os.walk(self._data_dir()):
+            for n in names:
+                if not n.endswith(".parquet") or n.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, self.root)
+                scanned += 1
+                if rel in live:
+                    continue
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+        # sweep now-empty staging dirs
+        for dirpath, dirs, names in os.walk(self._data_dir(), topdown=False):
+            if not dirs and not names and dirpath != self._data_dir():
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {"scanned": scanned, "orphans_deleted": removed}
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Roll the table back to a past snapshot AS A NEW COMMIT — the
+        table-format analogue of the reference's ``rollback(position)``
+        redelivery (C4, store/.../MemoryEventStoreWithBuffer.java:416-470;
+        TSDB rollback, parse/.../tsdb/DatabaseTableMeta.java:168-188).
+        The new snapshot reuses the target's manifests by reference
+        (metadata-only) and pins the target's schema-id, so history is
+        preserved (no snapshots are deleted) and the rollback itself can
+        be rolled back."""
+        target = self.snapshot_by_id(snapshot_id)
+        for _ in range(5):
+            self.refresh()
+            parent = self.current_snapshot()
+            snap = Snapshot(
+                snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+                parent_id=parent.snapshot_id if parent else None,
+                timestamp_ms=int(time.time() * 1000),
+                operation="rollback",
+                manifests=list(target.manifests),
+                summary={"rolled-back-to": snapshot_id},
+                schema_id=target.schema_id,
+            )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = self.metadata["snapshots"] + [snap.to_json()]
+            meta["current_snapshot_id"] = snap.snapshot_id
+            if target.schema_id is not None:
+                meta["current_schema_id"] = target.schema_id
+                meta["schema"] = self.schemas[target.schema_id]
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return snap
+            except FileExistsError:
+                continue
+        raise CommitConflict("rollback gave up after 5 retries")
+
     def rewrite_manifests(self, target_entries_per_manifest: int = 10_000) -> dict:
         """Consolidate the current snapshot's manifests.
 

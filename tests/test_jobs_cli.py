@@ -119,3 +119,41 @@ def test_spark_submit_honors_cluster_master(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     masters = [l for l in out.stdout.splitlines() if l.startswith("MASTER=")]
     assert masters == ["MASTER=local[3]"]
+
+
+def test_rollback_and_orphan_jobs(cli_table, tmp_path):
+    """CLI surface for the round-3 ops: rollback to a past snapshot and
+    orphan-file GC through the expire job."""
+    import os as _os
+    import time as _time
+
+    from canal_spark import get_spark, load_table
+    from canal_spark.changelog import base_table_df
+    from canal_spark.table.writer import write_datafiles
+
+    root, cl_dir, base, rows = cli_table
+    spark = get_spark("cli-extra", master="local[4]", shuffle_partitions=4)
+    t = load_table(root)
+    s_before = t.current_snapshot_id
+    n_before = t.scan(spark).count()
+
+    # move the table forward, then roll back via the CLI
+    from canal_spark.table.writer import append
+
+    append(spark, t, base_table_df(spark, 100, seed=77).repartition(1))
+    assert t.scan(spark).count() != n_before
+    rep = run_job("canal_spark.jobs.rollback", root, "--snapshot-id", str(s_before))
+    assert rep["rolled_back_to"] == s_before and rep["operation"] == "rollback"
+    assert load_table(root).row_count() == n_before
+
+    # crash debris + aged -> expire job sweeps it
+    orphans = write_datafiles(spark, t.refresh(),
+                              base_table_df(spark, 30, seed=78).repartition(1))
+    old = _time.time() - 7200
+    for e in orphans:
+        p = _os.path.join(root, e.path)
+        _os.utime(p, (old, old))
+    rep = run_job("canal_spark.jobs.expire", root, "--keep-last", "50",
+                  "--remove-orphans-hours", "1")
+    assert rep["remove_orphans"]["orphans_deleted"] == len(orphans)
+    assert load_table(root).row_count() == n_before

@@ -200,3 +200,58 @@ def test_partition_spec_evolution(spark, tmp_table_root):
     # partition columns of ANY historical spec stay protected
     with pytest.raises(ValueError):
         t.evolve_schema(rename=[("source", "src")])
+
+
+def test_remove_orphan_files(spark, tmp_table_root):
+    """Crash debris (files written but never committed) is swept once
+    old enough; live files and fresh staging files survive."""
+    import os
+    import time as _time
+
+    from canal_spark.table.writer import write_datafiles
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 100).repartition(2))
+    before = t.scan(spark).count()
+
+    # simulate a crashed write: files on disk, no commit
+    orphans = write_datafiles(spark, t, base_table_df(spark, 50, seed=9).repartition(1))
+    orphan_paths = [os.path.join(t.root, e.path) for e in orphans]
+    assert all(os.path.exists(p) for p in orphan_paths)
+
+    # too fresh -> kept (an in-flight write must never be swept)
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["orphans_deleted"] == 0
+    # age them past the cutoff -> swept; live files intact
+    old = _time.time() - 7200
+    for p in orphan_paths:
+        os.utime(p, (old, old))
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["orphans_deleted"] == len(orphan_paths)
+    assert not any(os.path.exists(p) for p in orphan_paths)
+    assert t.scan(spark).count() == before
+
+
+def test_rollback_to_snapshot(spark, tmp_table_root):
+    """Rollback is a new metadata-only commit: state returns to the
+    target snapshot, history is preserved, and the rollback itself can
+    be rolled back (C4 redelivery fidelity)."""
+    from tests.conftest import scan_dict
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 50).repartition(1))
+    s1 = t.current_snapshot_id
+    state1 = scan_dict(spark, t)
+    append(spark, t, base_table_df(spark, 30, seed=8).repartition(1))
+    s2 = t.current_snapshot_id
+    state2 = scan_dict(spark, t)
+    assert len(state2) > len(state1)
+
+    rb = t.rollback_to(s1)
+    assert rb.operation == "rollback" and rb.parent_id == s2
+    assert scan_dict(spark, t) == state1
+    # history intact: s2 still time-travelable
+    assert scan_dict(spark, t, snapshot_id=s2) == state2
+    # roll forward again
+    t.rollback_to(s2)
+    assert scan_dict(spark, t) == state2
