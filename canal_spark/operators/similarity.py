@@ -183,7 +183,15 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _with_norm(load(spark, sf_dir, "embeddings"))
-    cents = ivf_centroids(e)
+    # Train the codebook once and ship it as a literal frame — the
+    # standard IVF pattern (FAISS: train, then broadcast the codebook).
+    # K = n/CENT_MOD stays driver-collectable by design (real IVF
+    # codebooks are ~2^16-2^20 cells even at 10^12 vectors); without
+    # this the codebook DAG (seed-assign + mean shuffle) would execute
+    # once per consumer branch (cells AND probes).
+    cents = spark.createDataFrame(
+        ivf_centroids(e).collect(), "cent_id long, cv array<double>, cn double"
+    )
     cells = ivf_cells(e, cents)
     queries = e.where(F.col("vec_id") % Q_MOD == 0)
     wp = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
