@@ -15,8 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    """Read a fixture table.  ``spread=True`` repartitions a
+    fewer-splits-than-cores input up to the default parallelism — for
+    operators whose per-row work EXPLODES (shingling, per-word hashing,
+    vector math), a single-row-group fixture file otherwise pins the
+    whole expensive stage to ONE task.  The shuffle moves only the tiny
+    raw input; at production scale the source has plenty of splits and
+    the repartition is a no-op by the guard."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
+    return df
 
 
 def md5int(col) -> "F.Column":

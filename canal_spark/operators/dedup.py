@@ -30,7 +30,7 @@ def _words(docs: DataFrame) -> DataFrame:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per (doc_id, 3-word shingle)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return (
         _words(docs)
         .where(F.size("ws") >= 3)
@@ -63,7 +63,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups by md5 of a prefix key (first 2 words —
     the shared testdata has no full-text dups, so the prefix plays the
     content key; at scale the key is md5(text) itself)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     key = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)))
     return (
         docs.select(key.alias("content_key"), "doc_id")
@@ -95,12 +95,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(N_MINHASH)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for k in range(N_MINHASH):
-        b = sigs.select(
-            "doc_id", F.lit(k).alias("band"), F.col(f"mh{k}").alias("bucket")
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # ONE posexplode instead of an N_MINHASH-branch union: a union
+    # re-executes the shingle aggregation once per branch per join side
+    # (16x total); the explode computes it once per side.
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)])
+        ).alias("band", "bucket"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, ["band", "bucket"])
@@ -140,7 +143,7 @@ SIM_BITS = 16
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc: per-bit majority vote over the word-hash
     population (distinct words)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     wd = (
         _words(docs)
         .select("doc_id", F.explode("ws").alias("w"))
@@ -200,7 +203,7 @@ HAM_MAX = 3  # < N_BANDS -> guaranteed recall
 
 def wide_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc (per-bit majority over distinct words)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     wd = (
         _words(docs)
         .select("doc_id", F.explode("ws").alias("w"))
@@ -231,17 +234,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one exact band (pigeonhole-guaranteed recall), verified by
     bit_count(xor) and deduped — never an all-pairs product."""
     sigs = wide_simhash(spark, sf_dir)
-    bands = None
-    for k in range(N_BANDS):
-        b = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("band"),
-            F.shiftright("simhash", k * BAND_BITS)
-            .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
-            .alias("bucket"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # ONE posexplode instead of a 4-branch union: a union re-executes
+    # the 60-vote signature aggregation once per branch per join side
+    # (8x total); the explode computes it once per side.
+    bucket_exprs = [
+        F.shiftright("simhash", k * BAND_BITS)
+        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+        for k in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*bucket_exprs)).alias("band", "bucket"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (
@@ -298,7 +303,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames through the pair list on (doc, word) — shuffle volume is
     O(words of candidate docs), and set sizes come from one partial
     aggregation."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     wd = _words(docs).select("doc_id", F.explode("ws").alias("w")).distinct()
     sizes = wd.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
@@ -495,7 +500,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable), aggregation is per train doc.  Never an all-pairs
     document comparison.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= N_CONTAM)

@@ -41,7 +41,7 @@ def _cosine(a, b, na, nb):
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
     q = e.where(F.col("vec_id") % Q_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
@@ -182,7 +182,7 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12-row index partitions by, never a global cross join."""
     from pyspark.sql import Window
 
-    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
     # Train the codebook once and ship it as a literal frame — the
     # standard IVF pattern (FAISS: train, then broadcast the codebook).
     # K = n/CENT_MOD stays driver-collectable by design (real IVF
@@ -278,7 +278,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, then filtered by cosine >= 0.3.  At 10^12 rows this is the
     only viable shape — cell join + threshold, never a global cross
     join; emitted once per pair (a_id < b_id)."""
-    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
     a = e.select(F.col("vec_id").alias("a_id"), "label",
                  F.col("v").alias("av"), F.col("norm").alias("an"))
     b = e.select(F.col("vec_id").alias("b_id"), "label",

@@ -91,3 +91,53 @@ def test_python_oracle_last_wins(ops):
     compact_log = sorted(last.values(), key=lambda r: r[0])
     reduced = python_oracle_apply(dict(base), compact_log)
     assert full == reduced
+
+
+@given(
+    files=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code", None]),  # partition value
+            st.one_of(st.none(), st.tuples(st.text("abw", min_size=1, max_size=3),
+                                           st.text("abw", min_size=1, max_size=3))),
+            st.sampled_from(["web", "books", "code"]),  # a row the file contains
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    want=st.sampled_from(["web", "books", "code"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_partition_prune_is_never_lossy(files, want):
+    """Safety property of prune_files partition filtering: a file whose
+    metadata cannot EXCLUDE value v (no partition value and no stats, or
+    stats range covering v) must be kept — regardless of spec era or
+    stratum mixing.  Only files that provably exclude v may drop."""
+    from canal_spark.table.format import prune_files
+
+    entries = []
+    contains = []
+    for i, (pv, stat, row) in enumerate(files):
+        partition = {"source": pv} if pv is not None else {}
+        # stats range widened to include the row the file "contains"
+        if stat is not None:
+            lo, hi = sorted([stat[0], stat[1], row])[0], sorted([stat[0], stat[1], row])[-1]
+            stats = {"source": {"min": lo, "max": hi, "nulls": 0}}
+        else:
+            stats = {}
+        # a file with partition value pv actually contains only pv rows
+        actually_has_want = (pv == want) if pv is not None else (row == want or stat is None)
+        entries.append(
+            DataFile(path=f"f{i}", rows=1, bytes=1, partition=partition, stats=stats)
+        )
+        contains.append(actually_has_want)
+
+    kept = {e.path for e in prune_files(entries, partition_filter={"source": want})}
+    for e, has in zip(entries, contains):
+        if has and e.path not in kept:
+            # the file may only be dropped if its metadata excludes want
+            pv = e.partition.get("source")
+            st_ = e.stats.get("source")
+            excludes = (pv is not None and pv != want) or (
+                st_ is not None and not (st_["min"] <= want <= st_["max"])
+            )
+            assert excludes, (e.partition, e.stats, want)
