@@ -385,6 +385,60 @@ SELECT doc_id, md5({_fp_concat}) AS fingerprint FROM mins
 """
 
 
+# --- incremental delta-vs-index dedup ----------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check of a DELTA against an already-indexed
+    corpus — the shape a maintenance engine actually runs at 10^12
+    docs: the corpus's MinHash band table is a precomputed lakehouse
+    table (built once, maintained by MERGE like any other), and each
+    new batch only shingles ITSELF and equi-joins its (small,
+    broadcastable) band set against the index.  Work is O(delta), never
+    O(corpus).  Here docs with doc_id % 10 == 0 play the delta, the
+    rest the index; emits per delta doc the number of indexed near-dups
+    and the smallest matching indexed doc id."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)])
+        ).alias("band", "bucket"),
+    )
+    delta = bands.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    index = bands.where(F.col("doc_id") % 10 != 0)
+    return (
+        F.broadcast(delta)
+        .join(index, ["band", "bucket"])
+        .groupBy("new_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_index_dups"),
+            F.min("doc_id").alias("min_index_dup"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_union}),
+delta AS (SELECT doc_id AS new_id, band, bucket FROM bands WHERE doc_id % 10 = 0),
+idx AS (SELECT doc_id, band, bucket FROM bands WHERE doc_id % 10 != 0)
+SELECT d.new_id,
+       CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_index_dups,
+       min(i.doc_id) AS min_index_dup
+FROM delta d JOIN idx i USING (band, bucket)
+GROUP BY d.new_id
+"""
+
+
 # --- near-dup group assignment (connected components) -----------------------
 
 MAX_CC_ROUNDS = 50  # >= diameter of any LSH component in practice
@@ -561,6 +615,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_groups": q_dedup_groups,
     "contamination_check": q_contamination_check,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -572,4 +627,5 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "contamination_check": SQL_CONTAMINATION,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }

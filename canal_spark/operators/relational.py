@@ -311,6 +311,70 @@ FROM events GROUP BY 1, 2
 """
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream: per user, a new
+    session starts after 30 min of inactivity; emits per-session event
+    counts and micro-second start/end/duration.  All windows are
+    PARTITIONED by user (lag + running sum within user) — the
+    single-partition global-window trap never appears, and at 10^12
+    events the shuffle key is the user id, exactly how a sessionizer
+    scales.  Timestamps compare in integer microseconds so both engines
+    agree exactly."""
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ: diff against the NTZ epoch (tz-independent,
+    # matches DuckDB's epoch_us on naive timestamps exactly)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = (gap.isNull() | (gap > SESSION_GAP_US)).cast("long")
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_seq", sess)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m)
+SELECT user_id,
+       CAST(sess AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(us) AS start_us,
+       max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM s GROUP BY user_id, sess
+"""
+
+
 QUERIES = {
     "changelog_dedupe": q_changelog_dedupe,
     "merge_upsert": q_merge_upsert,
@@ -322,6 +386,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "stat_tightness": q_stat_tightness,
     "event_windows": q_event_windows,
+    "sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -335,4 +400,5 @@ ORACLES = {
     "zorder_key": SQL_ZORDER_KEY,
     "stat_tightness": SQL_STAT_TIGHTNESS,
     "event_windows": SQL_EVENT_WINDOWS,
+    "sessionize": SQL_SESSIONIZE,
 }

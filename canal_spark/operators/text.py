@@ -198,12 +198,58 @@ FROM documents GROUP BY source
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per doc, the fraction of 3-gram
+    occurrences taken by the single most frequent 3-gram — boilerplate
+    and template spam score near 1000 permille, natural text low.
+    Integer permille ((1000*top) DIV total) keeps the score exact
+    across engines.  Shuffle shape: shingle explode (map-side) ->
+    (doc, gram) partial count -> per-doc max/sum — two partial-agg
+    shuffles keyed by doc, never a self-join."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.expr("CAST((1000 * max(c)) DIV sum(c) AS BIGINT)").alias("rep_permille"),
+    )
+
+
+SQL_REPETITION = """
+WITH g AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= 3))),
+pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(max(c) AS BIGINT) AS top_gram_count,
+       CAST((1000 * max(c)) // sum(c) AS BIGINT) AS rep_permille
+FROM pg GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "sample_mix": q_sample_mix,
     "column_profile": q_column_profile,
+    "repetition_filter": q_repetition_filter,
 }
 
 ORACLES = {
@@ -212,4 +258,5 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "sample_mix": SQL_SAMPLE_MIX,
     "column_profile": SQL_COLUMN_PROFILE,
+    "repetition_filter": SQL_REPETITION,
 }
