@@ -1,0 +1,103 @@
+"""Table consistency checker ("doctor"): manifest vs physical files.
+
+The operational safety net a 100 TB lakehouse needs before trusting a
+snapshot: verifies that every manifest entry points at a real file
+whose Parquet footer agrees with the manifest's row/byte counts, that
+no path is referenced twice within a snapshot, and that recorded
+partition values are consistent with per-file stats.  The reference
+ships the same instinct as its meta-manager consistency checks and
+ETL row-count verification (client-adapter/rdb/.../RdbEtlService.java
+count-compare after full load); here the check is metadata + footer
+only — O(#files), never a data scan (footer reads fan out to
+executors via the writer's harvest path).
+
+Usage:
+    from canal_spark.doctor import check_table
+    report = check_table(spark, table)          # current snapshot
+    report = check_table(spark, table, snapshot_id=...)
+    assert report["ok"], report["violations"]
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from canal_spark.table.format import Table
+
+
+def check_table(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int | None = None,
+    verify_footers: bool = True,
+) -> dict:
+    """Check one snapshot's manifests against the physical files.
+
+    Returns ``{"ok": bool, "files": n, "violations": [{file, kind,
+    detail}, ...]}``.  Violation kinds: ``missing`` (path not on disk),
+    ``rows`` / ``bytes`` (footer/size disagree with the manifest),
+    ``duplicate`` (path referenced twice in the snapshot),
+    ``partition`` (recorded partition value contradicts the file's own
+    min/max stats).
+    """
+    entries = table.files(snapshot_id)
+    violations: list[dict] = []
+
+    seen: set[str] = set()
+    for e in entries:
+        if e.path in seen:
+            violations.append(
+                {"file": e.path, "kind": "duplicate",
+                 "detail": "path referenced by more than one manifest entry"}
+            )
+        seen.add(e.path)
+
+    existing = []
+    for e in entries:
+        p = os.path.join(table.root, e.path)
+        if not os.path.exists(p):
+            violations.append(
+                {"file": e.path, "kind": "missing", "detail": p}
+            )
+            continue
+        size = os.path.getsize(p)
+        if size != e.bytes:
+            violations.append(
+                {"file": e.path, "kind": "bytes",
+                 "detail": f"manifest {e.bytes} != on-disk {size}"}
+            )
+        existing.append(e)
+
+    if verify_footers and existing:
+        from canal_spark.table.writer import _harvest
+
+        harvested = _harvest(
+            spark, [os.path.join(table.root, e.path) for e in existing]
+        )
+        footer_rows = {p: rows for (p, rows, _b, _s) in harvested}
+        for e in existing:
+            rows = footer_rows.get(os.path.join(table.root, e.path))
+            if rows is not None and rows != e.rows:
+                violations.append(
+                    {"file": e.path, "kind": "rows",
+                     "detail": f"manifest {e.rows} != footer {rows}"}
+                )
+
+    # partition values must agree with the file's own stats (the value
+    # was inferred from min==max at write time; a mismatch means the
+    # manifest was hand-edited or the file swapped underneath it)
+    for e in existing:
+        for col, val in e.partition.items():
+            st = e.stats.get(table.era_stat_name(e, col))
+            if st and st.get("min") is not None and not (
+                st["min"] <= val <= st["max"]
+            ):
+                violations.append(
+                    {"file": e.path, "kind": "partition",
+                     "detail": f"{col}={val!r} outside stats "
+                               f"[{st['min']!r}, {st['max']!r}]"}
+                )
+
+    return {"ok": not violations, "files": len(entries), "violations": violations}

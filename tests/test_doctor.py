@@ -1,0 +1,64 @@
+"""Table doctor: manifest-vs-files consistency checks catch real
+corruption (missing file, row-count drift, bad partition value) and
+pass on healthy tables."""
+
+import json
+import os
+
+from canal_spark import create_table, load_table
+from canal_spark.changelog import base_table_df
+from canal_spark.doctor import check_table
+from canal_spark.schema import TOKEN_TABLE_SCHEMA
+from canal_spark.table.writer import append
+
+
+def test_healthy_table_passes(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    rep = check_table(spark, t)
+    assert rep["ok"] and rep["files"] > 0 and rep["violations"] == []
+
+
+def test_detects_missing_and_row_drift_and_bad_partition(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    entries = t.files()
+    assert len(entries) >= 3
+
+    # corruption 1: delete a data file out from under the manifest
+    victim = entries[0]
+    os.remove(os.path.join(t.root, victim.path))
+
+    # corruption 2+3: hand-edit a manifest entry's rows and partition
+    snap = t.current_snapshot()
+    mpath = os.path.join(t.root, "metadata", snap.manifests[-1])
+    m = json.load(open(mpath))
+    m[0]["rows"] += 7
+    edited_rows_path = m[0]["path"]
+    if len(m) > 1:
+        m[1]["partition"] = {"source": "zzz-not-here"}
+        edited_part_path = m[1]["path"]
+    else:
+        edited_part_path = None
+    json.dump(m, open(mpath, "w"))
+
+    rep = check_table(spark, load_table(t.root))
+    assert not rep["ok"]
+    kinds = {(v["kind"], v["file"]) for v in rep["violations"]}
+    assert ("missing", victim.path) in kinds
+    if edited_rows_path != victim.path:
+        assert any(k == "rows" and f == edited_rows_path for k, f in kinds) or any(
+            k == "bytes" and f == edited_rows_path for k, f in kinds
+        ) or ("rows", edited_rows_path) in kinds
+    if edited_part_path and edited_part_path != victim.path:
+        assert ("partition", edited_part_path) in kinds
+
+
+def test_skip_footers_still_checks_presence(spark, tmp_table_root):
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 50).repartition(1))
+    victim = t.files()[0]
+    os.remove(os.path.join(t.root, victim.path))
+    rep = check_table(spark, t, verify_footers=False)
+    assert not rep["ok"]
+    assert rep["violations"][0]["kind"] == "missing"
