@@ -24,5 +24,13 @@ Z-order keys, Hilbert indices).
 from canal_spark.session import get_spark
 from canal_spark.table.format import Table, create_table, load_table
 
-__all__ = ["get_spark", "Table", "create_table", "load_table"]
+
+def check_table(spark, table, **kw):
+    """Manifest-vs-physical consistency check (see canal_spark.doctor)."""
+    from canal_spark.doctor import check_table as _ct
+
+    return _ct(spark, table, **kw)
+
+
+__all__ = ["get_spark", "Table", "create_table", "load_table", "check_table"]
 __version__ = "0.1.0"
