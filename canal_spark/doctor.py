@@ -27,6 +27,29 @@ from pyspark.sql import SparkSession
 from canal_spark.table.format import Table
 
 
+def _safe_footer_rows(spark: SparkSession, paths: list[str]) -> dict[str, int | None]:
+    """{path: footer row count, or None if the footer is unreadable}.
+    Per-file exception containment — a single corrupt footer must
+    become a violation, not crash the doctor.  Distributed over
+    executors for large file counts (same fan-out as the write path's
+    stat harvest)."""
+
+    def one(p: str):
+        from canal_spark.table.writer import _footer_stats
+
+        try:
+            rows, _stats = _footer_stats(p)
+            return (p, rows)
+        except Exception:
+            return (p, None)
+
+    if len(paths) <= 64:
+        return dict(one(p) for p in paths)
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(paths) // 16, sc.defaultParallelism * 2))
+    return dict(sc.parallelize(paths, n_slices).map(one).collect())
+
+
 def check_table(
     spark: SparkSession,
     table: Table,
@@ -68,18 +91,24 @@ def check_table(
                 {"file": e.path, "kind": "bytes",
                  "detail": f"manifest {e.bytes} != on-disk {size}"}
             )
+            # a size-mismatched (e.g. truncated) file would also blow up
+            # the footer read — it's already reported, skip it there
+            continue
         existing.append(e)
 
     if verify_footers and existing:
-        from canal_spark.table.writer import _harvest
-
-        harvested = _harvest(
+        footer_rows = _safe_footer_rows(
             spark, [os.path.join(table.root, e.path) for e in existing]
         )
-        footer_rows = {p: rows for (p, rows, _b, _s) in harvested}
         for e in existing:
             rows = footer_rows.get(os.path.join(table.root, e.path))
-            if rows is not None and rows != e.rows:
+            if rows is None:
+                # footer unreadable: corruption the size check missed
+                violations.append(
+                    {"file": e.path, "kind": "footer",
+                     "detail": "parquet footer unreadable"}
+                )
+            elif rows != e.rows:
                 violations.append(
                     {"file": e.path, "kind": "rows",
                      "detail": f"manifest {e.rows} != footer {rows}"}

@@ -264,7 +264,18 @@ def derive_star_view_changelog(
     affected = affected.distinct()
 
     live = main_current.join(F.broadcast(affected), mk, "leftsemi")
-    after = star_view_select(cfg, live, dim_currents, child_current)
+    # the child subquery must also run over ONLY the affected keys — a
+    # bare groupBy of child_current would aggregate the whole child
+    # table every batch (O(child), not O(affected), at the 10^12-row
+    # design point); semi-join it down to the batch first
+    child_live = child_current
+    if cfg.child is not None and child_current is not None:
+        child_live = child_current.join(
+            F.broadcast(affected.select(F.col(mk[0]).alias(cfg.child.child_fk))),
+            cfg.child.child_fk,
+            "leftsemi",
+        )
+    after = star_view_select(cfg, live, dim_currents, child_live)
     data_cols = [c for c in after.columns if c not in mk]
     ups = after.select(
         F.lit(ordinal).cast("long").alias("ordinal"),

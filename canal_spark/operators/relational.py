@@ -327,12 +327,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ts is TIMESTAMP_NTZ: diff against the NTZ epoch (tz-independent,
     # matches DuckDB's epoch_us on naive timestamps exactly)
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("us"),
+    # null event times are excluded on BOTH sides: the engines disagree
+    # on null ordering (Spark windows order nulls first, DuckDB last),
+    # so an untimed event has no well-defined session anyway
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
@@ -353,7 +360,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SESSIONIZE = f"""
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL),
 m AS (
   SELECT user_id, event_id, us,
          CASE WHEN lag(us) OVER w IS NULL

@@ -53,10 +53,12 @@ def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
     partition, offset, timestamp); works identically on a batch frame
     with the same columns (how the sandbox tests it, brokers absent).
     Positions map onto merge's GTID mode: ``ordinal`` = the Kafka
-    offset, ``stream_id`` = ``topic-partition`` — so the table
-    checkpoints {topic-partition: max offset}, exactly Kafka's own
-    consumer position algebra, and per-partition replays filter to
-    no-ops independently.  All decode is JVM-side from_json/casts.
+    offset **+ 1** (merge filters ``ordinal > mark`` with unseen
+    streams at 0, so a raw offset would silently drop every
+    partition's offset-0 record; +1 makes the stored mark equal
+    Kafka's next-offset consumer position), ``stream_id`` =
+    ``topic-partition`` — per-partition replays filter to no-ops
+    independently.  All decode is JVM-side from_json/casts.
     """
     m = F.from_json(F.col("value").cast("string"), FLAT_MESSAGE_WIRE_SCHEMA)
     cells = m["data"][0]
@@ -68,7 +70,7 @@ def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
     )
     doc_id = cells["doc_id"]
     return raw.select(
-        F.col("offset").cast("long").alias("ordinal"),
+        (F.col("offset").cast("long") + 1).alias("ordinal"),
         op.alias("op"),
         doc_id.alias("doc_id"),
         F.from_json(cells["tokens"], "array<int>").alias("tokens"),

@@ -807,31 +807,45 @@ class Table:
         are touched, so an in-flight write's staging files (written,
         not yet committed) are never swept.  O(#files) driver-side:
         one directory walk + the manifest union, no data scan."""
+        from canal_spark.table.writer import _list_parquet
+
         live: set[str] = set()
         for s in self.snapshots:
             for m in s.manifests:
                 live.update(e.path for e in self._read_manifest(m))
         cutoff = time.time() - older_than_s
         removed = scanned = 0
-        for dirpath, _dirs, names in os.walk(self._data_dir()):
-            for n in names:
-                if not n.endswith(".parquet") or n.startswith((".", "_")):
-                    continue
-                p = os.path.join(dirpath, n)
-                rel = os.path.relpath(p, self.root)
-                scanned += 1
-                if rel in live:
-                    continue
-                try:
-                    if os.path.getmtime(p) < cutoff:
-                        os.remove(p)
-                        removed += 1
-                except FileNotFoundError:
-                    pass
-        # sweep now-empty staging dirs
+        for p in _list_parquet(self._data_dir()):
+            rel = os.path.relpath(p, self.root)
+            scanned += 1
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    removed += 1
+            except FileNotFoundError:
+                pass
+        # Sweep staging dirs that hold no data anymore.  Spark leaves
+        # _SUCCESS / .crc markers in every write directory, so "empty"
+        # means "only marker files left" — delete the markers (they are
+        # write-job metadata, meaningless once the data files are gone
+        # or committed elsewhere) and then the dir.
         for dirpath, dirs, names in os.walk(self._data_dir(), topdown=False):
-            if not dirs and not names and dirpath != self._data_dir():
+            if dirpath == self._data_dir() or dirs:
+                continue
+            if all(n.startswith((".", "_")) for n in names):
                 try:
+                    # age guard on the markers THEMSELVES (deleting the
+                    # orphan parquet above bumped the dir mtime): never
+                    # race an in-flight writer's fresh staging dir
+                    if names and any(
+                        os.path.getmtime(os.path.join(dirpath, n)) >= cutoff
+                        for n in names
+                    ):
+                        continue
+                    for n in names:
+                        os.remove(os.path.join(dirpath, n))
                     os.rmdir(dirpath)
                 except OSError:
                     pass

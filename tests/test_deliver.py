@@ -127,14 +127,15 @@ def test_kafka_ingest_roundtrip_and_gtid_positions(spark, token_table):
     frame = build_mq_frame(changes, lanes=4)
 
     # simulate the Kafka record frame a real source would produce:
-    # offset = per-(topic,partition) position; ordinal is monotone per
-    # key already, so it serves as a valid offset stand-in
+    # offset = per-(topic,partition) position; ordinal-1 makes the
+    # offsets START AT 0, covering the offset-0 record that a raw
+    # ordinal=offset mapping would silently drop at the merge filter
     records = frame.select(
         F.encode("key", "UTF-8").alias("key"),
         F.encode("value", "UTF-8").alias("value"),
         "topic",
         F.col("lane").alias("partition"),
-        F.col("ordinal").alias("offset"),
+        (F.col("ordinal") - 1).alias("offset"),
         F.current_timestamp().alias("timestamp"),
     )
     decoded = kafka_changelog_frame(records)
@@ -147,8 +148,9 @@ def test_kafka_ingest_roundtrip_and_gtid_positions(spark, token_table):
     }
     got = decoded.collect()
     assert len(got) == 300
+    assert decoded.where("ordinal <= 0").count() == 0  # offset 0 -> ordinal 1
     for r in got:
-        o = orig[(r["doc_id"], r["ordinal"])]
+        o = orig[(r["doc_id"], r["ordinal"])]  # ordinal = offset + 1 roundtrips
         assert r["op"] == o["op"]
         assert (r["tokens"] or None) == (o["tokens"] or None)
         assert r["n_tok"] == o["n_tok"]

@@ -62,3 +62,28 @@ def test_skip_footers_still_checks_presence(spark, tmp_table_root):
     rep = check_table(spark, t, verify_footers=False)
     assert not rep["ok"]
     assert rep["violations"][0]["kind"] == "missing"
+
+
+def test_truncated_and_garbled_files_reported_not_crashed(spark, tmp_table_root):
+    """A truncated file (size mismatch) and a same-size garbled file
+    (unreadable footer) must both come back as violations — the doctor
+    must never crash on the corruption it exists to diagnose."""
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    entries = t.files()
+    assert len(entries) >= 2
+
+    # truncate one file
+    trunc = os.path.join(t.root, entries[0].path)
+    with open(trunc, "r+b") as f:
+        f.truncate(entries[0].bytes // 2)
+    # garble another in place (same size, junk content)
+    garbled = os.path.join(t.root, entries[1].path)
+    with open(garbled, "r+b") as f:
+        f.write(b"\x00" * entries[1].bytes)
+
+    rep = check_table(spark, t)
+    assert not rep["ok"]
+    kinds = {(v["kind"], v["file"]) for v in rep["violations"]}
+    assert ("bytes", entries[0].path) in kinds
+    assert ("footer", entries[1].path) in kinds

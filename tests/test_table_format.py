@@ -224,11 +224,15 @@ def test_remove_orphan_files(spark, tmp_table_root):
     assert res["orphans_deleted"] == 0
     # age them past the cutoff -> swept; live files intact
     old = _time.time() - 7200
-    for p in orphan_paths:
-        os.utime(p, (old, old))
+    orphan_dirs = {os.path.dirname(p) for p in orphan_paths}
+    for d in orphan_dirs:  # age everything incl. _SUCCESS markers
+        for n in os.listdir(d):
+            os.utime(os.path.join(d, n), (old, old))
     res = t.remove_orphan_files(older_than_s=3600)
     assert res["orphans_deleted"] == len(orphan_paths)
     assert not any(os.path.exists(p) for p in orphan_paths)
+    # the staging dirs (incl. their _SUCCESS markers) are gone too
+    assert not any(os.path.exists(d) for d in orphan_dirs)
     assert t.scan(spark).count() == before
 
 
