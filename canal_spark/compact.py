@@ -115,7 +115,9 @@ def token_weights(
         table.read_files(spark, entries, with_file_path="fp")
         .select("fp", weight_col)
         .groupBy("fp")
-        .agg(F.sum(weight_col).alias("w"))
+        # coalesce: a file written before the column was added (or with
+        # all-null values) sums to NULL — weight 0, not a TypeError
+        .agg(F.coalesce(F.sum(weight_col), F.lit(0)).alias("w"))
         .collect()
     )
     import os
@@ -142,16 +144,19 @@ def compact(
     long as the caller passes the current name)."""
     job_id = job_id or uuid.uuid4().hex[:12]
     entries = table.files()
+    # ONE cutoff shared with plan_bins: if the victim pick and the
+    # plan's grouping ever diverged, plan_bins would KeyError on a
+    # small file token_weights never weighed
+    small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
     if pack_by != "bytes":
-        small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
         victims = [e for e in entries if e.bytes < small]
         weights = token_weights(spark, table, victims, weight_col=pack_by)
         tgt_w = tokens_per_target or target_bytes // 4  # ~4 B/token
         bins = plan_bins(
-            entries, target_bytes, small_file_bytes, weights=weights, target_weight=tgt_w
+            entries, target_bytes, small, weights=weights, target_weight=tgt_w
         )
     else:
-        bins = plan_bins(entries, target_bytes, small_file_bytes)
+        bins = plan_bins(entries, target_bytes, small)
 
     result = CompactionResult(job_id=job_id)
     for start in range(0, len(bins), max_bins_per_commit):

@@ -91,9 +91,21 @@ def merge_gtid_set(table: Table) -> dict[str, int]:
     precedence as the scalar mark: property ∪ retained summaries,
     max-merged per stream.
     """
-    out: dict[str, int] = dict(table.properties.get(GTID_KEY) or {})
+    def norm(k):
+        # legacy migration: marks written before the NULL_STREAM
+        # sentinel stored the null stream under dict key None, which
+        # JSON serializes as the string "null" — without this mapping
+        # an upgraded table would read that stream's mark as 0 and
+        # re-apply stale null-stream redeliveries
+        return NULL_STREAM if k in (None, "null") else k
+
+    out: dict[str, int] = {}
+    for k, v in (table.properties.get(GTID_KEY) or {}).items():
+        k = norm(k)
+        out[k] = max(int(out.get(k, 0)), int(v))
     for s in table.snapshots:
         for k, v in (s.summary.get(GTID_KEY) or {}).items():
+            k = norm(k)
             out[k] = max(int(out.get(k, 0)), int(v))
     return {k: int(v) for k, v in out.items()}
 

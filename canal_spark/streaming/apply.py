@@ -52,39 +52,62 @@ def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
     ``raw`` has Spark's Kafka source columns (key/value binary, topic,
     partition, offset, timestamp); works identically on a batch frame
     with the same columns (how the sandbox tests it, brokers absent).
-    Positions map onto merge's GTID mode: ``ordinal`` = the Kafka
-    offset **+ 1** (merge filters ``ordinal > mark`` with unseen
-    streams at 0, so a raw offset would silently drop every
-    partition's offset-0 record; +1 makes the stored mark equal
-    Kafka's next-offset consumer position), ``stream_id`` =
+
+    A FlatMessage BATCHES rows (``data`` is an array —
+    MQMessageUtils.messageConverter packs a whole get() batch into one
+    message); every element is exploded into its own changelog row,
+    paired with its ``old[i]`` before-image.  Non-row-change messages
+    (DDL: type=CREATE/ALTER/..., data=null) are dropped — DDL flows
+    through ``Table.evolve_schema``, not the row path.
+
+    Positions map onto merge's GTID mode: ``ordinal`` encodes
+    (offset, row-in-message) as ``((offset + 1) << 16) | row_idx`` —
+    strictly monotone in Kafka's consumption order, and the +1 keeps
+    every partition's offset-0 message applied (merge filters
+    ``ordinal > mark`` with unseen streams at 0).  ``stream_id`` =
     ``topic-partition`` — per-partition replays filter to no-ops
-    independently.  All decode is JVM-side from_json/casts.
+    independently.  All decode is JVM-side from_json/posexplode/casts.
     """
     m = F.from_json(F.col("value").cast("string"), FLAT_MESSAGE_WIRE_SCHEMA)
-    cells = m["data"][0]
-    old = m["old"][0]
-    op = (
-        F.when(m["type"] == "INSERT", "I")
-        .when(m["type"] == "UPDATE", "U")
-        .otherwise("D")
+    # one output row per data[] element; null data (DDL) explodes away
+    rows = raw.select(
+        "topic", "partition", "offset",
+        m["type"].alias("_mtype"),
+        m["es"].alias("_es"),
+        m["old"].alias("_old"),
+        F.posexplode(m["data"]).alias("_idx", "_cells"),
     )
+    op = (
+        F.when(F.col("_mtype") == "INSERT", "I")
+        .when(F.col("_mtype") == "UPDATE", "U")
+        .when(F.col("_mtype") == "DELETE", "D")
+    )  # anything else -> null op, filtered below
+    cells = F.col("_cells")
+    old = F.col("_old")[F.col("_idx")]
     doc_id = cells["doc_id"]
-    return raw.select(
-        (F.col("offset").cast("long") + 1).alias("ordinal"),
-        op.alias("op"),
-        doc_id.alias("doc_id"),
-        F.from_json(cells["tokens"], "array<int>").alias("tokens"),
-        cells["n_tok"].cast("int").alias("n_tok"),
-        # D rows carry source=null by changelog contract; doc_id embeds
-        # the source prefix for I/U (same invariant deliver routes on)
-        F.when(op != "D", F.split(doc_id, ":")[0]).alias("source"),
-        F.timestamp_millis(m["es"]).alias("es"),
-        F.lit(None).cast("long").alias("batch_id"),
-        F.from_json(old["tokens"], "array<int>").alias("before_tokens"),
-        old["n_tok"].cast("int").alias("before_n_tok"),
-        F.concat_ws("-", "topic", F.col("partition").cast("string")).alias(
-            "stream_id"
-        ),
+    return (
+        rows.withColumn("_op", op)
+        .where(F.col("_op").isNotNull() & doc_id.isNotNull())
+        .select(
+            (
+                ((F.col("offset").cast("long") + 1) * F.lit(1 << 16))
+                + F.col("_idx")
+            ).alias("ordinal"),
+            F.col("_op").alias("op"),
+            doc_id.alias("doc_id"),
+            F.from_json(cells["tokens"], "array<int>").alias("tokens"),
+            cells["n_tok"].cast("int").alias("n_tok"),
+            # D rows carry source=null by changelog contract; doc_id
+            # embeds the source prefix for I/U (deliver routes on it)
+            F.when(F.col("_op") != "D", F.split(doc_id, ":")[0]).alias("source"),
+            F.timestamp_millis(F.col("_es")).alias("es"),
+            F.lit(None).cast("long").alias("batch_id"),
+            F.from_json(old["tokens"], "array<int>").alias("before_tokens"),
+            old["n_tok"].cast("int").alias("before_n_tok"),
+            F.concat_ws("-", "topic", F.col("partition").cast("string")).alias(
+                "stream_id"
+            ),
+        )
     )
 
 
@@ -94,21 +117,30 @@ def stream_changelog_reader(
     max_files_per_trigger: int | None = None,
     reader: str = "files",  # "files" | "kafka"
     kafka_options: dict[str, str] | None = None,
+    kafka_subscribe_mode: str = "subscribe",  # "subscribe" | "subscribePattern" | "assign"
 ) -> DataFrame:
     """Streaming changelog frame from either source.
 
     * ``reader="files"``: parquet file-stream over ``changelog_dir``
       (S2's LocalBinLogConnection analogue);
-    * ``reader="kafka"``: ``readStream.format("kafka")`` subscribed to
-      ``changelog_dir`` as the topic pattern, decoded by
-      :func:`kafka_changelog_frame` (S1's network dump analogue —
-      requires the spark-sql-kafka package + brokers; the decode logic
-      itself is broker-independent and unit-tested).  Flow control via
+    * ``reader="kafka"``: ``readStream.format("kafka")`` with
+      ``changelog_dir`` as the topic list (``kafka_subscribe_mode=
+      "subscribe"``, comma-separated literal topics — the default),
+      a regex (``"subscribePattern"``, e.g. ``tokens\\..*`` for
+      deliver's per-source topics), or explicit partitions
+      (``"assign"``); decoded by :func:`kafka_changelog_frame` (S1's
+      network dump analogue — requires the spark-sql-kafka package +
+      brokers; the decode logic itself is broker-independent and
+      unit-tested).  Flow control via
       ``kafka_options={"maxOffsetsPerTrigger": ...}`` (the MEMSIZE-style
       batch cap) plus bootstrap servers etc.
     """
     if reader == "kafka":
-        r = spark.readStream.format("kafka").option("subscribe", changelog_dir)
+        if kafka_subscribe_mode not in ("subscribe", "subscribePattern", "assign"):
+            raise ValueError(f"unknown kafka_subscribe_mode {kafka_subscribe_mode!r}")
+        r = spark.readStream.format("kafka").option(
+            kafka_subscribe_mode, changelog_dir
+        )
         for k, v in (kafka_options or {}).items():
             r = r.option(k, str(v))
         return kafka_changelog_frame(r.load())

@@ -836,13 +836,19 @@ class Table:
                 continue
             if all(n.startswith((".", "_")) for n in names):
                 try:
-                    # age guard on the markers THEMSELVES (deleting the
-                    # orphan parquet above bumped the dir mtime): never
-                    # race an in-flight writer's fresh staging dir
-                    if names and any(
-                        os.path.getmtime(os.path.join(dirpath, n)) >= cutoff
-                        for n in names
-                    ):
+                    # Age guards: never race an in-flight writer.  For
+                    # marker files the guard is THEIR mtime (deleting
+                    # the orphan parquet above bumped the dir mtime);
+                    # an entirely EMPTY dir (a write attempt that has
+                    # not produced its first file yet, or one this run
+                    # just emptied) is guarded by the dir mtime itself.
+                    if names:
+                        if any(
+                            os.path.getmtime(os.path.join(dirpath, n)) >= cutoff
+                            for n in names
+                        ):
+                            continue
+                    elif os.path.getmtime(dirpath) >= cutoff:
                         continue
                     for n in names:
                         os.remove(os.path.join(dirpath, n))

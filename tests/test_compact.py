@@ -105,3 +105,16 @@ def test_compact_pack_by_after_rename_validates_and_works(spark, tmp_table_root)
     rows = t.scan(spark).collect()
     assert len(rows) == len(before)
     assert "tok_len" in rows[0].asDict()
+
+
+def test_compact_pack_by_all_null_weight_column(spark, tmp_table_root):
+    """A weight column added AFTER files were written reads as NULL for
+    those files (era projection) — packing by it must treat them as
+    weight 0, not crash on int(None)."""
+    t = _fragmented(spark, tmp_table_root)
+    before = scan_dict(spark, t)
+    t.evolve_schema(add=[("w", "long")])
+    res = compact(spark, t, target_bytes=1 << 20, pack_by="w",
+                  tokens_per_target=10)
+    assert res.bins_written >= 1
+    assert scan_dict(spark, t) == before

@@ -148,9 +148,11 @@ def test_kafka_ingest_roundtrip_and_gtid_positions(spark, token_table):
     }
     got = decoded.collect()
     assert len(got) == 300
-    assert decoded.where("ordinal <= 0").count() == 0  # offset 0 -> ordinal 1
+    assert decoded.where("ordinal <= 0").count() == 0  # offset 0 still applies
     for r in got:
-        o = orig[(r["doc_id"], r["ordinal"])]  # ordinal = offset + 1 roundtrips
+        # ordinal encodes (offset, row-in-message); 1-row messages ->
+        # ordinal = (offset+1) << 16, offset was orig ordinal - 1
+        o = orig[(r["doc_id"], (r["ordinal"] >> 16) - 1 + 1)]
         assert r["op"] == o["op"]
         assert (r["tokens"] or None) == (o["tokens"] or None)
         assert r["n_tok"] == o["n_tok"]
@@ -167,3 +169,54 @@ def test_kafka_ingest_roundtrip_and_gtid_positions(spark, token_table):
     assert gset and all("-" in k for k in gset)
     # replay of the same records: every stream filters to empty
     assert not merge_into(spark, t, decoded).applied
+
+
+def test_kafka_ingest_multi_row_messages_and_ddl_drop(spark):
+    """A FlatMessage batches rows (data is an ARRAY): every element must
+    decode to its own ordered changelog row with its paired old[i]
+    before-image; DDL messages (type=CREATE, data=null) drop instead of
+    becoming null-key deletes that would crash merge."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.streaming.apply import kafka_changelog_frame
+
+    def msg(mtype, rows, old=None):
+        return json.dumps({
+            "database": "lakehouse", "table": "tokens", "type": mtype,
+            "es": 1704067200000, "ts": 0, "pkNames": ["doc_id"],
+            "data": rows, "old": old,
+        })
+
+    two_rows = msg(
+        "UPDATE",
+        [
+            {"doc_id": "web:1", "n_tok": "2", "tokens": "[1,2]"},
+            {"doc_id": "web:2", "n_tok": "3", "tokens": "[3,4,5]"},
+        ],
+        old=[
+            {"tokens": "[9]", "n_tok": "1"},
+            {"n_tok": "2"},  # only n_tok changed for row 2
+        ],
+    )
+    ddl = json.dumps({
+        "database": "lakehouse", "table": "tokens", "type": "CREATE",
+        "es": 0, "ts": 0, "pkNames": None, "data": None, "old": None,
+    })
+    records = spark.createDataFrame(
+        [(b"k", two_rows.encode(), "tokens.web", 0, 5),
+         (b"k", ddl.encode(), "tokens.web", 0, 6)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+
+    got = {r["doc_id"]: r for r in kafka_changelog_frame(records).collect()}
+    assert set(got) == {"web:1", "web:2"}  # DDL dropped, both rows kept
+    r1, r2 = got["web:1"], got["web:2"]
+    assert r1["ordinal"] == ((5 + 1) << 16) + 0
+    assert r2["ordinal"] == ((5 + 1) << 16) + 1
+    assert list(r1["tokens"]) == [1, 2] and r1["before_n_tok"] == 1
+    assert list(r1["before_tokens"]) == [9]
+    assert list(r2["tokens"]) == [3, 4, 5]
+    assert r2["before_tokens"] is None and r2["before_n_tok"] == 2
+    assert r1["stream_id"] == "tokens.web-0"

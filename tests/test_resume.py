@@ -152,3 +152,33 @@ def test_double_full_pass_is_noop_on_data(spark, token_table):
     run_pass(spark, t, changelog_df(spark, rows), target_file_bytes=1 << 20,
              target_file_rows=500, keep_snapshots=10, measure=False)
     assert scan_dict(spark, t) == state == oracle_dict(base, rows)
+
+
+def test_legacy_null_gtid_key_migrates_to_sentinel(spark, token_table):
+    """Marks written before the NULL_STREAM sentinel stored the null
+    stream under JSON key \"null\"; merge_gtid_set must read them as the
+    sentinel so upgraded tables keep filtering stale null-stream
+    redeliveries."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.merge import GTID_KEY, NULL_STREAM, merge_gtid_set, merge_into
+
+    t, base = token_table
+    # simulate a pre-upgrade checkpoint: the property as old code wrote it
+    t.commit(added=[], operation="properties",
+             new_properties={GTID_KEY: {"null": 7}})
+    assert merge_gtid_set(t) == {NULL_STREAM: 7}
+
+    E = dt.datetime(2026, 1, 1)
+    schema = changelog_df(spark, []).withColumn(
+        "stream_id", F.lit(None).cast("string")
+    ).schema
+    k = base[0][0]
+    stale = [(5, "U", k, [99], 1, k.split(":")[0], E, 1, None, None, None)]
+    # ordinal 5 <= legacy mark 7 -> filtered, no overwrite
+    assert not merge_into(spark, t, spark.createDataFrame(stale, schema)).applied
+    fresh = [(9, "U", k, [42], 1, k.split(":")[0], E, 1, None, None, None)]
+    assert merge_into(spark, t, spark.createDataFrame(fresh, schema)).applied
+    assert merge_gtid_set(t) == {NULL_STREAM: 9}
