@@ -217,7 +217,17 @@ def merge_into(
     # each stream's rows filter against ITS mark (unseen streams start
     # at 0), so interleaved multi-master sequences resume independently.
     has_streams = "stream_id" in changes.columns
-    stream_key = F.coalesce(F.col("stream_id"), F.lit(NULL_STREAM))
+    # the literal name "null" is RESERVED: it is what legacy JSON
+    # serialization called the null stream, and merge_gtid_set migrates
+    # that key to the sentinel — a real stream under it would be
+    # conflated with (and mis-filtered against) the null stream's mark,
+    # so reject it loudly instead
+    stream_key = F.when(
+        F.col("stream_id") == "null",
+        F.raise_error(
+            F.lit('stream_id "null" is reserved (legacy JSON null-key); rename the stream')
+        ),
+    ).otherwise(F.coalesce(F.col("stream_id"), F.lit(NULL_STREAM)))
     if has_streams:
         gset = merge_gtid_set(table)
         if gset:

@@ -61,33 +61,70 @@ def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
     through ``Table.evolve_schema``, not the row path.
 
     Positions map onto merge's GTID mode: ``ordinal`` encodes
-    (offset, row-in-message) as ``((offset + 1) << 16) | row_idx`` —
-    strictly monotone in Kafka's consumption order, and the +1 keeps
-    every partition's offset-0 message applied (merge filters
+    (offset, row-in-message) as ``((offset + 1) << 16) + row_idx`` —
+    THE v1 mark format of this ingest path: strictly monotone in
+    Kafka's consumption order (row counts per message are bounded
+    below 2^16 — Canal's canalBatchSize default is 50 — and violations
+    raise rather than spill into the next offset's range), and the +1
+    keeps every partition's offset-0 message applied (merge filters
     ``ordinal > mark`` with unseen streams at 0).  ``stream_id`` =
     ``topic-partition`` — per-partition replays filter to no-ops
-    independently.  All decode is JVM-side from_json/posexplode/casts.
+    independently.
+
+    Strictness: DDL messages drop; an UNPARSEABLE value or a row-change
+    message missing its key RAISES (a malformed message silently
+    skipped while the checkpoint advances would be permanent data
+    loss with zero signal).  All decode is JVM-side
+    from_json/posexplode/casts.
     """
     m = F.from_json(F.col("value").cast("string"), FLAT_MESSAGE_WIRE_SCHEMA)
-    # one output row per data[] element; null data (DDL) explodes away
+    # one output row per data[] element; a null data array (DDL, or
+    # unparseable JSON) is kept as ONE placeholder row so the
+    # malformed-message guard below can still see and reject it —
+    # posexplode of null would silently drop it before any check runs
+    data_or_probe = F.coalesce(
+        m["data"], F.array(F.lit(None).cast("map<string,string>"))
+    )
     rows = raw.select(
         "topic", "partition", "offset",
+        # PERMISSIVE from_json turns corrupt JSON into an ALL-NULL
+        # struct (not a null struct); every valid FlatMessage carries
+        # `type`, so a null type is the unparseable-value signature
+        m["type"].isNull().alias("_bad_json"),
         m["type"].alias("_mtype"),
         m["es"].alias("_es"),
         m["old"].alias("_old"),
-        F.posexplode(m["data"]).alias("_idx", "_cells"),
+        F.posexplode(data_or_probe).alias("_idx", "_cells"),
     )
     op = (
         F.when(F.col("_mtype") == "INSERT", "I")
         .when(F.col("_mtype") == "UPDATE", "U")
         .when(F.col("_mtype") == "DELETE", "D")
-    )  # anything else -> null op, filtered below
+    )  # anything else (DDL) -> null op, dropped by the guard filter
     cells = F.col("_cells")
     old = F.col("_old")[F.col("_idx")]
     doc_id = cells["doc_id"]
+    malformed = (
+        F.col("_bad_json")
+        | (op.isNotNull() & doc_id.isNull())
+        | (F.col("_idx") >= (1 << 16))
+    )
+    # the guard IS the filter: evaluating the keep-condition raises on
+    # malformed rows (so Catalyst cannot optimize the check away), keeps
+    # row changes, and drops DDL
+    keep = F.when(
+        malformed,
+        F.raise_error(
+            F.concat(
+                F.lit("malformed FlatMessage: topic="), F.col("topic"),
+                F.lit(" partition="), F.col("partition").cast("string"),
+                F.lit(" offset="), F.col("offset").cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(op.isNotNull())
     return (
         rows.withColumn("_op", op)
-        .where(F.col("_op").isNotNull() & doc_id.isNotNull())
+        .where(keep)
         .select(
             (
                 ((F.col("offset").cast("long") + 1) * F.lit(1 << 16))
@@ -170,6 +207,7 @@ def stream_apply(
     await_seconds: float | None = None,
     reader: str = "files",
     kafka_options: dict[str, str] | None = None,
+    kafka_subscribe_mode: str = "subscribe",
 ) -> StreamApplyResult:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
@@ -193,6 +231,7 @@ def stream_apply(
     stream = stream_changelog_reader(
         spark, changelog_dir, max_files_per_trigger,
         reader=reader, kafka_options=kafka_options,
+        kafka_subscribe_mode=kafka_subscribe_mode,
     )
     w = (
         stream.writeStream.foreachBatch(_apply)

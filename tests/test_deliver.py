@@ -220,3 +220,34 @@ def test_kafka_ingest_multi_row_messages_and_ddl_drop(spark):
     assert list(r2["tokens"]) == [3, 4, 5]
     assert r2["before_tokens"] is None and r2["before_n_tok"] == 2
     assert r1["stream_id"] == "tokens.web-0"
+
+
+def test_kafka_ingest_malformed_messages_raise_not_vanish(spark):
+    """A corrupt JSON value or a row-change message without its key must
+    RAISE (silently skipping it while the checkpoint advances would be
+    unrecoverable data loss); DDL messages still drop cleanly."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from canal_spark.streaming.apply import kafka_changelog_frame
+
+    def records(value: str):
+        return spark.createDataFrame(
+            [(b"k", value.encode(), "tokens.web", 0, 1)],
+            "key binary, value binary, topic string, partition int, offset long",
+        ).withColumn("timestamp", F.current_timestamp())
+
+    # corrupt JSON -> raise, with the position in the message
+    with pytest.raises(Exception, match="malformed FlatMessage"):
+        kafka_changelog_frame(records("{not json")).collect()
+
+    # row-change type but no doc_id in the cells -> raise
+    bad_row = json.dumps({
+        "database": "d", "table": "t", "type": "INSERT", "es": 0, "ts": 0,
+        "pkNames": ["doc_id"], "data": [{"n_tok": "1", "tokens": "[1]"}],
+        "old": None,
+    })
+    with pytest.raises(Exception, match="malformed FlatMessage"):
+        kafka_changelog_frame(records(bad_row)).collect()
