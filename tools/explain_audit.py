@@ -197,6 +197,37 @@ def main() -> None:
     if win_args and "_chunk" not in win_args[0]:
         sections.append(("Chunked cumsum: window is chunk-partitioned", p7, ["IMPOSSIBLE"], []))
 
+    # 8. sessionize: every Window is PARTITIONED by user_id — the
+    # gap-sessionizer never degrades to a single-partition global window
+    from canal_spark.operators.relational import q_sessionize
+
+    p8 = plan_of(q_sessionize(spark, sf_dir))
+    sections.append((
+        "Sessionize: lag + running sum windows partitioned by user",
+        p8,
+        ["Window"],
+        ["CartesianProduct"],
+    ))
+    for args in re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", p8):
+        if "user_id" not in args:
+            sections.append((
+                "Sessionize: window missing user partition spec", p8,
+                ["IMPOSSIBLE"], [],
+            ))
+            break
+
+    # 9. incremental delta-vs-index dedup: the (small) delta band set is
+    # the broadcast build side of the candidate join — O(delta) work
+    from canal_spark.operators.dedup import q_dedup_incremental
+
+    p9 = plan_of(q_dedup_incremental(spark, sf_dir))
+    sections.append((
+        "Incremental dedup: broadcast delta bands vs corpus index, no product",
+        p9,
+        ["BroadcastHashJoin", "BroadcastExchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
