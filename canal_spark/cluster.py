@@ -140,11 +140,22 @@ def with_cluster_key(
 # --------------------------------------------------------------------------
 
 
-def measure_tightness(spark: SparkSession, table: Table, snapshot_id: int | None = None) -> dict:
+def measure_tightness(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int | None = None,
+    entries: list | None = None,
+) -> dict:
     """Avg normalized per-file min/max width of xxhash64(doc_id), plus
     avg distinct sources per file.  Lower = tighter stats = better
-    pruning.  Column-pruned scan (doc_id, source only)."""
-    entries = table.files(snapshot_id)
+    pruning.  Column-pruned scan (doc_id, source only).
+
+    Pass ``entries`` to measure a SUBSET of files — the incremental
+    cluster pass measures only what it rewrites, keeping the metric
+    O(delta); a full-table measurement per pass would be two whole
+    scans of a 100 TB table for bookkeeping."""
+    if entries is None:
+        entries = table.files(snapshot_id)
     if not entries:
         return {"hash_range": 1.0, "sources_per_file": 0.0, "files": 0}
     key_cols = table.key_cols
@@ -218,7 +229,10 @@ def cluster(
         [e for e in entries if e.sort_order != tag]
         if scope == "incremental" else entries
     )
-    before = measure_tightness(spark, table) if measure else {}
+    # measure ONLY what this pass touches: the victims before, the
+    # replacement files after — O(rewritten delta), never two full
+    # scans of the table per maintenance cycle
+    before = measure_tightness(spark, table, entries=victims) if measure else {}
     if not victims:
         return ClusterResult(
             snapshot_id=table.current_snapshot_id, curve=curve,
@@ -304,7 +318,7 @@ def cluster(
         summary={"phase": "cluster", "curve": curve, "scope": scope,
                  "job-id": job_id},
     )
-    after = measure_tightness(spark, table) if measure else {}
+    after = measure_tightness(spark, table, entries=new_entries) if measure else {}
     return ClusterResult(
         snapshot_id=snap.snapshot_id,
         curve=curve,

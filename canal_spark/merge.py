@@ -308,6 +308,9 @@ def merge_into(
             F.sum(
                 ((~F.col("_noop")) & (F.col("op") != "D")).cast("long")
             ).alias("n_up_keys"),
+            F.sum(
+                ((~F.col("_noop")) & (F.col("op") == "D")).cast("long")
+            ).alias("n_d_keys"),
         ).collect()[0]
         n_keys_all, new_hwm = row["n"] or 0, row["hwm"]
         if n_keys_all == 0:
@@ -315,6 +318,7 @@ def merge_into(
         n_noop = int(row["n_noop"] or 0)
         n_keys = n_keys_all - n_noop  # keys that actually change state
         n_up_keys = int(row["n_up_keys"] or 0)
+        n_d_keys = int(row["n_d_keys"] or 0)
         new_gset = None
         if has_streams:
             # per-stream ack points (bounded by stream count)
@@ -367,9 +371,22 @@ def merge_into(
         # amplification stays bounded by the touched files, never the
         # table.
         new_entries = []
+        rows_del = 0
         if affected:
             # era-aware read: affected files may predate renames/widenings
             target_affected = table.read_files(spark, affected)
+            if n_d_keys > 0:
+                # exact delete count: table rows matching final-D keys.
+                # (The old rows_in+n_up-rows_out arithmetic counted every
+                # REPLACED row of an updated key as a delete.)  Key-only
+                # column-pruned scan of the affected files, skipped
+                # entirely for update-only batches.
+                d_keys = effective.where(F.col("op") == "D").select(*key_cols)
+                rows_del = (
+                    target_affected.select(*key_cols)
+                    .join(F.broadcast(d_keys), key_cols, "leftsemi")
+                    .count()
+                )
             # CDC batches are normally small → broadcast the key set (no
             # shuffle at all).  A huge backfill batch must NOT be
             # broadcast: fall through to a shuffled anti-join and let
@@ -392,8 +409,6 @@ def merge_into(
                 sort_within_by=key_cols,
             )
         new_entries += upsert_entries
-        rows_out = sum(e.rows for e in new_entries)
-        rows_in = sum(e.rows for e in affected)
         n_up = sum(e.rows for e in upsert_entries)
     finally:
         final.unpersist()
@@ -407,7 +422,12 @@ def merge_into(
     }
     # checkpoint ALSO persisted as table properties so it survives
     # snapshot expiry — data + checkpoint in one atomic commit.
-    props = {CKPT_KEY: int(new_hwm)}
+    # max() against the pre-batch mark: in GTID mode a batch from a
+    # quiet stream can carry ordinals far below the stored global mark,
+    # and overwriting the property with this batch's max would REGRESS
+    # the scalar checkpoint once expiry drops the summaries that carried
+    # the larger value (stale redeliveries would then re-apply).
+    props = {CKPT_KEY: max(hwm, int(new_hwm))}
     if new_gset is not None:
         summary[GTID_KEY] = new_gset
         props[GTID_KEY] = new_gset
@@ -426,7 +446,7 @@ def merge_into(
         files_added=len(new_entries),
         files_pruned=len(untouched),
         rows_upserted=n_up,
-        rows_deleted=max(0, rows_in + n_up - rows_out),
+        rows_deleted=rows_del,
         bytes_rewritten=sum(e.bytes for e in affected),
         job_id=job_id,
         extra=skew_stats,

@@ -397,10 +397,10 @@ class Table:
                     else:
                         cols.append(FF.lit(None).cast(f.dataType).alias(f.name))
             if with_file_path:
+                from canal_spark.table.writer import norm_file_path
+
                 cols.append(
-                    FF.regexp_replace(
-                        FF.col("_metadata.file_path"), "^[a-zA-Z0-9]+:/+", "/"
-                    ).alias(with_file_path)
+                    norm_file_path(FF.col("_metadata.file_path")).alias(with_file_path)
                 )
             parts.append(df.select(*cols))
         out = parts[0]
@@ -737,47 +737,62 @@ class Table:
         of their manifests; only files referenced *exclusively* by
         expired snapshots are deleted.
         """
-        snaps = self.snapshots
-        if not snaps:
-            return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
-        current = self.current_snapshot_id
-        keep: set[int] = {current}
-        if keep_last is not None:
-            keep.update(s.snapshot_id for s in snaps[-keep_last:])
-        if older_than_ms is not None:
-            keep.update(s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms)
-        if keep_last is None and older_than_ms is None:
-            keep.update(s.snapshot_id for s in snaps)  # nothing to expire
+        for _attempt in range(5):
+            self.refresh()
+            snaps = self.snapshots
+            if not snaps:
+                return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
+            current = self.current_snapshot_id
+            keep: set[int] = {current}
+            if keep_last is not None and keep_last > 0:
+                # guard: snaps[-0:] would be the WHOLE list, silently
+                # keeping everything when 'keep only current' was meant
+                keep.update(s.snapshot_id for s in snaps[-keep_last:])
+            if older_than_ms is not None:
+                keep.update(
+                    s.snapshot_id for s in snaps if s.timestamp_ms >= older_than_ms
+                )
+            if keep_last is None and older_than_ms is None:
+                keep.update(s.snapshot_id for s in snaps)  # nothing to expire
 
-        retained = [s for s in snaps if s.snapshot_id in keep]
-        expired = [s for s in snaps if s.snapshot_id not in keep]
-        if not expired:
-            return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
+            retained = [s for s in snaps if s.snapshot_id in keep]
+            expired = [s for s in snaps if s.snapshot_id not in keep]
+            if not expired:
+                return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
 
-        live_manifests: set[str] = set()
-        live_files: set[str] = set()
-        for s in retained:
-            live_manifests.update(s.manifests)
-        for m in live_manifests:
-            live_files.update(e.path for e in self._read_manifest(m))
+            live_manifests: set[str] = set()
+            live_files: set[str] = set()
+            for s in retained:
+                live_manifests.update(s.manifests)
+            for m in live_manifests:
+                live_files.update(e.path for e in self._read_manifest(m))
 
-        dead_manifests: set[str] = set()
-        dead_files: set[str] = set()
-        for s in expired:
-            for m in s.manifests:
-                if m not in live_manifests:
-                    dead_manifests.add(m)
-                    dead_files.update(
-                        e.path
-                        for e in self._read_manifest(m)
-                        if e.path not in live_files
-                    )
+            dead_manifests: set[str] = set()
+            dead_files: set[str] = set()
+            for s in expired:
+                for m in s.manifests:
+                    if m not in live_manifests:
+                        dead_manifests.add(m)
+                        dead_files.update(
+                            e.path
+                            for e in self._read_manifest(m)
+                            if e.path not in live_files
+                        )
 
-        meta = dict(self.metadata)
-        meta["version"] = self.version + 1
-        meta["snapshots"] = [s.to_json() for s in retained]
-        _write_metadata_exclusive(self.root, meta)
-        self.metadata = meta
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = [s.to_json() for s in retained]
+            try:
+                # optimistic retry like every other commit path: a
+                # concurrent writer's version bump means re-reading and
+                # re-planning the expiry, not a raw FileExistsError
+                _write_metadata_exclusive(self.root, meta)
+            except FileExistsError:
+                continue
+            self.metadata = meta
+            break
+        else:
+            raise CommitConflict("expire gave up after 5 retries")
 
         deleted_data = deleted_manifests = 0
         if delete_orphans:
@@ -810,11 +825,30 @@ class Table:
         from canal_spark.table.writer import _list_parquet
 
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for s in self.snapshots:
+            live_manifests.update(s.manifests)
             for m in s.manifests:
                 live.update(e.path for e in self._read_manifest(m))
         cutoff = time.time() - older_than_s
-        removed = scanned = 0
+        removed = scanned = manifests_removed = 0
+
+        # manifests referenced by NO retained snapshot: commit-retry
+        # losers and conflicted rewrite_manifests leave them behind, and
+        # neither snapshot expiry (which only follows expired snapshots'
+        # references) nor the data sweep below would ever collect them
+        for n in os.listdir(self._meta_dir()):
+            if not (n.startswith("manifest-") and n.endswith(".json")):
+                continue
+            if n in live_manifests:
+                continue
+            p = os.path.join(self._meta_dir(), n)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    manifests_removed += 1
+            except FileNotFoundError:
+                pass
         for p in _list_parquet(self._data_dir()):
             rel = os.path.relpath(p, self.root)
             scanned += 1
@@ -855,7 +889,11 @@ class Table:
                     os.rmdir(dirpath)
                 except OSError:
                     pass
-        return {"scanned": scanned, "orphans_deleted": removed}
+        return {
+            "scanned": scanned,
+            "orphans_deleted": removed,
+            "orphan_manifests_deleted": manifests_removed,
+        }
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Roll the table back to a past snapshot AS A NEW COMMIT — the
@@ -939,6 +977,10 @@ class Table:
                 break
             except FileExistsError:
                 continue
+        else:
+            # all retries lost the version race: failing silently here
+            # would report a consolidation that never committed
+            raise CommitConflict("manifest rewrite gave up after 5 retries")
         return {"manifests_before": before, "manifests_after": len(new_manifests)}
 
     def history(self) -> list[dict]:
@@ -1012,10 +1054,25 @@ def _metadata_path(root: str, version: int) -> str:
 
 
 def _write_metadata_exclusive(root: str, meta: dict) -> None:
-    """Create v{N}.metadata.json with O_EXCL — the atomic CAS of commits."""
+    """Create v{N}.metadata.json atomically — the CAS of commits.
+
+    The content is written to a temp file first and LINKED into place:
+    ``os.link`` fails with FileExistsError when the version already
+    exists (first-writer-wins, same as O_EXCL) but the winning file is
+    always COMPLETE — a bare ``open(path, 'x')`` + ``json.dump`` would
+    expose an empty/partial v{N} to concurrent readers (max-version
+    listing would pick it and json.load would crash), and a writer
+    crash mid-dump would brick the table behind a permanently
+    truncated version file.
+    """
     path = _metadata_path(root, meta["version"])
-    with open(path, "x") as f:
+    tmp = path + f".tmp{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
     # advisory pointer for humans; listing is the source of truth
     hint = os.path.join(root, "metadata", "VERSION")
     tmp = hint + f".tmp{uuid.uuid4().hex[:6]}"

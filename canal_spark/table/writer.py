@@ -20,19 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from canal_spark.table.format import DataFile, Table
 
-# column types eligible for min/max stats (arrays/maps/structs excluded)
-_STAT_TYPES = {
-    "string",
-    "integer",
-    "long",
-    "short",
-    "byte",
-    "double",
-    "float",
-    "date",
-    "timestamp",
-    "boolean",
-}
+# min/max stat eligibility is enforced structurally in _footer_stats:
+# nested paths (arrays/maps/structs) are skipped by the '.' check and
+# byte values drop to None in _json_native — no type whitelist needed
 
 GROUP_COL = "_grp"  # synthetic grouping column, dropped on write
 

@@ -284,3 +284,60 @@ def test_skew_stats_reported(spark, token_table):
     assert st["slice_rows"] == 600
     assert st["hot_key_freq"] >= st["mean_key_freq"]
     assert st["hot_key_freq"] > 1  # zipf produced a genuinely hot key
+
+
+def test_rows_deleted_metric_exact(spark, token_table):
+    """rows_deleted counts rows removed by final-D keys only — an
+    update-only batch reports ZERO (the old rows_in+n_up-rows_out
+    arithmetic counted every replaced row of an updated key)."""
+    import datetime as dt
+
+    t, base = token_table
+    E = dt.datetime(2026, 1, 1)
+
+    def mk(ordinal, op, key, toks):
+        n = len(toks) if toks else None
+        src = key.split(":")[0] if op != "D" else None
+        return (ordinal, op, key, toks, n, src, E, 1, None, None)
+
+    ks = [r[0] for r in base[:6]]
+    # update-only batch
+    b1 = [mk(i + 1, "U", ks[i], [7, 7]) for i in range(3)]
+    r1 = merge_into(spark, t, changelog_df(spark, b1))
+    assert r1.applied and r1.rows_upserted == 3
+    assert r1.rows_deleted == 0
+    # mixed batch: 2 real deletes + 1 delete of a nonexistent key
+    b2 = [mk(10, "D", ks[3], None), mk(11, "D", ks[4], None),
+          mk(12, "D", "ghost:0000000001", None), mk(13, "U", ks[5], [1])]
+    r2 = merge_into(spark, t, changelog_df(spark, b2))
+    assert r2.applied
+    assert r2.rows_deleted == 2  # ghost delete removes nothing
+
+
+def test_gtid_quiet_stream_does_not_regress_scalar_hwm(spark, token_table):
+    """A GTID batch whose ordinals are far below the stored scalar mark
+    must not regress the checkpoint property (stale scalar-mode
+    redeliveries would re-apply after snapshot expiry)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.merge import merge_high_water_mark
+
+    t, base = token_table
+    E = dt.datetime(2026, 1, 1)
+    ks = [r[0] for r in base[:4]]
+
+    # scalar-mode batch establishes a high mark
+    big = [(1_000_000, "U", ks[0], [1], 1, ks[0].split(":")[0], E, 1, None, None)]
+    merge_into(spark, t, changelog_df(spark, big))
+    assert merge_high_water_mark(t) == 1_000_000
+
+    # GTID batch with small per-stream ordinals
+    schema = changelog_df(spark, []).withColumn("stream_id", F.lit("x")).schema
+    small = [(5, "U", ks[1], [2], 1, ks[1].split(":")[0], E, 1, None, None, "A")]
+    merge_into(spark, t, spark.createDataFrame(small, schema))
+
+    # property survives even after expiry drops the old summaries
+    t.expire_snapshots(keep_last=1)
+    assert merge_high_water_mark(t) == 1_000_000

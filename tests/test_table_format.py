@@ -259,3 +259,53 @@ def test_rollback_to_snapshot(spark, tmp_table_root):
     # roll forward again
     t.rollback_to(s2)
     assert scan_dict(spark, t) == state2
+
+
+def test_expire_keep_last_zero_keeps_only_current(spark, tmp_table_root):
+    """keep_last=0 means 'only the current snapshot' — the snaps[-0:]
+    whole-list trap must not silently keep everything."""
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    for seed in (1, 2, 3):
+        append(spark, t, base_table_df(spark, 10, seed=seed).repartition(1))
+    res = t.expire_snapshots(keep_last=0)
+    assert res["expired"] == 2
+    assert [s.snapshot_id for s in t.snapshots] == [3]
+
+
+def test_partial_metadata_tmp_files_are_ignored(spark, tmp_table_root):
+    """A crashed writer's truncated metadata temp file must neither be
+    picked up as the latest version nor block future commits."""
+    import os
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 20).repartition(1))
+    v = t.version
+    # crash debris: partial content under the tmp naming scheme
+    debris = os.path.join(t.root, "metadata", f"v{v + 1}.metadata.json.tmpdead")
+    with open(debris, "w") as f:
+        f.write('{"version": ')  # truncated JSON
+    t2 = load_table(t.root)
+    assert t2.version == v  # tmp file not mistaken for a version
+    append(spark, t2, base_table_df(spark, 5, seed=3).repartition(1))
+    assert t2.version == v + 1  # commit landed despite the debris
+
+
+def test_remove_orphan_manifests(spark, tmp_table_root):
+    """Manifest JSON referenced by no retained snapshot (commit-retry
+    losers) is swept by remove_orphan_files; live manifests survive."""
+    import os
+    import time as _time
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 30).repartition(1))
+    mdir = os.path.join(t.root, "metadata")
+    # simulate a commit-retry loser's manifest
+    orphan = os.path.join(mdir, "manifest-add-deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write("[]")
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["orphan_manifests_deleted"] == 1
+    assert not os.path.exists(orphan)
+    assert t.scan(spark).count() == 30  # live manifests untouched
