@@ -33,7 +33,12 @@ from canal_spark.table.writer import append
 def ensure_lineage(root: str) -> Table:
     if os.path.exists(os.path.join(root, "metadata")):
         return load_table(root)
-    return create_table(root, LINEAGE_SCHEMA)
+    try:
+        return create_table(root, LINEAGE_SCHEMA)
+    except FileExistsError:
+        # check-then-create race: a concurrent job created it first —
+        # same first-writer-wins-and-losers-load pattern as commits
+        return load_table(root)
 
 
 def record(
@@ -61,7 +66,11 @@ def record(
             {"before": tightness_before, "after": tightness_after}
             if tightness_before is not None or tightness_after is not None
             else None,
-            _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None),
+            # tz-AWARE: Spark converts an aware datetime to the correct
+            # UTC instant regardless of session timezone; a naive UTC
+            # wall-clock would be read in session-local time, shifting
+            # every lineage ts by the tz offset on non-UTC clusters
+            _dt.datetime.now(_dt.timezone.utc),
         )
     ]
     df = spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1)

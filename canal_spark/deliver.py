@@ -162,7 +162,11 @@ def deliver_flat_messages(
         .sortWithinPartitions("topic", "lane", "ordinal")
         .drop("ordinal")
         .write.partitionBy("topic", "lane")
-        .mode("overwrite")
+        # append, never overwrite: a lane is a Kafka-partition stand-in
+        # a consumer tails — delivering batch 2 must not destroy the
+        # batch-1 files the consumer hasn't read yet (each batch lands
+        # as fresh uniquely-named part files after the existing ones)
+        .mode("append")
         .format("text")
         .save(out_dir)
     )

@@ -59,11 +59,10 @@ def snapshot_diff(
             "tokens",
             "n_tok",
             "source",
-            F.col("_osig").isNull().alias("_ins"),
             (F.col("_osig") == F.col("_nsig")).alias("_same"),
         )
         .where(F.col("_same").isNull() | ~F.col("_same"))
-        .drop("_ins", "_same")
+        .drop("_same")
     )
 
 

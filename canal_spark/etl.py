@@ -63,10 +63,15 @@ def full_load(
         partition_by=["source"] if partition_by is None else partition_by,
     )
     # chunked parallel import above the threshold, single writer below —
-    # the RdbEtlService:76-80 switch, with Spark tasks as the workers
+    # the RdbEtlService:76-80 switch, with Spark tasks as the workers.
+    # RANGE partitioning (not hash): hash-partitioned files would each
+    # span the whole key space, so per-file doc_id min/max never prunes
+    # and the FIRST incremental merge would copy-on-write the entire
+    # table; range layout gives disjoint key intervals from day one
+    # (the one-time sampling job is a rounding error on a full load)
     if n >= min_parallel_rows:
         writers = max(1, -(-n // target_file_rows))
-        out = source.repartition(writers, "doc_id")
+        out = source.repartitionByRange(writers, "doc_id")
     else:
         out = source.coalesce(1)
     snap, entries = append(

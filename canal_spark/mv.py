@@ -249,6 +249,10 @@ def derive_star_view_changelog(
     if child_changes is not None:
         if cfg.child is None:
             raise ValueError("child_changes passed but config has no child")
+        if len(mk) != 1:
+            # fail here, not as a cannot-resolve-column error deep in
+            # the union (star_view_select enforces the same constraint)
+            raise ValueError("child aggregation requires a single-column main key")
         # child-side change: the affected main keys are right on the
         # child rows (ESSyncService re-runs the subquery per main key)
         parts.append(

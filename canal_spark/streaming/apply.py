@@ -89,8 +89,11 @@ def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
         "topic", "partition", "offset",
         # PERMISSIVE from_json turns corrupt JSON into an ALL-NULL
         # struct (not a null struct); every valid FlatMessage carries
-        # `type`, so a null type is the unparseable-value signature
-        m["type"].isNull().alias("_bad_json"),
+        # `type`, so a NON-NULL value with a null type is the
+        # unparseable signature.  A null VALUE is a compaction
+        # tombstone — a benign, well-known Kafka record kind that must
+        # DROP (raising would wedge the stream at that offset forever).
+        (F.col("value").isNotNull() & m["type"].isNull()).alias("_bad_json"),
         m["type"].alias("_mtype"),
         m["es"].alias("_es"),
         m["old"].alias("_old"),
@@ -178,7 +181,13 @@ def stream_changelog_reader(
         r = spark.readStream.format("kafka").option(
             kafka_subscribe_mode, changelog_dir
         )
-        for k, v in (kafka_options or {}).items():
+        opts = dict(kafka_options or {})
+        # a fresh checkpoint must consume the EXISTING backlog: Spark's
+        # default startingOffsets is 'latest', which would silently skip
+        # every already-produced message on first run — the exact
+        # data-loss-with-zero-signal class the decode guard exists for
+        opts.setdefault("startingOffsets", "earliest")
+        for k, v in opts.items():
             r = r.option(k, str(v))
         return kafka_changelog_frame(r.load())
     if reader != "files":

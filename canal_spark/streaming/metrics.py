@@ -40,17 +40,29 @@ def stream_traffic_metrics(
     )
 
 
-def stream_delay_metrics(changes: DataFrame, watermark: str = "30 seconds") -> DataFrame:
-    """Replication delay: processing time minus event time per micro-batch
-    (the reference's canal_instance_traffic_delay)."""
+def stream_delay_metrics(
+    changes: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Replication delay: processing time minus latest event time per
+    event-time window and source (the reference's
+    canal_instance_traffic_delay).  Windowed like the traffic metric —
+    an unwindowed groupBy would keep cumulative all-time state (the
+    watermark would evict nothing and ``n_changes`` would be a running
+    total, not the window's)."""
     return (
         changes.withWatermark("es", watermark)
-        .groupBy("source")
+        .groupBy(F.window("es", window).alias("win"), "source")
         .agg(
             F.count("*").alias("n_changes"),
             F.max("es").alias("latest_event_time"),
             (
                 F.unix_millis(F.current_timestamp()) - F.unix_millis(F.max("es"))
             ).alias("delay_ms"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "source", "n_changes", "latest_event_time", "delay_ms",
         )
     )

@@ -251,3 +251,40 @@ def test_kafka_ingest_malformed_messages_raise_not_vanish(spark):
     })
     with pytest.raises(Exception, match="malformed FlatMessage"):
         kafka_changelog_frame(records(bad_row)).collect()
+
+
+def test_kafka_ingest_tombstones_drop(spark):
+    """A null-value record (log-compaction tombstone) is benign: it must
+    DROP, not raise — raising would wedge the stream at that offset on
+    every restart."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.streaming.apply import kafka_changelog_frame
+
+    records = spark.createDataFrame(
+        [(b"k", None, "tokens.web", 0, 3)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+    assert kafka_changelog_frame(records).collect() == []
+
+
+def test_deliver_second_batch_appends_not_destroys(spark, token_table, tmp_path):
+    """Delivering a second batch to the same out_dir must keep the first
+    batch's lane files (a consumer may not have read them yet)."""
+    import json as _json
+    import os as _os
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.deliver import deliver_flat_messages
+
+    _, base = token_table
+    out = str(tmp_path / "mq2")
+    deliver_flat_messages(changelog_df(spark, synth_changelog_rows(base, 100, seed=71)), out, lanes=2)
+    deliver_flat_messages(changelog_df(spark, synth_changelog_rows(base, 60, seed=72)), out, lanes=2)
+    n = 0
+    for dirpath, _d, names in _os.walk(out):
+        for fn in names:
+            if fn.endswith(".txt"):
+                with open(_os.path.join(dirpath, fn)) as f:
+                    n += sum(1 for line in f if _json.loads(line))
+    assert n == 160  # both batches present

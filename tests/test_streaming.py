@@ -111,3 +111,20 @@ def test_stream_metrics_run_as_stream(spark, token_table, tmp_path):
     n = rows[0]["n"] or 0
     assert 0 <= n <= 400
     spark.catalog.dropTempView("traffic_test")
+
+
+def test_stream_delay_metrics_windowed_counts(spark, token_table):
+    """Delay metric is per event-time window (not cumulative all-time
+    state): window counts sum to the input count and delay is
+    non-negative for past events."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.streaming import stream_delay_metrics
+
+    _, base = token_table
+    changes = changelog_df(spark, synth_changelog_rows(base, 200, seed=31))
+    m = stream_delay_metrics(changes, window="10 seconds").collect()
+    assert sum(r["n_changes"] for r in m) == 200
+    assert {f for r in m for f in r.asDict()} == {
+        "win_start", "source", "n_changes", "latest_event_time", "delay_ms"
+    }
+    assert all(r["delay_ms"] >= 0 for r in m)
