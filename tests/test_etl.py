@@ -46,3 +46,26 @@ def full_load_helper(spark, src, root):
     from canal_spark.etl import full_load
 
     return full_load(spark, src, root, target_file_rows=250, min_parallel_rows=100)
+
+
+def test_full_load_files_have_disjoint_key_ranges(spark, tmp_path):
+    """The parallel load path range-partitions by key: per-file doc_id
+    [min,max] intervals are disjoint, so the FIRST incremental merge
+    can prune (hash layout would make every file span the key space
+    and the first merge a full-table rewrite)."""
+    from canal_spark.etl import full_load, tokenize_documents
+    from canal_spark.operators.common import load as _load
+
+    t = full_load(
+        spark,
+        tokenize_documents(_load(spark, "/root/testdata/sf0.001", "documents")),
+        str(tmp_path / "etl_range"),
+        target_file_rows=100,
+        min_parallel_rows=10,
+    )
+    ents = t.files()
+    assert len(ents) >= 3
+    spans = sorted((e.stats["doc_id"]["min"], e.stats["doc_id"]["max"]) for e in ents)
+    for (_m1, x1), (m2, _x2) in zip(spans, spans[1:]):
+        assert x1 <= m2, (x1, m2)
+    assert t.scan(spark).count() == 500
