@@ -46,13 +46,13 @@ def make_token_table(spark, sf_dir: str, replicas: int):
     # split), and the broadcast-NL join keeps the left side's layout — so
     # without this the whole tokenization of docs × replicas rows runs in
     # a single task.
+    from canal_spark.etl import _TOKENS_EXPR  # the SHIPPED tokenizer —
+    # the bench must measure the same transform the real ETL runs
+
     n_part = spark.sparkContext.defaultParallelism * 2
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n_part)
     rep = spark.range(replicas).select(F.col("id").alias("rep"))
-    toks = F.expr(
-        "transform(split(text, ' '), "
-        "w -> CAST(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 50257 AS INT))"
-    )
+    toks = F.expr(_TOKENS_EXPR)
     base = docs.select(
         F.col("doc_id").cast("string").alias("did"), toks.alias("toks"),
         "source",
@@ -112,6 +112,14 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
 
     keep_dir = os.environ.get("SPARK_GRAFT_BENCH_KEEP_DIR")
     root = keep_dir or tempfile.mkdtemp(prefix="canal_bench_")
+    if keep_dir and os.path.isdir(keep_dir) and os.listdir(keep_dir):
+        # refuse to wipe arbitrary pre-existing content: only a prior
+        # bench table (recognizable by its metadata dir) may be replaced
+        if not os.path.isdir(os.path.join(keep_dir, "metadata")):
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_KEEP_DIR={keep_dir} is non-empty and is "
+                "not a previous bench table — refusing to delete it"
+            )
     shutil.rmtree(root, ignore_errors=True)
     phases: dict[str, float] = {}
     try:

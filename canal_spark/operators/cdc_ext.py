@@ -34,7 +34,11 @@ def q_timeline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time DAY — monotone in the (ts, event_id) order — rank within
     chunk in parallel windows, broadcast per-chunk prefix offsets), so
     no single-partition WindowExec ever sees the full table."""
-    ev = load(spark, sf_dir, "events")
+    # null event times are excluded on BOTH sides: Spark orders nulls
+    # first, DuckDB last, so an untimed event would shift every
+    # global_seq and break cross-engine parity (same rule as sessionize;
+    # a real timeline barrier has no position for an untimed event)
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     shards = [
         ev.where(F.col("event_id") % 3 == i).withColumn("shard", F.lit(i).cast("int"))
         for i in range(3)
@@ -54,7 +58,8 @@ def q_timeline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TIMELINE_MERGE = """
 WITH sharded AS (
-  SELECT event_id, ts, CAST(event_id % 3 AS INT) AS shard FROM events),
+  SELECT event_id, ts, CAST(event_id % 3 AS INT) AS shard
+  FROM events WHERE ts IS NOT NULL),
 merged AS (
   SELECT *, row_number() OVER (ORDER BY ts, event_id) AS global_seq FROM sharded)
 SELECT CAST(global_seq AS BIGINT) AS global_seq, shard, event_id, ts

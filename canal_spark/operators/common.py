@@ -97,6 +97,12 @@ def chunked_cumsum(
 
     spark = df.sparkSession
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    # null values count as 0 — the SAME rule in the chunk-local window
+    # and the per-chunk totals, so the two phases compose exactly (a
+    # chunk whose values are all null would otherwise sum to NULL,
+    # crashing the driver-side prefix accumulation and yielding NULL
+    # local sums where the composed total should carry forward)
+    value = F.coalesce(value, F.lit(0))
     d = df.withColumn("_chunk", F.floor(F.col(order_col) / F.lit(chunk_width)))
     w_local = Window.partitionBy("_chunk").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0

@@ -84,26 +84,31 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 # --- MinHash + LSH ------------------------------------------------------------
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: 8 independent min-hashes per doc
-    (min over shingle hashes salted by k), 8 bands of 1 row each —
-    docs agreeing on ANY minhash become a candidate pair via the
-    band-bucket equi-join (never an all-pairs product)."""
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket): the MinHash band table shared by the LSH
+    pair join and the incremental delta-vs-index check — 8 independent
+    min-hashes per doc (min over shingle hashes salted by k), exploded
+    in ONE posexplode (an N-branch union would re-execute the shingle
+    aggregation once per branch per join side)."""
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
         for k in range(N_MINHASH)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)
-    # ONE posexplode instead of an N_MINHASH-branch union: a union
-    # re-executes the shingle aggregation once per branch per join side
-    # (16x total); the explode computes it once per side.
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)])
         ).alias("band", "bucket"),
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ANY minhash band
+    become a candidate pair via the band-bucket equi-join (never an
+    all-pairs product)."""
+    bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, ["band", "bucket"])
@@ -140,9 +145,11 @@ WHERE a.doc_id < b.doc_id
 SIM_BITS = 16
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc: per-bit majority vote over the word-hash
-    population (distinct words)."""
+def _simhash_sigs(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over the distinct-word
+    hash population — the ONE SimHash construction, parameterized by
+    signature width (16-bit coarse sigs and the 60-bit banded-pairs
+    sigs must never drift apart)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     wd = (
         _words(docs)
@@ -154,18 +161,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(SIM_BITS)
+        for b in range(bits)
     ]
-    sig_terms = [
-        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(SIM_BITS)
-    ]
-    sig = sig_terms[0]
-    for t in sig_terms[1:]:
-        sig = sig + t
+    sig = None
+    for b in range(bits):
+        t = (
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = t if sig is None else sig + t
     return wd.groupBy("doc_id").agg(*votes).select(
         "doc_id", sig.cast("long").alias("simhash")
     )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: per-bit majority vote over the word-hash
+    population (distinct words)."""
+    return _simhash_sigs(spark, sf_dir, SIM_BITS)
 
 
 _votes_sql = ", ".join(
@@ -202,30 +215,9 @@ HAM_MAX = 3  # < N_BANDS -> guaranteed recall
 
 
 def wide_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per doc (per-bit majority over distinct words)."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    wd = (
-        _words(docs)
-        .select("doc_id", F.explode("ws").alias("w"))
-        .distinct()
-        .withColumn("h", md5int(F.col("w")))
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(WIDE_BITS)
-    ]
-    sig = None
-    for b in range(WIDE_BITS):
-        t = (
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        sig = t if sig is None else sig + t
-    return wd.groupBy("doc_id").agg(*votes).select(
-        "doc_id", sig.cast("long").alias("simhash")
-    )
+    """60-bit SimHash per doc (per-bit majority over distinct words) —
+    same construction as q_dedup_simhash, wider signature."""
+    return _simhash_sigs(spark, sf_dir, WIDE_BITS)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,18 +390,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus).  Here docs with doc_id % 10 == 0 play the delta, the
     rest the index; emits per delta doc the number of indexed near-dups
     and the smallest matching indexed doc id."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [
-        F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
-        for k in range(N_MINHASH)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)])
-        ).alias("band", "bucket"),
-    )
+    bands = _minhash_bands(spark, sf_dir)
     delta = bands.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_id"), "band", "bucket"
     )
