@@ -113,14 +113,20 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
     keep_dir = os.environ.get("SPARK_GRAFT_BENCH_KEEP_DIR")
     root = keep_dir or tempfile.mkdtemp(prefix="canal_bench_")
     if keep_dir and os.path.isdir(keep_dir) and os.listdir(keep_dir):
-        # refuse to wipe arbitrary pre-existing content: only a prior
-        # bench table (recognizable by its metadata dir) may be replaced
-        if not os.path.isdir(os.path.join(keep_dir, "metadata")):
+        # refuse to wipe arbitrary pre-existing content — ONLY a dir
+        # this bench itself created (stamped with the marker below) may
+        # be replaced; any real table also has metadata/, so checking
+        # for that would green-light deleting production data
+        if not os.path.exists(os.path.join(keep_dir, "_CANAL_BENCH")):
             raise SystemExit(
-                f"SPARK_GRAFT_BENCH_KEEP_DIR={keep_dir} is non-empty and is "
-                "not a previous bench table — refusing to delete it"
+                f"SPARK_GRAFT_BENCH_KEEP_DIR={keep_dir} is non-empty and was "
+                "not created by this bench — refusing to delete it"
             )
     shutil.rmtree(root, ignore_errors=True)
+    if keep_dir:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_CANAL_BENCH"), "w") as f:
+            f.write("created by bench.py; safe to replace on re-run\n")
     phases: dict[str, float] = {}
     try:
         table = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])

@@ -31,14 +31,23 @@ from canal_spark.table.writer import append
 
 
 def ensure_lineage(root: str) -> Table:
+    import time as _time
+
     if os.path.exists(os.path.join(root, "metadata")):
         return load_table(root)
     try:
         return create_table(root, LINEAGE_SCHEMA)
     except FileExistsError:
         # check-then-create race: a concurrent job created it first —
-        # same first-writer-wins-and-losers-load pattern as commits
-        return load_table(root)
+        # losers load.  The winner may still be between mkdir and its
+        # v0.metadata.json write, so poll briefly instead of crashing
+        # on the not-yet-written metadata.
+        for _ in range(50):
+            try:
+                return load_table(root)
+            except FileNotFoundError:
+                _time.sleep(0.1)
+        raise
 
 
 def record(

@@ -153,20 +153,38 @@ def deliver_flat_messages(
     topic_expr: str = DEFAULT_TOPIC_EXPR,
     database: str = "lakehouse",
     table: str = "tokens",
-) -> None:
-    """Write the changelog as `{out_dir}/topic=*/lane=*/part-*.json`,
-    each lane file ordered by ordinal (a Kafka-partition stand-in)."""
+    batch_id: int | None = None,
+) -> int:
+    """Write one delivery batch as
+    ``{out_dir}/batch=<id>/topic=*/lane=*/part-*.txt``, each lane file
+    ordered by ordinal (a Kafka-partition stand-in).  Returns the batch
+    id used.
+
+    Batch-keyed subdirectories give the file sink the two Kafka-path
+    properties a bare append or overwrite each lose:
+
+    * **re-delivery idempotence** — the same batch (same ``batch_id``,
+      default: the batch's max ordinal, deterministic for a given
+      changelog slice) overwrites ONLY its own subdir, never
+      duplicating messages on a retry;
+    * **recoverable cross-batch order** — prior batches' files are
+      untouched, and a consumer replays batch dirs in zero-padded id
+      order then lanes within (bare append would restart part-file
+      numbering at part-00000 every batch with the ordinal dropped
+      from the payload, making interleaved-name replay silently
+      reorder batches).
+    """
     routed = build_mq_frame(changes, lanes, topic_expr, database, table).drop("key")
+    if batch_id is None:
+        row = routed.agg(F.max("ordinal").alias("m")).collect()[0]
+        batch_id = int(row["m"] or 0)
     (
         routed.repartition(lanes, "topic", "lane")
         .sortWithinPartitions("topic", "lane", "ordinal")
         .drop("ordinal")
         .write.partitionBy("topic", "lane")
-        # append, never overwrite: a lane is a Kafka-partition stand-in
-        # a consumer tails — delivering batch 2 must not destroy the
-        # batch-1 files the consumer hasn't read yet (each batch lands
-        # as fresh uniquely-named part files after the existing ones)
-        .mode("append")
+        .mode("overwrite")  # scoped to THIS batch's subdir only
         .format("text")
-        .save(out_dir)
+        .save(f"{out_dir}/batch={batch_id:020d}")
     )
+    return batch_id

@@ -42,6 +42,8 @@ def stream_traffic_metrics(
 
 def stream_delay_metrics(
     changes: DataFrame,
+    *,  # keyword-only: `window` was inserted before `watermark`, and a
+    # legacy positional watermark arg would silently become the window
     window: str = "10 seconds",
     watermark: str = "30 seconds",
 ) -> DataFrame:

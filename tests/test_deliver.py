@@ -14,10 +14,10 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
     _, base = token_table
     rows = synth_changelog_rows(base, 400, seed=61)
     changes = changelog_df(spark, rows)
-    out = str(tmp_path / "mq")
-    deliver_flat_messages(changes, out, lanes=4)
-
-    # directory layout: topic=<source topic>/lane=<0..3>
+    out_root = str(tmp_path / "mq")
+    bid = deliver_flat_messages(changes, out_root, lanes=4)
+    # directory layout: batch=<id>/topic=<source topic>/lane=<0..3>
+    out = os.path.join(out_root, f"batch={bid:020d}")
     topics = {d for d in os.listdir(out) if d.startswith("topic=")}
     assert any("tokens.web" in t for t in topics)
     # deletes route by the delete-stable doc_id prefix, so even deletes
@@ -279,12 +279,26 @@ def test_deliver_second_batch_appends_not_destroys(spark, token_table, tmp_path)
 
     _, base = token_table
     out = str(tmp_path / "mq2")
-    deliver_flat_messages(changelog_df(spark, synth_changelog_rows(base, 100, seed=71)), out, lanes=2)
-    deliver_flat_messages(changelog_df(spark, synth_changelog_rows(base, 60, seed=72)), out, lanes=2)
-    n = 0
-    for dirpath, _d, names in _os.walk(out):
-        for fn in names:
-            if fn.endswith(".txt"):
-                with open(_os.path.join(dirpath, fn)) as f:
-                    n += sum(1 for line in f if _json.loads(line))
-    assert n == 160  # both batches present
+    b1_changes = changelog_df(spark, synth_changelog_rows(base, 100, seed=71))
+    b2_changes = changelog_df(spark, synth_changelog_rows(base, 60, seed=72))
+    b1 = deliver_flat_messages(b1_changes, out, lanes=2)
+    b2 = deliver_flat_messages(b2_changes, out, lanes=2)
+    assert b1 != b2  # distinct deterministic batch ids
+
+    def count_msgs():
+        n = 0
+        for dirpath, _d, names in _os.walk(out):
+            for fn in names:
+                if fn.endswith(".txt"):
+                    with open(_os.path.join(dirpath, fn)) as f:
+                        n += sum(1 for line in f if _json.loads(line))
+        return n
+
+    assert count_msgs() == 160  # both batches present
+    # batch dirs replay in zero-padded id order
+    batches = sorted(d for d in _os.listdir(out) if d.startswith("batch="))
+    assert len(batches) == 2 and batches == sorted(batches)
+    # RE-delivery of batch 2 (same deterministic id) is idempotent —
+    # it overwrites only its own subdir, never duplicating messages
+    assert deliver_flat_messages(b2_changes, out, lanes=2) == b2
+    assert count_msgs() == 160

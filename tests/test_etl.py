@@ -67,5 +67,5 @@ def test_full_load_files_have_disjoint_key_ranges(spark, tmp_path):
     assert len(ents) >= 3
     spans = sorted((e.stats["doc_id"]["min"], e.stats["doc_id"]["max"]) for e in ents)
     for (_m1, x1), (m2, _x2) in zip(spans, spans[1:]):
-        assert x1 <= m2, (x1, m2)
+        assert x1 < m2, (x1, m2)  # STRICT: equal bounds = shared key
     assert t.scan(spark).count() == 500
