@@ -65,7 +65,10 @@ def plan_bins(
     small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
 
     def w(e: DataFile) -> int:
-        return weights[e.path] if weights is not None else e.bytes
+        # .get(..., 0): a zero-row victim file produces no groupBy row in
+        # token_weights, so it is legitimately absent from the dict — it
+        # packs for free (and the rewrite drops it)
+        return weights.get(e.path, 0) if weights is not None else e.bytes
 
     budget = target_weight if weights is not None else target_bytes
 

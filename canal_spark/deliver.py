@@ -20,6 +20,8 @@ Invariants preserved from the reference:
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,7 +168,14 @@ def deliver_flat_messages(
     * **re-delivery idempotence** — the same batch (same ``batch_id``,
       default: the batch's max ordinal, deterministic for a given
       changelog slice) overwrites ONLY its own subdir, never
-      duplicating messages on a retry;
+      duplicating messages on a retry.  Multi-stream changelogs
+      (a ``stream_id`` column: GTID/Kafka-ingested frames) have
+      per-stream ordinals that overlap across streams, so the default
+      id mixes a fingerprint of the batch's distinct stream ids into
+      the low digits — two batches from different stream subsets can
+      no longer collide (and silently overwrite each other).  An
+      EMPTY frame has no deterministic id at all and raises: pass an
+      explicit ``batch_id`` if empty deliveries must be recorded;
     * **recoverable cross-batch order** — prior batches' files are
       untouched, and a consumer replays batch dirs in zero-padded id
       order then lanes within (bare append would restart part-file
@@ -176,8 +185,26 @@ def deliver_flat_messages(
     """
     routed = build_mq_frame(changes, lanes, topic_expr, database, table).drop("key")
     if batch_id is None:
-        row = routed.agg(F.max("ordinal").alias("m")).collect()[0]
+        has_streams = "stream_id" in changes.columns
+        aggs = [F.max("ordinal").alias("m"), F.count(F.lit(1)).alias("n")]
+        if has_streams:
+            aggs.append(F.collect_set("stream_id").alias("sids"))
+        row = changes.agg(*aggs).collect()[0]
+        if int(row["n"]) == 0:
+            raise ValueError(
+                "empty delivery frame has no deterministic default "
+                "batch_id (0 would overwrite a real batch 0); pass an "
+                "explicit batch_id"
+            )
         batch_id = int(row["m"] or 0)
+        sids = sorted(str(s) for s in (row["sids"] or [])) if has_streams else []
+        if sids:
+            # per-stream ordinals overlap across streams — max ordinal
+            # alone is not unique.  crc32 of the sorted stream-id set is
+            # deterministic across runs (re-delivery hits the same dir)
+            # and keeps ids monotone within one stream subset.
+            fp = zlib.crc32(",".join(sids).encode()) % 1_000_000
+            batch_id = batch_id * 1_000_000 + fp
     (
         routed.repartition(lanes, "topic", "lane")
         .sortWithinPartitions("topic", "lane", "ordinal")

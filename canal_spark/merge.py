@@ -382,9 +382,17 @@ def merge_into(
                 # column-pruned scan of the affected files, skipped
                 # entirely for update-only batches.
                 d_keys = effective.where(F.col("op") == "D").select(*key_cols)
+                # same broadcast gate as the anti-join below: a mass-delete
+                # backfill must not force a multi-million-key broadcast for
+                # what is only a stats counter — let AQE pick the strategy
+                d_side = (
+                    F.broadcast(d_keys)
+                    if n_d_keys <= max_broadcast_keys
+                    else d_keys
+                )
                 rows_del = (
                     target_affected.select(*key_cols)
-                    .join(F.broadcast(d_keys), key_cols, "leftsemi")
+                    .join(d_side, key_cols, "leftsemi")
                     .count()
                 )
             # CDC batches are normally small → broadcast the key set (no

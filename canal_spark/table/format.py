@@ -824,6 +824,11 @@ class Table:
         one directory walk + the manifest union, no data scan."""
         from canal_spark.table.writer import _list_parquet
 
+        # a long-held Table handle must not classify files committed since
+        # it was loaded as orphans: the live set has to come from CURRENT
+        # metadata, not the in-memory snapshot list (the mtime cutoff only
+        # protects when older_than_s exceeds the handle's staleness)
+        self.refresh()
         live: set[str] = set()
         live_manifests: set[str] = set()
         for s in self.snapshots:
@@ -904,9 +909,20 @@ class Table:
         (metadata-only) and pins the target's schema-id, so history is
         preserved (no snapshots are deleted) and the rollback itself can
         be rolled back."""
-        target = self.snapshot_by_id(snapshot_id)
+        self.snapshot_by_id(snapshot_id)  # fail fast on a bad id
         for _ in range(5):
             self.refresh()
+            # re-resolve AFTER refresh: a concurrent
+            # expire_snapshots(delete_orphans=True) may have expired the
+            # target between attempts — committing from the stale Snapshot
+            # object would reference already-deleted manifests
+            try:
+                target = self.snapshot_by_id(snapshot_id)
+            except KeyError:
+                raise CommitConflict(
+                    f"rollback target snapshot {snapshot_id} was expired "
+                    "by a concurrent expire_snapshots"
+                ) from None
             parent = self.current_snapshot()
             snap = Snapshot(
                 snapshot_id=(parent.snapshot_id + 1) if parent else 1,

@@ -118,3 +118,19 @@ def test_compact_pack_by_all_null_weight_column(spark, tmp_table_root):
                   tokens_per_target=10)
     assert res.bins_written >= 1
     assert scan_dict(spark, t) == before
+
+
+def test_plan_bins_zero_row_victim_missing_from_weights():
+    """A zero-row (or fully-filtered) victim file produces no groupBy row
+    in token_weights, so it is absent from the weights dict — plan_bins
+    must pack it at weight 0, not crash with KeyError."""
+    files = [DataFile(path=f"f{i}", rows=10, bytes=10, partition={})
+             for i in range(3)]
+    empty = DataFile(path="empty", rows=0, bytes=10, partition={})
+    weights = {f.path: 100 for f in files}  # "empty" intentionally missing
+    bins = plan_bins(files + [empty], target_bytes=1000, small_file_bytes=50,
+                     weights=weights, target_weight=250)
+    packed = {e.path for m in bins for e in m}
+    assert "empty" in packed  # weight 0 -> packs for free
+    for members in bins:
+        assert sum(weights.get(e.path, 0) for e in members) <= 250

@@ -302,3 +302,29 @@ def test_deliver_second_batch_appends_not_destroys(spark, token_table, tmp_path)
     # it overwrites only its own subdir, never duplicating messages
     assert deliver_flat_messages(b2_changes, out, lanes=2) == b2
     assert count_msgs() == 160
+
+
+def test_multi_stream_default_batch_id_and_empty_raise(spark, token_table, tmp_path):
+    """Per-stream ordinals overlap across streams: two batches from
+    DIFFERENT stream subsets with the same max ordinal must get distinct
+    default batch ids (previously the second overwrite wiped the first
+    batch's subdir).  Re-delivery of the SAME frame stays idempotent
+    (same id).  An empty frame has no deterministic id and raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.deliver import deliver_flat_messages
+
+    _, base = token_table
+    out = str(tmp_path / "mq3")
+    frame = changelog_df(spark, synth_changelog_rows(base, 40, seed=73))
+    a = frame.withColumn("stream_id", F.lit("srcA"))
+    b = frame.withColumn("stream_id", F.lit("srcB"))  # same ordinals!
+    ba = deliver_flat_messages(a, out, lanes=2)
+    bb = deliver_flat_messages(b, out, lanes=2)
+    assert ba != bb  # fingerprint keeps disjoint-stream batches apart
+    assert deliver_flat_messages(a, out, lanes=2) == ba  # idempotent retry
+
+    with pytest.raises(ValueError, match="batch_id"):
+        deliver_flat_messages(frame.limit(0), out, lanes=2)

@@ -309,3 +309,49 @@ def test_remove_orphan_manifests(spark, tmp_table_root):
     assert res["orphan_manifests_deleted"] == 1
     assert not os.path.exists(orphan)
     assert t.scan(spark).count() == 30  # live manifests untouched
+
+
+def test_remove_orphan_files_refreshes_stale_handle(spark, tmp_table_root):
+    """Files committed through ANOTHER handle since this handle was
+    loaded are live, not orphans — remove_orphan_files must refresh its
+    metadata first, even when the files are older than the cutoff."""
+    import os
+    import time as _time
+
+    from canal_spark.table.format import load_table
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 50).repartition(1))
+    stale = load_table(tmp_table_root)  # handle loaded NOW, held stale
+
+    t2 = load_table(tmp_table_root)
+    append(spark, t2, base_table_df(spark, 30, seed=5).repartition(1))
+    new_paths = [
+        os.path.join(t2.root, e.path)
+        for e in t2.refresh().files()
+    ]
+    # age everything far past any cutoff — only liveness can protect it
+    old = _time.time() - 7200
+    for p in new_paths:
+        os.utime(p, (old, old))
+
+    res = stale.remove_orphan_files(older_than_s=3600)
+    assert res["orphans_deleted"] == 0
+    assert all(os.path.exists(p) for p in new_paths)
+    assert t2.refresh() and t2.scan(spark).count() == 80
+
+
+def test_rollback_to_expired_target_raises(spark, tmp_table_root):
+    """rollback_to must fail cleanly when the target snapshot has been
+    expired (its manifests may already be deleted) — never commit a
+    current snapshot referencing dead manifests."""
+    import pytest
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 20).repartition(1))
+    s1 = t.current_snapshot_id
+    append(spark, t, base_table_df(spark, 20, seed=3).repartition(1))
+    t.expire_snapshots(keep_last=0, delete_orphans=True)
+    with pytest.raises(KeyError, match="expired"):
+        t.rollback_to(s1)
+    assert t.scan(spark).count() == 40  # table unharmed
