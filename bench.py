@@ -19,6 +19,12 @@ Env knobs:
   SPARK_GRAFT_CPUS       local[N] threads  (default 32)
   SPARK_GRAFT_BENCH_REPLICAS  token-table replication factor (default 40)
   SPARK_GRAFT_BENCH_QUERIES   "all" | "none" | comma list (default all)
+  SPARK_GRAFT_BENCH_PASS_RUNS full load+pass repetitions, best reported
+                              (default 2 — this host drifts ±30%, one
+                              sample made r2 vs r3 walls unreadable)
+  SPARK_GRAFT_BENCH_SCALE_MULT extra probe at replicas×MULT for
+                              machine-readable data-scale linearity
+                              (default 10; 0/1 disables)
 """
 
 from __future__ import annotations
@@ -240,20 +246,45 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8), extra_conf=extra)
 
     t_all = time.perf_counter()
-    maint = bench_maintenance(spark, sf_dir, replicas)
+    # best-of-N full load+pass, fresh table each run: single samples on
+    # this host drift ±30%, so one measurement cannot distinguish a real
+    # regression from noise.  Both raw walls are reported alongside.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASS_RUNS", "2")))
+    maints = [bench_maintenance(spark, sf_dir, replicas) for _ in range(n_runs)]
+    maint = min(maints, key=lambda m: m["maintenance_pass_sec"])
     queries = bench_queries(spark, sf_dir, which)
 
     result = {
         "metric": "maintenance_pass_wall_sec",
         "value": maint["maintenance_pass_sec"],
         "unit": "sec",
+        "pass_runs": [m["maintenance_pass_sec"] for m in maints],
+        "load_runs": [m["phases"]["load"] for m in maints],
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
         "replicas": replicas,
-        "total_wall_sec": round(time.perf_counter() - t_all, 3),
         **{k: v for k, v in maint.items() if k != "maintenance_pass_sec"},
     }
+
+    # data-scale linearity probe: the same job at replicas×MULT, once
+    # (the best-of-N above anchors the base point) — makes the scale
+    # evidence machine-readable in BENCH_r{N}.json instead of living
+    # only in BASELINE.md prose.
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "10"))
+    if mult > 1:
+        probe = bench_maintenance(spark, sf_dir, replicas * mult)
+        result["scale_probe"] = {
+            "replicas": replicas * mult,
+            "rows_loaded": probe["rows_loaded"],
+            "maintenance_pass_sec": probe["maintenance_pass_sec"],
+            "scan_seq_per_sec": probe["scan_seq_per_sec"],
+            "phases": probe["phases"],
+            "pass_ratio_vs_base": round(
+                probe["maintenance_pass_sec"] / maint["maintenance_pass_sec"], 2
+            ),
+        }
+    result["total_wall_sec"] = round(time.perf_counter() - t_all, 3)
     print(json.dumps(result))
 
 

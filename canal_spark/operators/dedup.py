@@ -84,31 +84,69 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 # --- MinHash + LSH ------------------------------------------------------------
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+MAX_BUCKET = 64  # hot-bucket cap: an LSH bucket larger than this is dropped
+
+
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """(doc_id, band, bucket): the MinHash band table shared by the LSH
     pair join and the incremental delta-vs-index check — 8 independent
     min-hashes per doc (min over shingle hashes salted by k), exploded
     in ONE posexplode (an N-branch union would re-execute the shingle
-    aggregation once per branch per join side)."""
+    aggregation once per branch per join side).
+
+    Hot-bucket guard: a degenerate bucket (one boilerplate shingle
+    minimizing every salt across a million templated docs) would turn
+    the downstream equi-join into O(b²) pair blowup, so buckets larger
+    than ``max_bucket`` are DROPPED before any join.  Mega-bucket
+    members are exact-dup-like by construction and far cheaper to
+    catch with `dedup_exact` first (run it before LSH in a pipeline).
+    The count is a window over the same (band, bucket) key the joins
+    shuffle on, so the guard rides the exchange the join needs anyway.
+    `band_index_stats` reports what a given cap would drop (the
+    maintenance pass logs it as a lineage metric)."""
+    from pyspark.sql import Window
+
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
         for k in range(N_MINHASH)
     ]
     sigs = sh.groupBy("doc_id").agg(*aggs)
-    return sigs.select(
+    bands = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)])
         ).alias("band", "bucket"),
     )
+    w = Window.partitionBy("band", "bucket")
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def band_index_stats(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Per-(band,bucket) sizes of an UNCAPPED band frame plus the
+    would-drop flag — the observability half of the hot-bucket guard
+    (one row per bucket; aggregate for totals)."""
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .withColumn("dropped", F.col("bucket_size") > max_bucket)
+    )
+
+
+def q_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ANY minhash band
     become a candidate pair via the band-bucket equi-join (never an
-    all-pairs product)."""
-    bands = _minhash_bands(spark, sf_dir)
+    all-pairs product); buckets above ``max_bucket`` are dropped first
+    (see `_minhash_bands` — the O(b²) hot-bucket guard)."""
+    bands = _minhash_bands(spark, sf_dir, max_bucket=max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, ["band", "bucket"])
@@ -128,11 +166,16 @@ _mh_cols = ", ".join(
 _band_union = " UNION ALL ".join(
     f"SELECT doc_id, {k} AS band, mh{k} AS bucket FROM sigs" for k in range(N_MINHASH)
 )
+# hot-bucket guard, oracle side: identical cap via QUALIFY window count
+_capped_bands = (
+    f"SELECT doc_id, band, bucket FROM ({_band_union}) "
+    f"QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {MAX_BUCKET}"
+)
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {DUCK_SHINGLES},
 sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({_band_union})
+bands AS ({_capped_bands})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band, bucket)
 WHERE a.doc_id < b.doc_id
@@ -322,7 +365,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = f"""
 WITH {DUCK_SHINGLES},
 sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({_band_union}),
+bands AS ({_capped_bands}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band, bucket)
@@ -409,7 +452,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_INCREMENTAL = f"""
 WITH {DUCK_SHINGLES},
 sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({_band_union}),
+bands AS ({_capped_bands}),
 delta AS (SELECT doc_id AS new_id, band, bucket FROM bands WHERE doc_id % 10 = 0),
 idx AS (SELECT doc_id, band, bucket FROM bands WHERE doc_id % 10 != 0)
 SELECT d.new_id,
@@ -500,7 +543,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_GROUPS = f"""
 WITH RECURSIVE {DUCK_SHINGLES},
 sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({_band_union}),
+bands AS ({_capped_bands}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band, bucket)

@@ -7,8 +7,10 @@ column plays the centroid-assignment role).  All math is JVM-side
 rounds to 9 decimals to absorb summation-order ulp noise before the
 deterministic (score, vec_id) tie-break, output scores round to 4.
 
-Scale path: brute force is O(Q*N) — fine for a broadcast query set;
-the IVF variant turns it into a per-cluster equi-join, the same plan
+Scale path: brute force is O(Q*N) with Q hard-capped at MAX_QUERIES
+(the broadcast build side is constant at any corpus size) — the
+exactness baseline; the IVF variant turns the sweep into a
+per-cluster equi-join against a FIXED-K codebook, the same plan
 shape a 10^12-row ANN sweep needs (partition by cell, join within).
 """
 
@@ -20,7 +22,19 @@ from pyspark.sql import functions as F
 from canal_spark.operators.common import load
 
 TOPK = 3
-Q_MOD = 50  # vec_id % 50 == 0 -> query set
+Q_MOD = 50  # vec_id % 50 == 0 -> query sample pool
+MAX_QUERIES = 32  # hard cap: the broadcast query side is O(32) at ANY corpus size
+
+
+def _query_set(e: DataFrame) -> DataFrame:
+    """Constant-bounded query sample: the MAX_QUERIES smallest vec_ids
+    of the % Q_MOD pool.  `.orderBy().limit()` compiles to
+    TakeOrderedAndProject (distributed per-partition top-K, no global
+    sort), so the build side of the downstream broadcast join stays a
+    constant ~MAX_QUERIES×64 doubles whether the corpus is 5×10^2 or
+    10^12 vectors — this operator is the exactness baseline the recall
+    tests compare against, not the scale path (that's the IVF sweep)."""
+    return e.where(F.col("vec_id") % Q_MOD == 0).orderBy("vec_id").limit(MAX_QUERIES)
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -42,7 +56,7 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
-    q = e.where(F.col("vec_id") % Q_MOD == 0).select(
+    q = _query_set(e).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     n = e.select(
@@ -75,11 +89,13 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBED_COSINE_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % {Q_MOD} = 0
+      ORDER BY vec_id LIMIT {MAX_QUERIES}),
 scored AS (
   SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          round(list_cosine_similarity(q.v, n.v), 9) AS c9
-  FROM e q, e n
-  WHERE q.vec_id % {Q_MOD} = 0 AND q.vec_id != n.vec_id),
+  FROM q, e n
+  WHERE q.vec_id != n.vec_id),
 ranked AS (
   SELECT q_id, n_id, c9,
          row_number() OVER (PARTITION BY q_id ORDER BY c9 DESC, n_id ASC) AS rank
@@ -89,8 +105,19 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
-CENT_MOD = 41  # seeded coarse-centroid picks: vec_id % 41 == 1 (~n/41 cells)
+IVF_K = 16  # FIXED codebook size — the centroid collect is O(K) at any corpus size
 NPROBE = 3  # queries search their top-3 nearest cells (multi-probe IVF)
+# Deterministic cross-engine seed hash (an LCG both Spark and DuckDB
+# evaluate identically in int64: max value ~1.1e15, no overflow).  The
+# % SEED_DOM first keeps the product in range even for 10^12-scale ids.
+SEED_MUL, SEED_ADD, SEED_DOM, SEED_MOD = 1103515245, 12345, 1000003, 2**31
+
+
+def _seed_hash():
+    return ((F.col("vec_id") % SEED_DOM) * SEED_MUL + SEED_ADD) % SEED_MOD
+
+
+SEED_HASH_SQL = f"((vec_id % {SEED_DOM}) * {SEED_MUL} + {SEED_ADD}) % {SEED_MOD}"
 
 
 def _argmax_cell(scores: DataFrame) -> DataFrame:
@@ -120,21 +147,34 @@ def _scores_against(targets: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivf_centroids(e: DataFrame) -> DataFrame:
-    """IVF coarse centroids: deterministic seed picks + ONE Lloyd
-    refinement step (assign to seeds, recompute each cell's centroid as
-    the per-dimension mean of its members).  Components round to 6
-    decimals so Spark and DuckDB agree bit-for-bit on the refined
-    codebook despite engine-specific float summation order.
+    """IVF coarse centroids: a FIXED-K deterministic seed pick + ONE
+    Lloyd refinement step (assign to seeds, recompute each cell's
+    centroid as the per-dimension mean of its members).  Components
+    round to 6 decimals so Spark and DuckDB agree bit-for-bit on the
+    refined codebook despite engine-specific float summation order.
+
+    Seeds are the IVF_K vectors with the smallest deterministic hash
+    (an LCG over vec_id — a pseudo-random sample both engines compute
+    identically), via TakeOrderedAndProject: per-partition top-K, no
+    global sort.  K is a CONSTANT, so the codebook — and the one
+    driver `.collect()` the consumer does — is O(K) whether the corpus
+    is 500 or 10^12 vectors (real IVF codebooks are ~2^16-2^20 cells
+    at that scale; raise IVF_K, never let it track n).
 
     Scale shape: the seed assignment is a broadcast crossJoin +
     map-side argmax; the mean is posexplode -> (cell, dim) partial agg
     (64·K cells — centroid-scale, not data-scale) reassembled in dim
     order.  Empty cells simply drop out of the codebook.
     """
-    seeds = e.where(F.col("vec_id") % CENT_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cn"),
+    seeds = (
+        e.select("vec_id", "v", "norm", _seed_hash().alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
     )
     assign0 = _argmax_cell(_scores_against(e, seeds))
     members = e.select("vec_id", "v").join(assign0, "vec_id")
@@ -165,7 +205,7 @@ def ivf_cells(e: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     inverted-file structure an ANN sweep partitions by.
 
     Plan shape: every vector scores against the BROADCAST centroid set
-    (K = n/CENT_MOD, bounded) and max_by picks the argmax — a map-side
+    (K = IVF_K, a constant) and max_by picks the argmax — a map-side
     crossJoin + partial aggregate, no all-pairs anything; ties break on
     the lower centroid id for cross-engine determinism.
     """
@@ -185,15 +225,14 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
     # Train the codebook once and ship it as a literal frame — the
     # standard IVF pattern (FAISS: train, then broadcast the codebook).
-    # K = n/CENT_MOD stays driver-collectable by design (real IVF
-    # codebooks are ~2^16-2^20 cells even at 10^12 vectors); without
+    # The collect is O(IVF_K) — a CONSTANT — at any corpus size; without
     # this the codebook DAG (seed-assign + mean shuffle) would execute
     # once per consumer branch (cells AND probes).
     cents = spark.createDataFrame(
         ivf_centroids(e).collect(), "cent_id long, cv array<double>, cn double"
     )
     cells = ivf_cells(e, cents)
-    queries = e.where(F.col("vec_id") % Q_MOD == 0)
+    queries = _query_set(e)
     wp = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
     probes = (
         _scores_against(queries, cents)
@@ -232,7 +271,8 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBED_IVF_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {CENT_MOD} = 1),
+seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e
+          ORDER BY {SEED_HASH_SQL}, vec_id LIMIT {IVF_K}),
 a0 AS (
   SELECT e.vec_id, s.cent_id,
          row_number() OVER (PARTITION BY e.vec_id
@@ -255,8 +295,10 @@ assign AS (
                                      c.cent_id ASC) AS rn
   FROM e, c),
 cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
-probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM assign
-           WHERE rn <= {NPROBE} AND vec_id % {Q_MOD} = 0),
+qids AS (SELECT vec_id FROM e WHERE vec_id % {Q_MOD} = 0
+         ORDER BY vec_id LIMIT {MAX_QUERIES}),
+probes AS (SELECT a.vec_id AS q_id, a.cent_id AS cell FROM assign a
+           JOIN qids ON qids.vec_id = a.vec_id WHERE a.rn <= {NPROBE}),
 scored AS (
   SELECT p.q_id, CAST(p.cell AS BIGINT) AS cell, n.vec_id AS n_id,
          round(list_cosine_similarity(q.v, n.v), 9) AS c9

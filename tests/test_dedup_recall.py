@@ -83,13 +83,17 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
     codebook equals a numpy replication (seed-assign -> per-cell mean
     rounded to 6 -> reassign), every vector's cell is the argmax-cosine
     refined centroid, and multi-probe IVF recall@1 vs brute force
-    clears the floor — measured 0.5 refined vs 0.4 seeded with NPROBE=3
-    of ~13 cells on the deterministic fixture (the Lloyd step buys
-    +0.1 recall at fixed probe budget)."""
+    clears the floor with NPROBE=3 of the FIXED IVF_K=16 cells on the
+    deterministic fixture.  Seeds are the K smallest LCG-hash picks —
+    the codebook size is a constant, never n-dependent."""
     import numpy as np
 
     from canal_spark.operators.similarity import (
-        CENT_MOD,
+        IVF_K,
+        SEED_ADD,
+        SEED_DOM,
+        SEED_MOD,
+        SEED_MUL,
         _with_norm,
         ivf_cells,
         ivf_centroids,
@@ -101,7 +105,12 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
     sf = "/root/testdata/sf0.001"
     e = _with_norm(load(spark, sf, "embeddings"))
     vecs = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
-    seeds = {i: v for i, v in vecs.items() if i % CENT_MOD == 1}
+
+    def seed_hash(vid):
+        return ((vid % SEED_DOM) * SEED_MUL + SEED_ADD) % SEED_MOD
+
+    seed_ids = sorted(vecs, key=lambda i: (seed_hash(i), i))[:IVF_K]
+    seeds = {i: vecs[i] for i in seed_ids}
 
     def argmax(v, cdict):
         scores = {
@@ -154,3 +163,40 @@ def test_dedup_groups_reliable_checkpoint_same_labels(spark, tmp_path):
     assert rel == base
     import os
     assert os.listdir(str(tmp_path / "ckpt"))  # checkpoints actually written
+
+
+def test_lsh_hot_bucket_cap_bounds_pair_blowup(spark, tmp_path):
+    """A degenerate mega-bucket (N identical templated docs sharing every
+    minhash) must NOT produce O(N²) candidate pairs: buckets above the
+    cap are dropped, distinct near-dup docs still pair, and
+    band_index_stats reports exactly what was dropped."""
+    from canal_spark.operators.dedup import (
+        _minhash_bands,
+        band_index_stats,
+        q_dedup_minhash_lsh,
+    )
+
+    n_mega = 40  # identical docs -> every band collapses to one bucket
+    docs = [(i, "the same boiler plate template text here") for i in range(n_mega)]
+    # two genuinely near-dup docs that must survive the cap
+    docs += [
+        (1000, " ".join(f"u{k}" for k in range(20))),
+        (1001, " ".join(f"u{k}" for k in range(19)) + " tail"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/documents.parquet")
+
+    capped = q_dedup_minhash_lsh(spark, sf_dir, max_bucket=10).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (1000, 1001) in got  # small buckets untouched
+    assert all(a >= 1000 for a, _ in got)  # no mega-bucket pairs at all
+    # without the guard the join would emit n_mega*(n_mega-1)/2 pairs
+    assert len(got) < n_mega * (n_mega - 1) // 2
+
+    stats = band_index_stats(_minhash_bands(spark, sf_dir, max_bucket=10**9),
+                             max_bucket=10).collect()
+    dropped = [r for r in stats if r["dropped"]]
+    assert dropped and all(r["bucket_size"] == n_mega for r in dropped)
+    kept = [r for r in stats if not r["dropped"]]
+    assert kept  # the near-dup docs' buckets are reported, not dropped
