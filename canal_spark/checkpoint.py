@@ -34,7 +34,13 @@ def ensure_lineage(root: str) -> Table:
     import time as _time
 
     if os.path.exists(os.path.join(root, "metadata")):
-        return load_table(root)
+        t = load_table(root)
+        # round-3 lineage tables predate the metrics column: evolve in
+        # place (metadata-only; old rows read null) so record() can
+        # always write the full row shape
+        if "metrics" not in t.spark_schema().fieldNames():
+            t.evolve_schema(add=[("metrics", "map<string,bigint>")])
+        return t
     try:
         return create_table(root, LINEAGE_SCHEMA)
     except FileExistsError:
@@ -62,7 +68,11 @@ def record(
     bytes_shuffled: int | None = None,
     tightness_before: float | None = None,
     tightness_after: float | None = None,
+    **metrics: int | None,
 ) -> None:
+    """Extra keyword counters land in the free-form ``metrics`` map
+    (e.g. ``dup_candidates=3``) — the prometheus-label analogue."""
+    mmap = {k: int(v) for k, v in metrics.items() if v is not None} or None
     row = [
         (
             job_id,
@@ -80,6 +90,7 @@ def record(
             # wall-clock would be read in session-local time, shifting
             # every lineage ts by the tz offset on non-UTC clusters
             _dt.datetime.now(_dt.timezone.utc),
+            mmap,
         )
     ]
     df = spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1)

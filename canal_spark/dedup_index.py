@@ -1,0 +1,294 @@
+"""Maintained MinHash band index — the dedup suite wired into the
+maintenance pass.
+
+The driver-query operators (`operators/dedup.py`) compute band tables
+from scratch per query; a production pass over a 10^12-sequence corpus
+instead MAINTAINS the band table as a lakehouse table of its own
+(`doc_id, band, bucket` — one row per doc per minhash band over the
+TOKEN arrays) and, per changelog batch, only
+
+  1. rewrites the index files whose key range overlaps the batch's
+     changed doc_ids (same manifest min/max pruning as the data merge),
+  2. recomputes band rows from the CURRENT post-merge token table for
+     those keys (deleted docs simply have no rows -> they vanish), and
+  3. reports the batch's near-dup candidates vs the index (the
+     `dedup_incremental` O(delta) shape) as lineage metrics.
+
+Reference parity: this is the ES/HBase adapter pattern — a derived
+store kept in sync from the same changelog the primary apply consumes
+(client-adapter/.../ESSyncService.java sync-by-affected-keys), with
+the derived "view" being the LSH index instead of a search document.
+
+Scale notes: refresh work is O(batch + overlapping index files); the
+candidate join restricts the index to the delta's buckets FIRST, then
+applies the hot-bucket cap (`operators/dedup.MAX_BUCKET`) on those
+bucket counts — a boilerplate mega-bucket costs one linear count, never
+an O(b²) pair blowup.  All hashing is the shared cross-engine md5
+kernel, so index contents equal what the batch operators would compute.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from canal_spark.operators.common import md5int
+from canal_spark.operators.dedup import MAX_BUCKET, N_MINHASH
+from canal_spark.table.format import Table, create_table
+from canal_spark.table.writer import write_datafiles
+
+BAND_INDEX_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("band", IntegerType(), False),
+        StructField("bucket", LongType(), False),
+    ]
+)
+
+SHINGLE_K = 3  # 3-token shingles over the token arrays
+
+
+def token_band_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) MinHash bands over TOKEN arrays.
+
+    Shingles are 3-token windows rendered as space-joined ints (so the
+    salted md5 kernel is byte-identical to the text operators'); docs
+    shorter than SHINGLE_K tokens produce no rows and are simply absent
+    from the index.  One posexplode — never an N-branch union."""
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {SHINGLE_K - 1}),"
+                f" i -> concat_ws(' ', transform(slice(tokens, i, {SHINGLE_K}),"
+                " t -> cast(t as string))))"
+            )
+        ).alias("shingle"),
+    ).where(F.size("tokens") >= SHINGLE_K)
+    aggs = [
+        F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{k}") for k in range(N_MINHASH)])
+        ).alias("band", "bucket"),
+    ).select("doc_id", F.col("band").cast("int"), "bucket")
+
+
+def create_band_index(root: str) -> Table:
+    """An empty band-index table (keyed by doc_id for manifest pruning)."""
+    return create_table(
+        root, BAND_INDEX_SCHEMA, properties={"key-cols": "doc_id"}
+    )
+
+
+@dataclass
+class BandIndexResult:
+    applied: bool
+    full_rebuild: bool = False
+    snapshot_id: int | None = None
+    docs_changed: int = 0
+    bands_written: int = 0
+    files_rewritten: int = 0
+    files_pruned: int = 0
+    dup_candidates: int = 0
+    dup_docs: int = 0
+    hot_buckets_capped: int = 0
+    job_id: str = ""
+    extra: dict = field(default_factory=dict)
+
+
+def delta_dup_candidates(
+    index_bands: DataFrame,
+    delta_bands: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, capped_buckets): near-dup candidates of a delta vs
+    the maintained index — O(delta) work.
+
+    The index is first restricted to the delta's (band, bucket) set
+    (broadcast semi-join — index files never shuffle), bucket sizes are
+    counted over that restricted subset only, and buckets above
+    ``max_bucket`` are dropped (reported in `capped_buckets`).  A hot
+    bucket therefore costs one linear count, never O(b²) pairs."""
+    delta_buckets = delta_bands.select("band", "bucket").distinct()
+    hits = index_bands.join(F.broadcast(delta_buckets), ["band", "bucket"])
+    sizes = hits.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    capped = sizes.where(F.col("bucket_size") > max_bucket)
+    ok = sizes.where(F.col("bucket_size") <= max_bucket).select("band", "bucket")
+    cands = (
+        hits.join(F.broadcast(ok), ["band", "bucket"])
+        .join(
+            F.broadcast(
+                delta_bands.select(
+                    F.col("doc_id").alias("new_id"), "band", "bucket"
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .where(F.col("doc_id") != F.col("new_id"))
+        .groupBy("new_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_index_dups"),
+            F.min("doc_id").alias("min_index_dup"),
+        )
+    )
+    return cands, capped
+
+
+def refresh_band_index(
+    spark: SparkSession,
+    token_table: Table,
+    index_table: Table,
+    keys: DataFrame | None = None,
+    max_driver_keys: int = 2_000_000,
+    target_file_rows: int = 1_000_000,
+    max_bucket: int = MAX_BUCKET,
+    report_candidates: bool = True,
+    job_id: str | None = None,
+) -> BandIndexResult:
+    """Bring the band index in sync with ``token_table``.
+
+    ``keys=None`` (or an empty index) -> full rebuild.  Otherwise
+    incremental: index files overlapping the changed doc_ids are
+    rewritten copy-on-write (kept rows anti-joined, same pruning as the
+    data merge); new band rows come from the CURRENT token table for
+    those keys, so deletes fall out naturally and re-running after an
+    already-applied changelog is a no-op rewrite (idempotent).  The
+    delta's near-dup candidates vs the PRE-refresh index are counted
+    into the result when ``report_candidates`` (dup candidates of the
+    batch = what a dedup gate would quarantine)."""
+    from canal_spark.merge import _affected_files
+
+    job_id = job_id or uuid.uuid4().hex[:12]
+    entries = index_table.files()
+    full = keys is None or not entries
+
+    if full:
+        src = token_table.scan(spark).select("doc_id", "tokens")
+        bands = token_band_frame(src)
+        n_out = max(1, spark.sparkContext.defaultParallelism)
+        # RANGE layout, same lesson as etl.full_load: hash-partitioned
+        # files each span the whole doc_id space, so per-file min/max
+        # stats never prune and the first incremental refresh rewrites
+        # the entire index; range layout gives disjoint key intervals
+        new_entries = write_datafiles(
+            spark,
+            index_table,
+            bands.repartitionByRange(n_out, "doc_id"),
+            sort_within_by=["doc_id"],
+        )
+        snap = index_table.commit(
+            added=new_entries,
+            removed_paths=[e.path for e in entries],
+            operation="overwrite",
+            summary={"job-id": job_id, "phase": "band_index", "rebuild": "full"},
+        )
+        return BandIndexResult(
+            applied=True,
+            full_rebuild=True,
+            snapshot_id=snap.snapshot_id,
+            docs_changed=-1,
+            bands_written=sum(e.rows for e in new_entries),
+            files_rewritten=len(entries),
+            job_id=job_id,
+        )
+
+    keys_df = keys.select("doc_id").distinct().persist()
+    try:
+        n_keys = keys_df.count()
+        if n_keys == 0:
+            return BandIndexResult(applied=False, job_id=job_id)
+
+        src = token_table.scan(spark).select("doc_id", "tokens")
+        delta_bands = token_band_frame(
+            src.join(F.broadcast(keys_df), "doc_id", "leftsemi")
+        ).persist()
+
+        cands_n = dup_docs = capped_n = 0
+        if report_candidates:
+            index_bands = index_table.scan(spark)
+            cands, capped = delta_dup_candidates(
+                # exclude the delta's own (possibly stale) rows from the
+                # index side so a doc never matches itself
+                index_bands.join(F.broadcast(keys_df), "doc_id", "left_anti"),
+                delta_bands,
+                max_bucket=max_bucket,
+            )
+            agg = cands.agg(
+                F.coalesce(F.sum("n_index_dups"), F.lit(0)).alias("c"),
+                F.count(F.lit(1)).alias("d"),
+            ).collect()[0]
+            cands_n, dup_docs = int(agg["c"]), int(agg["d"])
+            capped_n = capped.count()
+
+        if n_keys <= max_driver_keys:
+            key_arr = np.sort(
+                np.array([r[0] for r in keys_df.collect()], dtype=object)
+            )
+            affected, untouched = _affected_files(entries, key_arr, "doc_id")
+        else:
+            affected, untouched = entries, []
+
+        new_entries = []
+        if affected:
+            keep = index_table.read_files(spark, affected).join(
+                F.broadcast(keys_df), "doc_id", "left_anti"
+            )
+            new_entries += write_datafiles(
+                spark, index_table, keep, sort_within_by=["doc_id"]
+            )
+        n_bands = delta_bands.count()
+        if n_bands > 0:
+            m_out = max(1, -(-n_bands // target_file_rows))
+            new_entries += write_datafiles(
+                spark,
+                index_table,
+                delta_bands.repartitionByRange(m_out, "doc_id"),
+                sort_within_by=["doc_id"],
+            )
+        snap = index_table.commit(
+            added=new_entries,
+            removed_paths=[e.path for e in affected],
+            operation="overwrite",
+            summary={
+                "job-id": job_id,
+                "phase": "band_index",
+                "keys-changed": int(n_keys),
+                "files-pruned": len(untouched),
+            },
+        )
+        return BandIndexResult(
+            applied=True,
+            snapshot_id=snap.snapshot_id,
+            docs_changed=int(n_keys),
+            bands_written=int(n_bands),
+            files_rewritten=len(affected),
+            files_pruned=len(untouched),
+            dup_candidates=cands_n,
+            dup_docs=dup_docs,
+            hot_buckets_capped=capped_n,
+            job_id=job_id,
+        )
+    finally:
+        try:
+            delta_bands.unpersist()
+        except NameError:
+            pass
+        keys_df.unpersist()

@@ -1,0 +1,71 @@
+"""spark-submit job: maintain the MinHash band index alongside the
+token table — full build or incremental refresh from a changelog batch
+(the derived-store sync of the dedup suite; see canal_spark/dedup_index).
+
+  # one-time full build
+  spark-submit --py-files canal_spark.zip canal_spark/jobs/dedup.py \\
+      /warehouse/tokens --index /warehouse/tokens_bands --full
+
+  # per-batch incremental refresh (run AFTER the data merge of the same
+  # changelog, e.g. by run_pass --band-index, or standalone):
+  spark-submit ... canal_spark/jobs/dedup.py /warehouse/tokens \\
+      --index /warehouse/tokens_bands --changelog /staging/changelog \\
+      --lineage /warehouse/_lineage
+"""
+
+from __future__ import annotations
+
+import os
+
+from canal_spark.jobs.common import base_parser, emit, session
+
+
+def main() -> None:
+    p = base_parser("MinHash band-index maintenance")
+    p.add_argument("--index", required=True, help="band-index table root")
+    p.add_argument("--changelog", default=None,
+                   help="changelog parquet dir (keys to refresh)")
+    p.add_argument("--full", action="store_true",
+                   help="full rebuild regardless of --changelog")
+    p.add_argument("--max-bucket", type=int, default=None,
+                   help="hot-bucket cap for candidate reporting")
+    args = p.parse_args()
+
+    from canal_spark import load_table
+    from canal_spark.checkpoint import ensure_lineage, record
+    from canal_spark.dedup_index import (
+        MAX_BUCKET,
+        create_band_index,
+        refresh_band_index,
+    )
+
+    spark = session(args, "canal-dedup-index")
+    table = load_table(args.table)
+    if os.path.exists(os.path.join(args.index, "metadata")):
+        index = load_table(args.index)
+    else:
+        index = create_band_index(args.index)
+
+    keys = None
+    if not args.full and args.changelog:
+        keys = spark.read.parquet(args.changelog).select("doc_id")
+    res = refresh_band_index(
+        spark, table, index, keys=keys,
+        max_bucket=args.max_bucket or MAX_BUCKET,
+        job_id=args.job_id,
+    )
+    if args.lineage and res.applied:
+        lineage = ensure_lineage(args.lineage)
+        record(
+            spark, lineage, res.job_id, "band_index",
+            snapshot_id=res.snapshot_id,
+            files_rewritten=res.files_rewritten,
+            dup_candidates=res.dup_candidates,
+            dup_docs=res.dup_docs,
+            hot_buckets_capped=res.hot_buckets_capped,
+        )
+    emit({"job": "dedup_index", **res.__dict__})
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,7 @@ class MaintenanceReport:
     compact: dict = field(default_factory=dict)
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
+    band_index: dict = field(default_factory=dict)
 
 
 def run_pass(
@@ -47,6 +48,7 @@ def run_pass(
     keep_snapshots: int = 5,
     measure: bool = True,
     job_id: str | None = None,
+    band_index: Table | None = None,
 ) -> MaintenanceReport:
     job_id = job_id or uuid.uuid4().hex[:12]
     lineage = _ckpt.ensure_lineage(lineage_root) if lineage_root else None
@@ -63,6 +65,28 @@ def run_pass(
                 ordinal=m.high_water_mark, snapshot_id=m.snapshot_id,
                 files_rewritten=m.files_rewritten, bytes_shuffled=m.bytes_rewritten,
             )
+        # Derived-store sync (ES-adapter analogue): keep the MinHash band
+        # index in step with the batch's keys, right after the data
+        # merge so the index reads the post-merge row states.  Keys come
+        # from the changelog (a superset of applied keys is fine — the
+        # refresh is idempotent per key).
+        if band_index is not None and m.applied:
+            from canal_spark.dedup_index import refresh_band_index
+
+            b = refresh_band_index(
+                spark, table, band_index,
+                keys=changes.select("doc_id"),
+                job_id=job_id,
+            )
+            rep.band_index = b.__dict__
+            if lineage and b.applied:
+                _ckpt.record(
+                    spark, lineage, job_id, "band_index",
+                    snapshot_id=b.snapshot_id,
+                    files_rewritten=b.files_rewritten,
+                    dup_candidates=b.dup_candidates,
+                    hot_buckets_capped=b.hot_buckets_capped,
+                )
 
     # Cluster BEFORE compacting: the incremental cluster pass rewrites
     # every untagged file (exactly what merge just produced) into

@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -67,6 +68,9 @@ LINEAGE_SCHEMA = StructType(
         StructField("bytes_shuffled", LongType(), True),
         StructField("stat_tightness", StructType().add("before", "double").add("after", "double"), True),
         StructField("ts", TimestampType(), False),
+        # free-form per-phase counters (dup_candidates, hot_buckets_capped,
+        # …) — the prometheus-label analogue; nullable so old rows read null
+        StructField("metrics", MapType(StringType(), LongType()), True),
     ]
 )
 

@@ -1,0 +1,233 @@
+"""Maintained MinHash band index: incremental refresh equals a full
+rebuild, deletes fall out, untouched files survive, candidates and
+hot-bucket caps report, and the CLI drives it end-to-end."""
+
+import os
+
+import pytest
+
+
+def _index_state(spark, index):
+    return {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in index.scan(spark).collect()
+    }
+
+
+@pytest.fixture()
+def indexed_table(spark, token_table, tmp_path):
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+
+    t, base = token_table
+    index = create_band_index(str(tmp_path / "bands"))
+    res = refresh_band_index(spark, t, index)
+    assert res.applied and res.full_rebuild and res.bands_written > 0
+    return t, base, index
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, indexed_table, tmp_path):
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+    from canal_spark.merge import merge_into
+
+    t, base, index = indexed_table
+
+    rows = synth_changelog_rows(base, 300, seed=41)
+    changes = changelog_df(spark, rows)
+    m = merge_into(spark, t, changes)
+    assert m.applied
+
+    res = refresh_band_index(spark, t, index, keys=changes.select("doc_id"))
+    assert res.applied and not res.full_rebuild
+    assert res.docs_changed > 0
+
+    # ground truth: a full rebuild into a fresh index table
+    fresh = create_band_index(str(tmp_path / "bands_full"))
+    refresh_band_index(spark, t, fresh)
+    assert _index_state(spark, index) == _index_state(spark, fresh)
+
+    # incremental means incremental: keys from ONE narrow sorted range
+    # must leave the other range-partitioned index files untouched
+    # (300 uniform keys above rightly touch every file — that's not a
+    # pruning failure, it's key dispersion)
+    files_before = {e.path for e in index.files()}
+    narrow = sorted(r[0] for r in base)[:5]
+    res2 = refresh_band_index(
+        spark, t, index,
+        keys=spark.createDataFrame([(k,) for k in narrow], "doc_id string"),
+    )
+    assert res2.applied and res2.files_pruned > 0
+    files_after = {e.path for e in index.files()}
+    assert files_before & files_after, "narrow refresh rewrote the whole index"
+    assert _index_state(spark, index) == _index_state(spark, fresh)
+
+    # deleted docs are gone from the index
+    deleted = {r[2] for r in rows if r[1] == "D"} - {
+        r[2] for r in rows if r[1] != "D"
+    }
+    live = {d for d, _b, _k in _index_state(spark, index)}
+    gone = deleted - live
+    assert gone == deleted - {d for d, *_ in _index_state(spark, fresh)} or not (
+        deleted & live
+    )
+
+
+def test_refresh_is_idempotent_and_empty_noop(spark, indexed_table):
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import refresh_band_index
+    from canal_spark.merge import merge_into
+
+    t, base, index = indexed_table
+    rows = synth_changelog_rows(base, 120, seed=43)
+    changes = changelog_df(spark, rows)
+    merge_into(spark, t, changes)
+    refresh_band_index(spark, t, index, keys=changes.select("doc_id"))
+    state1 = _index_state(spark, index)
+    # replaying the SAME keys after the data already merged: same state
+    res = refresh_band_index(spark, t, index, keys=changes.select("doc_id"))
+    assert res.applied and _index_state(spark, index) == state1
+    # empty key frame: no commit at all
+    snap = index.current_snapshot_id
+    res = refresh_band_index(spark, t, index, keys=changes.select("doc_id").limit(0))
+    assert not res.applied and index.current_snapshot_id == snap
+
+
+def test_delta_candidates_and_hot_bucket_metrics(spark, tmp_path):
+    """A delta doc nearly identical to an indexed doc reports as a dup
+    candidate; a mega-bucket (many identical docs) is capped and
+    counted, not exploded into pairs."""
+    from pyspark.sql import functions as F
+
+    from canal_spark import create_table
+    from canal_spark.dedup_index import (
+        create_band_index,
+        refresh_band_index,
+        token_band_frame,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    toks = list(range(100, 140))
+    rows = [("web:0", toks, len(toks), "web")]
+    # mega-group: 30 identical docs -> every band bucket has 30+ members
+    rows += [(f"web:m{i}", list(range(7)), 7, "web") for i in range(30)]
+    t = create_table(str(tmp_path / "tbl"), TOKEN_TABLE_SCHEMA,
+                     partition_by=["source"])
+    df = spark.createDataFrame(rows, TOKEN_TABLE_SCHEMA)
+    append(spark, t, df.repartition(2))
+
+    index = create_band_index(str(tmp_path / "bands"))
+    refresh_band_index(spark, t, index)
+
+    # delta: near-dup of web:0 (shares 37 of 40 token shingles) and one
+    # more copy of the mega-template
+    delta_rows = [("web:new", toks[:-1] + [999], 40, "web"),
+                  ("web:mnew", list(range(7)), 7, "web")]
+    append(spark, t, spark.createDataFrame(delta_rows, TOKEN_TABLE_SCHEMA))
+    keys = spark.createDataFrame([("web:new",), ("web:mnew",)], "doc_id string")
+    res = refresh_band_index(spark, t, index, keys=keys, max_bucket=10)
+
+    assert res.dup_docs >= 1  # web:new matched web:0
+    assert res.hot_buckets_capped > 0  # the mega-template buckets hit the cap
+    # the index itself still carries ALL rows (cap is query-side only)
+    bands = token_band_frame(t.scan(spark).select("doc_id", "tokens"))
+    assert _index_state(spark, index) == {
+        (r["doc_id"], r["band"], r["bucket"]) for r in bands.collect()
+    }
+
+
+def test_run_pass_band_index_and_lineage(spark, token_table, tmp_path):
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.checkpoint import ensure_lineage
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+    from canal_spark.maintenance import run_pass
+
+    t, base = token_table
+    index = create_band_index(str(tmp_path / "bands"))
+    refresh_band_index(spark, t, index)
+    lineage_root = str(tmp_path / "lineage")
+
+    changes = changelog_df(spark, synth_changelog_rows(base, 200, seed=47))
+    rep = run_pass(spark, t, changes, lineage_root=lineage_root,
+                   target_file_bytes=1 << 20, target_file_rows=100_000,
+                   band_index=index)
+    assert rep.band_index.get("applied")
+    assert rep.band_index["docs_changed"] > 0
+
+    lineage = ensure_lineage(lineage_root)
+    rows = lineage.scan(spark).where("phase = 'band_index'").collect()
+    assert rows and rows[0]["metrics"] is not None
+    assert "dup_candidates" in rows[0]["metrics"]
+
+
+def test_jobs_cli_dedup_index(tmp_path):
+    from tests.test_jobs_cli import run_job
+
+    from canal_spark import get_spark
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark import create_table, load_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("dedup-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    idx_root = str(tmp_path / "bands")
+    cl_dir = str(tmp_path / "cl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(600)
+    append(spark, t, base_table_df(spark, 600).repartition(4))
+    changelog_df(spark, synth_changelog_rows(base, 150, seed=51)).write.parquet(cl_dir)
+
+    full = run_job("canal_spark.jobs.dedup", root, "--index", idx_root, "--full")
+    assert full["applied"] and full["full_rebuild"]
+
+    # apply the changelog to the data table, then incremental refresh
+    run_job("canal_spark.jobs.apply_changelog", root, "--changelog", cl_dir)
+    inc = run_job("canal_spark.jobs.dedup", root, "--index", idx_root,
+                  "--changelog", cl_dir,
+                  "--lineage", str(tmp_path / "lineage"))
+    assert inc["applied"] and not inc["full_rebuild"]
+    assert inc["docs_changed"] > 0 and inc["files_pruned"] >= 0
+
+    # index matches a from-scratch rebuild after the CLI round trip
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+
+    t = load_table(root)
+    fresh = create_band_index(str(tmp_path / "bands_full"))
+    refresh_band_index(spark, t, fresh)
+    index = load_table(idx_root)
+    assert _index_state(spark, index) == _index_state(spark, fresh)
+
+
+def test_lineage_metrics_column_evolves_in_place(spark, tmp_path):
+    """A round-3 lineage table (no `metrics` column) is evolved by
+    ensure_lineage on first load, and old rows read metrics as null
+    while new rows carry the counter map."""
+    from pyspark.sql.types import StructType
+
+    from canal_spark.checkpoint import ensure_lineage, record
+    from canal_spark.schema import LINEAGE_SCHEMA
+    from canal_spark.table.format import create_table
+
+    root = str(tmp_path / "lineage")
+    old_schema = StructType([f for f in LINEAGE_SCHEMA.fields
+                             if f.name != "metrics"])
+    old = create_table(root, old_schema)
+    import datetime as dt
+    old_row = [("j0", "merge", None, None, 1, None, None, None,
+                dt.datetime.now(dt.timezone.utc))]
+    from canal_spark.table.writer import append
+    append(spark, old, spark.createDataFrame(old_row, old_schema))
+
+    lineage = ensure_lineage(root)
+    assert "metrics" in lineage.spark_schema().fieldNames()
+    record(spark, lineage, "j1", "band_index", dup_candidates=7)
+    rows = {r["job_id"]: r["metrics"] for r in lineage.scan(spark).collect()}
+    assert rows["j0"] is None
+    assert rows["j1"] == {"dup_candidates": 7}
