@@ -21,6 +21,7 @@ Invariants preserved from the reference:
 from __future__ import annotations
 
 import zlib
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -98,20 +99,74 @@ def flat_message_col(
     return F.to_json(F.struct(*fields))
 
 
+@dataclass(frozen=True)
+class SinkProfile:
+    """How a frame's ``lane`` maps onto a sink's physical unit (Kafka
+    partition / RocketMQ queue) — the per-destination partition config
+    of MQProperties.CanalDestination, sink-agnostic.
+
+    The three RocketMQ placement modes
+    (server/.../rocketmq/CanalRocketMQProducer.java:92-101,152-167,
+    175-213 and MQMessageUtils.messagePartition:381-458), which are a
+    superset of the Kafka ones:
+
+    * ``fixed_partition`` set -> every message to that ONE queue
+      (``mqs.get(destination.getPartition())``); must be < ``queues``
+      — the reference's MessageQueueSelector raises
+      "partition number is error" past the queue count
+      (CanalRocketMQProducer.java:126), we raise at frame-build time;
+    * ``hash_cols`` set -> pk-hash over THOSE columns instead of the
+      table pk (the ``db.table:col1^col2`` pkHashConfigs form);
+    * ``table_hash``    -> hash the table name only, all rows of one
+      table in one queue (the ``db.table`` hash-by-table form,
+      MQMessageUtils HashMode.tableHash);
+    * none of the above -> auto pk-hash (``.*\\..*:$pk$``), the
+      existing doc_id lane.
+
+    Hash fidelity note: placement uses xxhash64 uniformly, not Java's
+    ``String.hashCode`` XOR fold — the preserved invariant is per-key
+    stable single-queue order, not hash-value equality.
+    """
+
+    queues: int = 8
+    fixed_partition: int | None = None
+    hash_cols: tuple[str, ...] | None = None
+    table_hash: bool = False
+
+    def lane_col(self, table: str):
+        if self.fixed_partition is not None:
+            if not (0 <= self.fixed_partition < self.queues):
+                raise ValueError(
+                    f"partition number is error, config num: "
+                    f"{self.fixed_partition}, mq num: {self.queues}"
+                )
+            return F.lit(self.fixed_partition).cast("int")
+        if self.table_hash:
+            return F.pmod(F.xxhash64(F.lit(table)), F.lit(self.queues)).cast("int")
+        cols = list(self.hash_cols) if self.hash_cols else ["doc_id"]
+        return F.pmod(F.xxhash64(*cols), F.lit(self.queues)).cast("int")
+
+
 def build_mq_frame(
     changes: DataFrame,
     lanes: int = 8,
     topic_expr: str = DEFAULT_TOPIC_EXPR,
     database: str = "lakehouse",
     table: str = "tokens",
+    profile: SinkProfile | None = None,
 ) -> DataFrame:
-    """The producer frame both writers share: (topic, lane, key, ordinal,
+    """The producer frame all writers share: (topic, lane, key, ordinal,
     value) with identical routing/partitioning/envelope logic — the
-    MQMessageUtils half of CanalMQStarter, independent of the sink."""
+    MQMessageUtils half of CanalMQStarter, independent of the sink.
+    ``profile`` overrides the default auto-pk lane placement (see
+    SinkProfile); ``lanes`` is shorthand for the default profile's
+    queue count."""
+    if profile is None:
+        profile = SinkProfile(queues=lanes)
     with_old = "before_tokens" in changes.columns
     return changes.select(
         F.expr(topic_expr).alias("topic"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(lanes)).cast("int").alias("lane"),
+        profile.lane_col(table).alias("lane"),
         F.col("doc_id").alias("key"),
         F.col("ordinal"),
         flat_message_col(database, table, with_old=with_old).alias("value"),
@@ -146,6 +201,57 @@ def deliver_kafka(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .save()
     )
+
+
+def deliver_rocketmq(
+    changes: DataFrame,
+    namesrv_addr: str,
+    producer_group: str = "canal_spark",
+    profile: SinkProfile | None = None,
+    topic_expr: str = DEFAULT_TOPIC_EXPR,
+    database: str = "lakehouse",
+    table: str = "tokens",
+) -> None:
+    """RocketMQ producer path (C7, CanalRocketMQProducer.java:62-213):
+    the SAME frame as the Kafka/file sinks, placed per SinkProfile and
+    sent with an executor-side producer whose MessageQueueSelector pins
+    ``mqs.get(lane)`` — per-key single-queue order survives exactly as
+    in the reference.
+
+    Messages within one (topic, lane) are sent in ordinal order from a
+    single task (the frame is repartitioned on the lane key first), so
+    queue order equals changelog order.  Requires the `rocketmq`
+    python client + a nameserver; not available in the sandbox (unit
+    tests cover the frame contract instead).
+    """
+    profile = profile or SinkProfile()
+    frame = build_mq_frame(
+        changes, topic_expr=topic_expr, database=database, table=table,
+        profile=profile,
+    )
+    routed = frame.repartition(profile.queues, "topic", "lane").sortWithinPartitions(
+        "topic", "lane", "ordinal"
+    )
+
+    def _send(rows) -> None:
+        from rocketmq.client import Message, Producer  # import-gated
+
+        producer = Producer(producer_group)
+        producer.set_name_server_address(namesrv_addr)
+        producer.start()
+        try:
+            for r in rows:
+                msg = Message(r["topic"])
+                msg.set_keys(r["key"])
+                msg.set_body(r["value"])
+                # queue selector analogue: the client's send_orderly
+                # sharding key pins the queue by lane, like
+                # mqs.get(index) in CanalRocketMQProducer.java:121-131
+                producer.send_orderly_with_sharding_key(msg, str(r["lane"]))
+        finally:
+            producer.shutdown()
+
+    routed.foreachPartition(_send)
 
 
 def deliver_flat_messages(

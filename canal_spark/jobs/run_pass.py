@@ -17,14 +17,27 @@ def main() -> None:
     p.add_argument("--target-file-rows", type=int, default=500_000)
     p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--keep-last", type=int, default=5)
+    p.add_argument("--band-index", default=None,
+                   help="band-index table root to sync after the merge "
+                        "(created empty if absent)")
     args = p.parse_args()
 
     from canal_spark import load_table
-    from canal_spark.maintenance import run_pass
+    from canal_spark.maintenance import prometheus_metrics, run_pass
 
     spark = session(args, "canal-run-pass")
     table = load_table(args.table)
     changes = spark.read.parquet(args.changelog) if args.changelog else None
+    band_index = None
+    if args.band_index:
+        import os
+
+        from canal_spark.dedup_index import create_band_index
+
+        if os.path.exists(os.path.join(args.band_index, "metadata")):
+            band_index = load_table(args.band_index)
+        else:
+            band_index = create_band_index(args.band_index)
     rep = run_pass(
         spark, table, changes,
         lineage_root=args.lineage,
@@ -33,9 +46,12 @@ def main() -> None:
         curve=args.curve,
         keep_snapshots=args.keep_last,
         job_id=args.job_id,
+        band_index=band_index,
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
-          "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire})
+          "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
+          "band_index": rep.band_index,
+          "metrics": prometheus_metrics(rep, destination=args.table)})
 
 
 if __name__ == "__main__":

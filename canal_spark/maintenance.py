@@ -131,3 +131,56 @@ def run_pass(
         _ckpt.record(spark, lineage, job_id, "expire",
                      snapshot_id=table.current_snapshot_id)
     return rep
+
+
+def prometheus_metrics(rep: MaintenanceReport, destination: str = "tokens") -> dict:
+    """One flat metric dict per pass — the engine's scrape surface.
+
+    Names follow the reference's prometheus exposition
+    (prometheus/.../EntryCollector, StoreCollector, MetaCollector —
+    canal_instance_put_rows, canal_instance_ack_rows,
+    canal_instance_store_produce_seq, canal_instance_transactions)
+    wherever the semantics genuinely align: a pass's batch is one
+    transaction, rows merged are the put==ack rows (batch-atomic
+    commit means apply and ack are the same event), and the high-water
+    mark is the produced sequence.  Engine-specific phase gauges use a
+    ``canal_spark_`` prefix rather than overloading reference names
+    whose semantics they don't share.  Keys carry the destination
+    label inline (``name{destination="…"}``), exposition-style, so the
+    dump is greppable and dashboard-portable as-is."""
+    lbl = f'{{destination="{destination}"}}'
+    m, c, z, x, b = rep.merge, rep.compact, rep.cluster, rep.expire, rep.band_index
+    put = int(m.get("rows_upserted", 0)) + int(m.get("rows_deleted", 0))
+    vals: dict[str, float] = {
+        f"canal_instance_transactions{lbl}": 1 if m.get("applied") else 0,
+        f"canal_instance_put_rows{lbl}": put,
+        f"canal_instance_ack_rows{lbl}": put if m.get("applied") else 0,
+        f"canal_instance_store_produce_seq{lbl}": int(m.get("high_water_mark", 0)),
+        f"canal_spark_merge_files_rewritten{lbl}": int(m.get("files_rewritten", 0)),
+        f"canal_spark_merge_files_pruned{lbl}": int(m.get("files_pruned", 0)),
+        f"canal_spark_merge_bytes_rewritten{lbl}": int(m.get("bytes_rewritten", 0)),
+        f"canal_spark_compact_files_removed{lbl}": int(c.get("files_removed", 0)),
+        f"canal_spark_compact_bins_written{lbl}": int(c.get("bins_written", 0)),
+        f"canal_spark_compact_bytes{lbl}": int(c.get("bytes_compacted", 0)),
+        f"canal_spark_expire_snapshots{lbl}": int(x.get("expired", 0) or 0),
+    }
+    if z:
+        vals[f"canal_spark_cluster_files_before{lbl}"] = int(z.get("files_before", 0))
+        vals[f"canal_spark_cluster_files_after{lbl}"] = int(z.get("files_after", 0))
+        tb = (z.get("tightness_before") or {}).get("hash_range")
+        ta = (z.get("tightness_after") or {}).get("hash_range")
+        if tb is not None:
+            vals[f"canal_spark_cluster_tightness_before{lbl}"] = float(tb)
+        if ta is not None:
+            vals[f"canal_spark_cluster_tightness_after{lbl}"] = float(ta)
+    if b:
+        vals[f"canal_spark_band_index_dup_candidates{lbl}"] = int(
+            b.get("dup_candidates", 0)
+        )
+        vals[f"canal_spark_band_index_hot_buckets_capped{lbl}"] = int(
+            b.get("hot_buckets_capped", 0)
+        )
+        vals[f"canal_spark_band_index_files_rewritten{lbl}"] = int(
+            b.get("files_rewritten", 0)
+        )
+    return vals

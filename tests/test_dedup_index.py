@@ -159,6 +159,20 @@ def test_run_pass_band_index_and_lineage(spark, token_table, tmp_path):
     assert rows and rows[0]["metrics"] is not None
     assert "dup_candidates" in rows[0]["metrics"]
 
+    # the pass's prometheus scrape surface: reference-named counters
+    # where semantics align, canal_spark_* phase gauges elsewhere
+    from canal_spark.maintenance import prometheus_metrics
+
+    pm = prometheus_metrics(rep, destination="tokens")
+    lbl = '{destination="tokens"}'
+    assert pm[f"canal_instance_transactions{lbl}"] == 1
+    put = rep.merge["rows_upserted"] + rep.merge["rows_deleted"]
+    assert pm[f"canal_instance_put_rows{lbl}"] == put > 0
+    assert pm[f"canal_instance_ack_rows{lbl}"] == put
+    assert pm[f"canal_instance_store_produce_seq{lbl}"] == rep.merge["high_water_mark"]
+    assert pm[f"canal_spark_band_index_dup_candidates{lbl}"] == rep.band_index["dup_candidates"]
+    assert f"canal_spark_cluster_files_after{lbl}" in pm
+
 
 def test_jobs_cli_dedup_index(tmp_path):
     from tests.test_jobs_cli import run_job

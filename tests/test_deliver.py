@@ -328,3 +328,60 @@ def test_multi_stream_default_batch_id_and_empty_raise(spark, token_table, tmp_p
 
     with pytest.raises(ValueError, match="batch_id"):
         deliver_flat_messages(frame.limit(0), out, lanes=2)
+
+
+def test_sink_profile_rocketmq_placement_modes(spark, token_table):
+    """The RocketMQ destination's three queue-placement modes produce
+    the same shared frame with only the lane column changing — the
+    frame builder is sink-agnostic (CanalRocketMQProducer.java:92-213,
+    MQMessageUtils.messagePartition:381-458)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.deliver import SinkProfile, build_mq_frame
+
+    _t, base = token_table
+    changes = changelog_df(spark, synth_changelog_rows(base, 150, seed=81))
+    default = build_mq_frame(changes, lanes=6)
+
+    # fixed-partition mode: every message to ONE queue
+    fixed = build_mq_frame(
+        changes, profile=SinkProfile(queues=6, fixed_partition=4)
+    )
+    assert fixed.select("lane").distinct().collect() == [(4,)]
+    # everything except the lane is byte-identical to the default frame
+    cols = ["topic", "key", "ordinal", "value"]
+    assert (
+        default.select(cols).exceptAll(fixed.select(cols)).count() == 0
+        and fixed.select(cols).exceptAll(default.select(cols)).count() == 0
+    )
+
+    # queue-count bound: the reference's "partition number is error"
+    with pytest.raises(ValueError, match="partition number is error"):
+        build_mq_frame(changes, profile=SinkProfile(queues=6, fixed_partition=6))
+
+    # table-hash mode: all rows of one table land in one queue
+    th = build_mq_frame(changes, profile=SinkProfile(queues=6, table_hash=True))
+    assert th.select("lane").distinct().count() == 1
+
+    # explicit hash-cols mode: per-key single-lane invariant holds on
+    # the CHOSEN column, and lanes stay inside [0, queues)
+    hc = build_mq_frame(
+        changes, profile=SinkProfile(queues=6, hash_cols=("n_tok",))
+    )
+    expected = changes.select(
+        "ordinal",
+        F.pmod(F.xxhash64("n_tok"), F.lit(6)).cast("int").alias("exp"),
+    )
+    assert hc.join(expected, "ordinal").where("lane <> exp").count() == 0
+    lanes = [r[0] for r in hc.select("lane").distinct().collect()]
+    assert all(0 <= l < 6 for l in lanes) and len(lanes) > 1
+
+    # default profile == legacy lanes= arg (auto pk-hash)
+    legacy = build_mq_frame(changes, lanes=6)
+    via_profile = build_mq_frame(changes, profile=SinkProfile(queues=6))
+    assert (
+        legacy.exceptAll(via_profile).count() == 0
+        and via_profile.exceptAll(legacy).count() == 0
+    )

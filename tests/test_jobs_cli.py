@@ -157,3 +157,41 @@ def test_rollback_and_orphan_jobs(cli_table, tmp_path):
                   "--remove-orphans-hours", "1")
     assert rep["remove_orphans"]["orphans_deleted"] == len(orphans)
     assert load_table(root).row_count() == n_before
+
+
+def test_run_pass_cli_band_index_and_metrics(tmp_path):
+    """One CLI invocation = full consume-loop pass: merge + band-index
+    sync + cluster/compact/expire, emitting the prometheus scrape dump."""
+    from canal_spark import create_table, get_spark
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("run-pass-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    cl_dir = str(tmp_path / "cl")
+    idx_root = str(tmp_path / "bands")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(500)
+    append(spark, t, base_table_df(spark, 500).repartition(4))
+    changelog_df(spark, synth_changelog_rows(base, 120, seed=91)).write.parquet(cl_dir)
+
+    rep = run_job("canal_spark.jobs.run_pass", root,
+                  "--changelog", cl_dir,
+                  "--lineage", str(tmp_path / "lineage"),
+                  "--band-index", idx_root,
+                  "--target-file-rows", "300")
+    assert rep["merge"]["applied"] is True
+    assert rep["band_index"]["applied"] is True
+    lbl = f'{{destination="{root}"}}'
+    assert rep["metrics"][f"canal_instance_transactions{lbl}"] == 1
+    assert rep["metrics"][f"canal_instance_put_rows{lbl}"] > 0
+    assert (rep["metrics"][f"canal_instance_put_rows{lbl}"]
+            == rep["metrics"][f"canal_instance_ack_rows{lbl}"])
+    assert f"canal_spark_band_index_dup_candidates{lbl}" in rep["metrics"]
