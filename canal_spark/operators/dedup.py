@@ -483,11 +483,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same labels via recursive transitive closure.
     """
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # Edges persisted HASH-PARTITIONED ON THE JOIN KEY: every
+    # propagation round joins on doc_a, so the (pair-scale, reused
+    # N-round) edge frame shuffles once here instead of once per round
+    # — at 10^9-edge scale that's the difference between one and
+    # diameter-many full-edge exchanges.
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).persist()
+        .repartition("doc_a")
+        .persist()
+    )
 
     # Plan truncation per round: the iterative lineage grows
     # multiplicatively and the driver dies building the plan, not
@@ -499,8 +508,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = spark.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
+    # LAZY checkpoint: the round's convergence agg below is the first
+    # action on the frame, so it both materializes the checkpoint and
+    # reads the witness — ONE job per round, not one to checkpoint plus
+    # one to aggregate.
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
 
     labels = _ckpt(
         edges.select(F.col("doc_a").alias("doc"))
@@ -519,8 +532,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
         )
         # labels only ever decrease, so sum(lbl) is a monotone
-        # convergence witness — one cheap agg on the checkpointed
-        # frame instead of a join-and-count per round
+        # convergence witness — one cheap agg (which also materializes
+        # the lazy checkpoint) instead of a join-and-count per round
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:

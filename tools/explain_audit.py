@@ -228,6 +228,36 @@ def main() -> None:
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ))
 
+    # 10. band-index incremental refresh: the batch's keys broadcast
+    # semi-join into the token scan before any shingling (delta work is
+    # O(batch)), and the signature path is ONE explode + ONE posexplode
+    # — never an N-branch union re-executing the aggregation per band
+    from canal_spark.dedup_index import delta_dup_candidates, token_band_frame
+
+    keys_df = changes.select("doc_id").distinct()
+    delta_bands = token_band_frame(
+        t.scan(spark).select("doc_id", "tokens")
+        .join(F.broadcast(keys_df), "doc_id", "leftsemi")
+    )
+    p10 = plan_of(delta_bands)
+    sections.append((
+        "Band-index delta: broadcast key semi-join into token scan, no union fan-out",
+        p10,
+        ["BroadcastHashJoin LeftSemi", "Generate"],
+        ["SortMergeJoin", "CartesianProduct", "Union"],
+    ))
+
+    # 10b. delta-vs-index candidates: index side restricted by the
+    # (broadcast) delta bucket set FIRST — the big index never shuffles
+    idx_bands = token_band_frame(t.scan(spark).select("doc_id", "tokens"))
+    cands, _capped = delta_dup_candidates(idx_bands, delta_bands)
+    sections.append((
+        "Band-index candidates: delta buckets broadcast, index never shuffles for the join",
+        plan_of(cands),
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
