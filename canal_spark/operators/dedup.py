@@ -121,10 +121,15 @@ def _minhash_bands(
         ).alias("band", "bucket"),
     )
     w = Window.partitionBy("band", "bucket")
+    # persisted: every consumer self-joins this frame, and without the
+    # persist each join SIDE re-runs the shingle scan + signature agg
+    # (no ReusedExchange across aliases).  8 rows x 24 bytes per doc —
+    # MEMORY_AND_DISK holds it at any corpus size.
     return (
         bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
         .where(F.col("_bsz") <= max_bucket)
         .drop("_bsz")
+        .persist()
     )
 
 
@@ -194,10 +199,13 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     signature width (16-bit coarse sigs and the 60-bit banded-pairs
     sigs must never drift apart)."""
     docs = load(spark, sf_dir, "documents", spread=True)
+    # distinct-per-doc is array-local: array_distinct before the explode
+    # keeps it a map-side transform — the explode-then-.distinct()
+    # alternative shuffles the full exploded word frame on (doc_id, w),
+    # a whole extra exchange of corpus-scale width for nothing.
     wd = (
         _words(docs)
-        .select("doc_id", F.explode("ws").alias("w"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct("ws")).alias("w"))
         .withColumn("h", md5int(F.col("w")))
     )
     votes = [
@@ -268,7 +276,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-band blocked join: 4 bands of 15 bits, candidates share at
     least one exact band (pigeonhole-guaranteed recall), verified by
     bit_count(xor) and deduped — never an all-pairs product."""
-    sigs = wide_simhash(spark, sf_dir)
+    # persisted: the band self-join below would otherwise run the
+    # 60-vote signature aggregation once PER SIDE (aliased subplans get
+    # no ReusedExchange).  16 bytes per doc — Manku et al. likewise
+    # materialize the fingerprint table before the block joins.
+    sigs = wide_simhash(spark, sf_dir).persist()
     # ONE posexplode instead of a 4-branch union: a union re-executes
     # the 60-vote signature aggregation once per branch per join side
     # (8x total); the explode computes it once per side.
