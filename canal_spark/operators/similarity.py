@@ -16,6 +16,8 @@ shape a 10^12-row ANN sweep needs (partition by cell, join within).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,30 +122,69 @@ def _seed_hash():
 SEED_HASH_SQL = f"((vec_id % {SEED_DOM}) * {SEED_MUL} + {SEED_ADD}) % {SEED_MOD}"
 
 
-def _argmax_cell(scores: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest centroid by cosine, ties to the lower
-    centroid id — map-side partial aggregate (max_by)."""
-    return scores.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cc"), (-F.col("cent_id")).alias("nid"))
-        ).alias("cell")
-    )
+EMB_DIM = 64  # embedding width of the shared `embeddings` table
 
 
-def _scores_against(targets: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cent_id, cc) of each target against an explicit
-    broadcast centroid frame (cent_id, cv, cn)."""
-    return (
-        targets.select("vec_id", "v", "norm")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
+def _cent_structs(cent_rows: list) -> list:
+    """One (cc, nid) struct expression per LITERAL codebook entry:
+    cosine of the row's `v`/`norm` against the centroid constant,
+    negated centroid id so lexicographic struct max/sort breaks cosine
+    ties toward the LOWER centroid id (cross-engine determinism)."""
+    return [
+        F.struct(
             F.round(
-                _cosine(F.col("v"), F.col("cv"), F.col("norm"), F.col("cn")), 9
+                _cosine(F.col("v"), F.lit(cv), F.col("norm"), F.lit(float(cn))), 9
             ).alias("cc"),
+            F.lit(-int(cid)).cast("long").alias("nid"),
         )
+        for cid, cv, cn in cent_rows
+    ]
+
+
+def _assign_cell_udf(cent_rows: list):
+    """Map-side nearest-centroid assignment against the collected
+    codebook as a VECTORIZED Arrow UDF: each batch is one numpy
+    (B×64)·(64×K) matmul, scores rounded to 9 (the cross-engine ulp
+    absorber), argmax with first-occurrence tie-break = lowest centroid
+    id (ids are sorted ascending).  The cell column is computed INSIDE
+    the scan stage: the alternative (crossJoin to n×K rows,
+    groupBy(vec_id) argmax, join the assignment back to the wide
+    vectors) costs two corpus-scale exchanges, and the pure-expression
+    variant (array_max over K cosine structs) drops the projection out
+    of codegen into per-element interpreted lambdas — measured 2×
+    slower.  BLAS against the broadcast codebook is how FAISS assigns,
+    and it shuffles nothing."""
+    srt = sorted(cent_rows, key=lambda r: r[0])
+    ids = np.array([cid for cid, _, _ in srt], dtype=np.int64)
+    C = np.array([cv for _, cv, _ in srt], dtype=np.float64)  # K×64
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.vstack(v.to_numpy())
+        vn = np.sqrt((V * V).sum(axis=1))
+        scores = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 9)
+        return pd.Series(ids[scores.argmax(axis=1)], index=v.index)
+
+    return assign
+
+
+def _probe_cells_expr(cent_rows: list, nprobe: int):
+    """Map-side multi-probe: the row's `nprobe` nearest centroid ids,
+    best first — sort the K-struct array, reverse, slice.  O(K log K)
+    per row against constants, no shuffle."""
+    ranked = F.reverse(F.array_sort(F.array(*_cent_structs(cent_rows))))
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: (-s["nid"]).cast("long")
     )
+
+
+def _collect_cents(cents: DataFrame) -> list:
+    """Codebook DataFrame -> driver list [(cent_id, cv, cn)] — O(IVF_K)
+    rows by construction, constant at any corpus size."""
+    return [(r["cent_id"], list(r["cv"]), r["cn"]) for r in cents.collect()]
 
 
 def ivf_centroids(e: DataFrame) -> DataFrame:
@@ -156,17 +197,18 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     Seeds are the IVF_K vectors with the smallest deterministic hash
     (an LCG over vec_id — a pseudo-random sample both engines compute
     identically), via TakeOrderedAndProject: per-partition top-K, no
-    global sort.  K is a CONSTANT, so the codebook — and the one
-    driver `.collect()` the consumer does — is O(K) whether the corpus
-    is 500 or 10^12 vectors (real IVF codebooks are ~2^16-2^20 cells
-    at that scale; raise IVF_K, never let it track n).
+    global sort, then an O(K) driver collect.  K is a CONSTANT, so the
+    codebook stays driver-sized whether the corpus is 500 or 10^12
+    vectors (real IVF codebooks are ~2^16-2^20 cells at that scale;
+    raise IVF_K, never let it track n).
 
-    Scale shape: the seed assignment is a broadcast crossJoin +
-    map-side argmax; the mean is posexplode -> (cell, dim) partial agg
-    (64·K cells — centroid-scale, not data-scale) reassembled in dim
-    order.  Empty cells simply drop out of the codebook.
+    Scale shape: seed assignment is the map-side literal-codebook
+    argmax (`_argmax_cell_expr` — no crossJoin, no join-back); the
+    refinement is ONE groupBy(cell) with EMB_DIM per-dimension means
+    (K×64 cells — centroid-scale, not data-scale).  Empty cells simply
+    drop out of the codebook.
     """
-    seeds = (
+    seed_rows = _collect_cents(
         e.select("vec_id", "v", "norm", _seed_hash().alias("_h"))
         .orderBy("_h", "vec_id")
         .limit(IVF_K)
@@ -176,22 +218,19 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
             F.col("norm").alias("cn"),
         )
     )
-    assign0 = _argmax_cell(_scores_against(e, seeds))
-    members = e.select("vec_id", "v").join(assign0, "vec_id")
-    dim_means = (
-        members.select("cell", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
-    )
+    assigned = e.select("v", _assign_cell_udf(seed_rows)("v").alias("cell"))
     cents = (
-        dim_means.groupBy("cell")
+        assigned.groupBy("cell")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cv")
+            *[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"_m{i}")
+                for i in range(EMB_DIM)
+            ]
         )
-        .select(F.col("cell").alias("cent_id"), "cv")
+        .select(
+            F.col("cell").alias("cent_id"),
+            F.array(*[f"_m{i}" for i in range(EMB_DIM)]).alias("cv"),
+        )
     )
     dot = F.aggregate(
         F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
@@ -204,14 +243,13 @@ def ivf_cells(e: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     nearest centroid of the (Lloyd-refined) codebook by cosine — the
     inverted-file structure an ANN sweep partitions by.
 
-    Plan shape: every vector scores against the BROADCAST centroid set
-    (K = IVF_K, a constant) and max_by picks the argmax — a map-side
-    crossJoin + partial aggregate, no all-pairs anything; ties break on
-    the lower centroid id for cross-engine determinism.
+    Plan shape: the codebook (O(K) driver rows) becomes a literal
+    argmax expression evaluated inside the scan stage — zero shuffles
+    for the assignment; ties break on the lower centroid id for
+    cross-engine determinism.
     """
-    if cents is None:
-        cents = ivf_centroids(e)
-    return _argmax_cell(_scores_against(e, cents))
+    cent_rows = _collect_cents(ivf_centroids(e) if cents is None else cents)
+    return e.select("vec_id", _assign_cell_udf(cent_rows)("v").alias("cell"))
 
 
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,31 +261,22 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
-    # Train the codebook once and ship it as a literal frame — the
-    # standard IVF pattern (FAISS: train, then broadcast the codebook).
-    # The collect is O(IVF_K) — a CONSTANT — at any corpus size; without
-    # this the codebook DAG (seed-assign + mean shuffle) would execute
-    # once per consumer branch (cells AND probes).
-    cents = spark.createDataFrame(
-        ivf_centroids(e).collect(), "cent_id long, cv array<double>, cn double"
-    )
-    cells = ivf_cells(e, cents)
-    queries = _query_set(e)
-    wp = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
-    probes = (
-        _scores_against(queries, cents)
-        .withColumn("_pr", F.row_number().over(wp))
-        .where(F.col("_pr") <= NPROBE)
-        .select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("cell"))
-    )
-    q = queries.select(
+    # Train the codebook once and collect it — O(IVF_K), a CONSTANT at
+    # any corpus size (the standard IVF pattern: FAISS trains, then
+    # ships the codebook to every worker).  As a literal it folds into
+    # map-side expressions below, so neither the data side nor the
+    # query side pays a shuffle or join for its cell assignment.
+    cent_rows = _collect_cents(ivf_centroids(e))
+    q = _query_set(e).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"), F.col("norm").alias("qn"),
-    ).join(probes, "q_id")
+        F.explode(_probe_cells_expr(cent_rows, NPROBE)).alias("cell"),
+    )
     n = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("v").alias("nv"), F.col("norm").alias("nn"),
-    ).join(cells.select(F.col("vec_id").alias("n_id"), "cell"), "n_id")
+        _assign_cell_udf(cent_rows)("v").alias("cell"),
+    )
     scored = (
         F.broadcast(q)
         .join(n, "cell")
