@@ -346,32 +346,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard disposes (keep pairs >= 0.2).
 
     Scale shape: candidate pairs (never all-pairs) drive the work; the
-    intersection is computed by joining the exploded distinct-word
-    frames through the pair list on (doc, word) — shuffle volume is
-    O(words of candidate docs), and set sizes come from one partial
-    aggregation."""
+    per-doc distinct word SET is array-local (`array_distinct`, no
+    shuffle to build), the intersection is JVM `array_intersect` on
+    the two sets the pair join brings together — two joins total,
+    shuffle volume O(words of candidate docs), zero aggregations."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    wd = _words(docs).select("doc_id", F.explode("ws").alias("w")).distinct()
-    sizes = wd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    wsets = _words(docs).select(
+        "doc_id", F.array_distinct("ws").alias("wset")
+    )
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    inter = (
-        pairs.join(wd.select(F.col("doc_id").alias("doc_a"), "w"), "doc_a")
-        .join(wd.select(F.col("doc_id").alias("doc_b"), F.col("w")), ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
-        .select(
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    return (
+        pairs.join(
+            wsets.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa")),
             "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
-            ).alias("jaccard"),
         )
+        .join(
+            wsets.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .where("jaccard >= 0.2")
     )
-    return out.where("jaccard >= 0.2")
 
 
 SQL_NGRAM_JACCARD = f"""
