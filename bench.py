@@ -212,12 +212,18 @@ def bench_queries(spark, sf_dir: str, which: str) -> dict:
     if which != "all":
         keep = {s.strip() for s in which.split(",")}
         qs = {k: v for k, v in qs.items() if k in keep}
+    from canal_spark.operators.common import release_cached_deps
+
     out = {}
     for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
+        # queries that persist internal frames tag them on the result;
+        # without the release a 40-query sweep accumulates one cached
+        # corpus-scale frame per query for the session lifetime
+        release_cached_deps(df)
     return out
 
 
@@ -267,17 +273,23 @@ def main() -> None:
         **{k: v for k, v in maint.items() if k != "maintenance_pass_sec"},
     }
 
-    # data-scale linearity probe: the same job at replicas×MULT, once
-    # (the best-of-N above anchors the base point) — makes the scale
-    # evidence machine-readable in BENCH_r{N}.json instead of living
-    # only in BASELINE.md prose.
+    # data-scale linearity probe: the same job at replicas×MULT, with
+    # the SAME best-of-N estimator as the base — dividing one noisy
+    # probe sample by a best-of-N minimum biases the ratio high by the
+    # host's ±30% drift, which is exactly the ambiguity this metric
+    # exists to remove.
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "10"))
     if mult > 1:
-        probe = bench_maintenance(spark, sf_dir, replicas * mult)
+        probes = [
+            bench_maintenance(spark, sf_dir, replicas * mult)
+            for _ in range(n_runs)
+        ]
+        probe = min(probes, key=lambda m: m["maintenance_pass_sec"])
         result["scale_probe"] = {
             "replicas": replicas * mult,
             "rows_loaded": probe["rows_loaded"],
             "maintenance_pass_sec": probe["maintenance_pass_sec"],
+            "pass_runs": [m["maintenance_pass_sec"] for m in probes],
             "scan_seq_per_sec": probe["scan_seq_per_sec"],
             "phases": probe["phases"],
             "pass_ratio_vs_base": round(

@@ -68,11 +68,16 @@ def record(
     bytes_shuffled: int | None = None,
     tightness_before: float | None = None,
     tightness_after: float | None = None,
-    **metrics: int | None,
+    metrics: dict[str, int | None] | None = None,
 ) -> None:
-    """Extra keyword counters land in the free-form ``metrics`` map
-    (e.g. ``dup_candidates=3``) — the prometheus-label analogue."""
-    mmap = {k: int(v) for k, v in metrics.items() if v is not None} or None
+    """Extra counters land in the free-form ``metrics`` map (e.g.
+    ``metrics={"dup_candidates": 3}``) — the prometheus-label analogue.
+    An explicit dict, NOT a ``**kwargs`` catch-all: with a catch-all a
+    misspelled named parameter (``files_rewriten=5``) silently becomes
+    a metrics entry while the real lineage column stays null."""
+    mmap = {
+        k: int(v) for k, v in (metrics or {}).items() if v is not None
+    } or None
     row = [
         (
             job_id,

@@ -65,10 +65,15 @@ def plan_bins(
     small = small_file_bytes if small_file_bytes is not None else target_bytes // 2
 
     def w(e: DataFile) -> int:
-        # .get(..., 0): a zero-row victim file produces no groupBy row in
+        if weights is None:
+            return e.bytes
+        # a zero-row victim file produces no groupBy row in
         # token_weights, so it is legitimately absent from the dict — it
-        # packs for free (and the rewrite drops it)
-        return weights.get(e.path, 0) if weights is not None else e.bytes
+        # packs for free (and the rewrite drops it).  Any OTHER missing
+        # path is a lookup-key mismatch (stale weights, path
+        # normalization drift) and must fail at planning time, not pack
+        # everything into one unbounded bin at weight 0.
+        return 0 if e.rows == 0 else weights[e.path]
 
     budget = target_weight if weights is not None else target_bytes
 

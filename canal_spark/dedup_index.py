@@ -116,17 +116,28 @@ def delta_dup_candidates(
     index_bands: DataFrame,
     delta_bands: DataFrame,
     max_bucket: int = MAX_BUCKET,
-) -> tuple[DataFrame, DataFrame]:
-    """(candidates, capped_buckets): near-dup candidates of a delta vs
-    the maintained index — O(delta) work.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(candidates, capped_buckets, hits): near-dup candidates of a
+    delta vs the maintained index — O(delta) work.
 
     The index is first restricted to the delta's (band, bucket) set
     (broadcast semi-join — index files never shuffle), bucket sizes are
     counted over that restricted subset only, and buckets above
     ``max_bucket`` are dropped (reported in `capped_buckets`).  A hot
-    bucket therefore costs one linear count, never O(b²) pairs."""
+    bucket therefore costs one linear count, never O(b²) pairs.
+
+    ``hits`` is the PERSISTED restriction frame both outputs derive
+    from; the caller must ``hits.unpersist()`` once its actions on
+    `candidates`/`capped_buckets` are done."""
     delta_buckets = delta_bands.select("band", "bucket").distinct()
-    hits = index_bands.join(F.broadcast(delta_buckets), ["band", "bucket"])
+    # persisted: the restriction is the only index-scanning subplan, and
+    # both consumers (`sizes`/`capped` and the candidate join) would
+    # otherwise re-run the full index scan + semi-join — one action per
+    # consumer = two passes over the 10^12-doc index.  Row count is
+    # linear in the delta's bucket membership, never squared.
+    hits = index_bands.join(
+        F.broadcast(delta_buckets), ["band", "bucket"]
+    ).persist()
     sizes = hits.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -149,7 +160,7 @@ def delta_dup_candidates(
             F.min("doc_id").alias("min_index_dup"),
         )
     )
-    return cands, capped
+    return cands, capped, hits
 
 
 def refresh_band_index(
@@ -224,19 +235,22 @@ def refresh_band_index(
         cands_n = dup_docs = capped_n = 0
         if report_candidates:
             index_bands = index_table.scan(spark)
-            cands, capped = delta_dup_candidates(
+            cands, capped, hits = delta_dup_candidates(
                 # exclude the delta's own (possibly stale) rows from the
                 # index side so a doc never matches itself
                 index_bands.join(F.broadcast(keys_df), "doc_id", "left_anti"),
                 delta_bands,
                 max_bucket=max_bucket,
             )
-            agg = cands.agg(
-                F.coalesce(F.sum("n_index_dups"), F.lit(0)).alias("c"),
-                F.count(F.lit(1)).alias("d"),
-            ).collect()[0]
-            cands_n, dup_docs = int(agg["c"]), int(agg["d"])
-            capped_n = capped.count()
+            try:
+                agg = cands.agg(
+                    F.coalesce(F.sum("n_index_dups"), F.lit(0)).alias("c"),
+                    F.count(F.lit(1)).alias("d"),
+                ).collect()[0]
+                cands_n, dup_docs = int(agg["c"]), int(agg["d"])
+                capped_n = capped.count()
+            finally:
+                hits.unpersist()
 
         if n_keys <= max_driver_keys:
             key_arr = np.sort(
@@ -246,6 +260,21 @@ def refresh_band_index(
         else:
             affected, untouched = entries, []
 
+        n_bands = delta_bands.count()
+        if not affected and n_bands == 0:
+            # batch keys overlap no index file and contribute no bands
+            # (absent or sub-shingle docs): committing would mint an
+            # empty overwrite snapshot per pass — report candidates,
+            # change nothing (mirrors merge_into's applied=False).
+            return BandIndexResult(
+                applied=False,
+                docs_changed=int(n_keys),
+                files_pruned=len(untouched),
+                dup_candidates=cands_n,
+                dup_docs=dup_docs,
+                hot_buckets_capped=capped_n,
+                job_id=job_id,
+            )
         new_entries = []
         if affected:
             keep = index_table.read_files(spark, affected).join(
@@ -254,7 +283,6 @@ def refresh_band_index(
             new_entries += write_datafiles(
                 spark, index_table, keep, sort_within_by=["doc_id"]
             )
-        n_bands = delta_bands.count()
         if n_bands > 0:
             m_out = max(1, -(-n_bands // target_file_rows))
             new_entries += write_datafiles(

@@ -287,7 +287,15 @@ def deliver_flat_messages(
       order then lanes within (bare append would restart part-file
       numbering at part-00000 every batch with the ordinal dropped
       from the payload, making interleaved-name replay silently
-      reorder batches).
+      reorder batches).  Ordered replay REQUIRES ids monotone with
+      delivery order: the single-stream default (max ordinal) is; the
+      multi-stream default is NOT — it guarantees only uniqueness
+      (a later batch covering a smaller stream subset can get a
+      smaller id: {s1≤100, s2≤50} then {s2 51..60} sorts the second
+      batch first and reorders s2).  Multi-stream deliverers that
+      replay by dir order must pass an explicit monotone ``batch_id``
+      from their delivery sequence, exactly as a Kafka producer owns
+      its offsets.
     """
     routed = build_mq_frame(changes, lanes, topic_expr, database, table).drop("key")
     if batch_id is None:

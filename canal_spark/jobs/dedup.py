@@ -29,6 +29,8 @@ def main() -> None:
                    help="full rebuild regardless of --changelog")
     p.add_argument("--max-bucket", type=int, default=None,
                    help="hot-bucket cap for candidate reporting")
+    p.add_argument("--keep-snapshots", type=int, default=5,
+                   help="index snapshots to retain after the refresh")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -60,11 +62,16 @@ def main() -> None:
             spark, lineage, res.job_id, "band_index",
             snapshot_id=res.snapshot_id,
             files_rewritten=res.files_rewritten,
-            dup_candidates=res.dup_candidates,
-            dup_docs=res.dup_docs,
-            hot_buckets_capped=res.hot_buckets_capped,
+            metrics={
+                "dup_candidates": res.dup_candidates,
+                "dup_docs": res.dup_docs,
+                "hot_buckets_capped": res.hot_buckets_capped,
+            },
         )
-    emit({"job": "dedup_index", **res.__dict__})
+    # expire like any table: per-batch COW refreshes otherwise retain
+    # every historical index file forever
+    expire = index.expire_snapshots(keep_last=args.keep_snapshots)
+    emit({"job": "dedup_index", "expire": expire, **res.__dict__})
 
 
 if __name__ == "__main__":

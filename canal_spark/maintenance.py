@@ -84,8 +84,10 @@ def run_pass(
                     spark, lineage, job_id, "band_index",
                     snapshot_id=b.snapshot_id,
                     files_rewritten=b.files_rewritten,
-                    dup_candidates=b.dup_candidates,
-                    hot_buckets_capped=b.hot_buckets_capped,
+                    metrics={
+                        "dup_candidates": b.dup_candidates,
+                        "hot_buckets_capped": b.hot_buckets_capped,
+                    },
                 )
 
     # Cluster BEFORE compacting: the incremental cluster pass rewrites
@@ -130,6 +132,15 @@ def run_pass(
     if lineage and e.get("expired"):
         _ckpt.record(spark, lineage, job_id, "expire",
                      snapshot_id=table.current_snapshot_id)
+    # The derived band index is a table like any other: without its own
+    # expiry every per-batch COW refresh retains all historical index
+    # files forever (unbounded disk + metadata growth at one snapshot
+    # per changelog batch).
+    if band_index is not None:
+        rep.band_index = {
+            **rep.band_index,
+            "expire": band_index.expire_snapshots(keep_last=keep_snapshots),
+        }
     return rep
 
 

@@ -31,6 +31,28 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
     return df
 
 
+def attach_cached_deps(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Tag a returned frame with the persisted frames it derives from.
+
+    Query builders that persist an internal frame (band tables,
+    signature frames — persisted because self-joins re-execute aliased
+    subplans) can't unpersist it before returning: the caller hasn't
+    run its action yet.  The tag hands ownership to the caller:
+    `release_cached_deps(df)` once fully consumed.  Long-lived sessions
+    (bench sweeps, services) MUST release, else each call leaks one
+    MEMORY_AND_DISK copy of a corpus-scale frame for the session
+    lifetime."""
+    df._cached_deps = list(deps)
+    return df
+
+
+def release_cached_deps(df: DataFrame) -> None:
+    """Unpersist the frames `attach_cached_deps` tagged (no-op for
+    untagged frames)."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
+
+
 def md5int(col) -> "F.Column":
     """60-bit deterministic int from a string column (JVM-side)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canal_spark.operators.common import duck_md5int, load, md5int
+from canal_spark.operators.common import (
+    attach_cached_deps,
+    duck_md5int,
+    load,
+    md5int,
+    release_cached_deps,
+)
 
 N_MINHASH = 8
 
@@ -161,7 +167,7 @@ def q_dedup_minhash_lsh(
         )
         .distinct()
     )
-    return pairs
+    return attach_cached_deps(pairs, [bands])
 
 
 _mh_cols = ", ".join(
@@ -280,7 +286,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 60-vote signature aggregation once PER SIDE (aliased subplans get
     # no ReusedExchange).  16 bytes per doc — Manku et al. likewise
     # materialize the fingerprint table before the block joins.
-    sigs = wide_simhash(spark, sf_dir).persist()
+    sigs = wide_simhash(spark, sf_dir).persist()  # released via _cached_deps
     # ONE posexplode instead of a 4-branch union: a union re-executes
     # the 60-vote signature aggregation once per branch per join side
     # (8x total); the explode computes it once per side.
@@ -296,7 +302,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
-    return (
+    out = (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(ham <= HAM_MAX)
@@ -307,6 +313,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return attach_cached_deps(out, [sigs])
 
 
 _wide_votes_sql = ", ".join(
@@ -357,7 +364,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     inter = F.size(F.array_intersect("wa", "wb"))
     union = F.size("wa") + F.size("wb") - inter
-    return (
+    out = (
         pairs.join(
             wsets.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa")),
             "doc_a",
@@ -369,6 +376,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         .where("jaccard >= 0.2")
     )
+    return attach_cached_deps(out, getattr(pairs, "_cached_deps", []))
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -447,7 +455,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("new_id"), "band", "bucket"
     )
     index = bands.where(F.col("doc_id") % 10 != 0)
-    return (
+    out = (
         F.broadcast(delta)
         .join(index, ["band", "bucket"])
         .groupBy("new_id")
@@ -456,6 +464,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_index_dup"),
         )
     )
+    return attach_cached_deps(out, [bands])
 
 
 SQL_DEDUP_INCREMENTAL = f"""
@@ -550,6 +559,9 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    # edges (checkpointed) now carry the pair graph; the band frame
+    # q_dedup_minhash_lsh persisted underneath is no longer reachable
+    release_cached_deps(pairs)
     if not converged:
         # a component with diameter > MAX_CC_ROUNDS (chained templated
         # near-dups) would otherwise return silently WRONG group labels

@@ -241,7 +241,12 @@ def test_lineage_metrics_column_evolves_in_place(spark, tmp_path):
 
     lineage = ensure_lineage(root)
     assert "metrics" in lineage.spark_schema().fieldNames()
-    record(spark, lineage, "j1", "band_index", dup_candidates=7)
+    record(spark, lineage, "j1", "band_index", metrics={"dup_candidates": 7})
     rows = {r["job_id"]: r["metrics"] for r in lineage.scan(spark).collect()}
     assert rows["j0"] is None
     assert rows["j1"] == {"dup_candidates": 7}
+    # explicit metrics dict, not a **kwargs catch-all: a misspelled
+    # named parameter must raise, not silently become a metrics entry
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        record(spark, lineage, "j1", "band_index", files_rewriten=1)

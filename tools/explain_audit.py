@@ -250,7 +250,7 @@ def main() -> None:
     # 10b. delta-vs-index candidates: index side restricted by the
     # (broadcast) delta bucket set FIRST — the big index never shuffles
     idx_bands = token_band_frame(t.scan(spark).select("doc_id", "tokens"))
-    cands, _capped = delta_dup_candidates(idx_bands, delta_bands)
+    cands, _capped, _hits = delta_dup_candidates(idx_bands, delta_bands)
     sections.append((
         "Band-index candidates: delta buckets broadcast, index never shuffles for the join",
         plan_of(cands),
