@@ -202,8 +202,8 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     vectors (real IVF codebooks are ~2^16-2^20 cells at that scale;
     raise IVF_K, never let it track n).
 
-    Scale shape: seed assignment is the map-side literal-codebook
-    argmax (`_argmax_cell_expr` — no crossJoin, no join-back); the
+    Scale shape: seed assignment is the map-side vectorized argmax
+    (`_assign_cell_udf` — no crossJoin, no join-back); the
     refinement is ONE groupBy(cell) with EMB_DIM per-dimension means
     (K×64 cells — centroid-scale, not data-scale).  Empty cells simply
     drop out of the codebook.
@@ -243,10 +243,10 @@ def ivf_cells(e: DataFrame, cents: DataFrame | None = None) -> DataFrame:
     nearest centroid of the (Lloyd-refined) codebook by cosine — the
     inverted-file structure an ANN sweep partitions by.
 
-    Plan shape: the codebook (O(K) driver rows) becomes a literal
-    argmax expression evaluated inside the scan stage — zero shuffles
-    for the assignment; ties break on the lower centroid id for
-    cross-engine determinism.
+    Plan shape: the codebook (O(K) driver rows) ships inside the
+    vectorized assignment UDF evaluated in the scan stage — zero
+    shuffles for the assignment; ties break on the lower centroid id
+    for cross-engine determinism.
     """
     cent_rows = _collect_cents(ivf_centroids(e) if cents is None else cents)
     return e.select("vec_id", _assign_cell_udf(cent_rows)("v").alias("cell"))
