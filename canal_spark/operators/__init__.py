@@ -9,6 +9,7 @@ column names, aggregated by ``all_queries()`` / ``all_oracles()`` for
 from canal_spark.operators import (
     cdc_ext,
     dedup,
+    funcreg,
     multimodal,
     mv,
     relational,
@@ -16,7 +17,7 @@ from canal_spark.operators import (
     text,
 )
 
-_MODULES = (relational, cdc_ext, mv, dedup, text, similarity, multimodal)
+_MODULES = (relational, cdc_ext, mv, dedup, text, similarity, multimodal, funcreg)
 
 
 def all_queries():

@@ -32,7 +32,8 @@ from __future__ import annotations
 import re
 from typing import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -78,6 +79,45 @@ def register_pandas_function(
 
     _check_name(name)
     spark.udf.register(name, pandas_udf(fn, returns))
+
+
+def q_filter_func_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the registry: an expression filter calling the
+    session-registered functions — the exact shape of a Canal deployment
+    filtering events through a custom Aviator function
+    (filter/.../AviaterELFilter.java:27-35 evaluating a user expression
+    per event).  The plan must show NO Python eval: both functions are
+    SQL-defined, so the filter inlines into the parquet scan's codegen
+    stage."""
+    from canal_spark.operators.common import load
+
+    register_builtin_functions(spark)
+    docs = load(spark, sf_dir, "documents")
+    keep = F.expr(
+        "canal_regex_any('src[0-3],src1[0-5]', source)"
+        " AND canal_regex('(en|de|fr)', lang)"
+    )
+    return (
+        docs.where(keep)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+SQL_FILTER_FUNC_CUSTOM = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents
+WHERE (regexp_full_match(source, 'src[0-3]')
+       OR regexp_full_match(source, 'src1[0-5]'))
+  AND regexp_full_match(lang, '(en|de|fr)')
+GROUP BY source, lang
+"""
+
+QUERIES = {"filter_func_custom": q_filter_func_custom}
+ORACLES = {"filter_func_custom": SQL_FILTER_FUNC_CUSTOM}
 
 
 def register_builtin_functions(spark: SparkSession) -> None:

@@ -50,6 +50,18 @@ def test_sql_function_usable_in_expression_filter_and_stays_jvm(spark):
     assert flt.count() == want > 0
 
 
+def test_driver_query_plan_is_pure_jvm(spark):
+    """The filter_func_custom driver query (both registered functions in
+    one expression filter) compiles to a plan with no Python eval node."""
+    from canal_spark.operators.funcreg import q_filter_func_custom
+
+    df = q_filter_func_custom(spark, "/root/testdata/sf0.001")
+    assert "EvalPython" not in _plan(df)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
 def test_register_replaces_and_validates_names(spark):
     register_sql_function(
         spark, "canal_tst_twice", [("x", "INT")], "INT", "x + 1"
