@@ -75,15 +75,20 @@ def make_token_table(spark, sf_dir: str, replicas: int):
     )
 
 
-def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int):
+def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int,
+                    ordinal_base: int = 0):
     """Binlog-shaped changelog over the synthesized table: updates
-    truncate tokens to 16, deletes tombstone; ordinal = xxhash-ranked."""
+    truncate tokens to 16, deletes tombstone; ordinal = xxhash-ranked.
+    ``ordinal_base`` offsets a follow-up batch past the first batch's
+    high-water mark (ordinals < 2^62, so base 2^62 stays in int64)."""
     from pyspark.sql import functions as F
 
     # U and D ordinals must never collide for the same doc (a doc can
     # match both filters): U = 2h+1, D = 2h+2 — delete wins, and the
     # dedupe tie-break is deterministic run to run.
-    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 61))
+    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 61)) + F.lit(
+        ordinal_base // 2
+    )
     upd = token_df.where(F.crc32(F.col("doc_id")) % n_upd_mod == 0).select(
         (h * 2 + 1).cast("long").alias("ordinal"),
         F.lit("U").alias("op"),
@@ -186,8 +191,38 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
         phases["full_scan"] = scan_wall
         seq_per_sec = row["n"] / scan_wall if scan_wall > 0 else 0.0
 
+        # STEADY-STATE pass: a second changelog applied to the now
+        # maintained (clustered + compacted + tagged) table — the shape
+        # every pass after bootstrap has at the 10^12-row design point.
+        # With cluster-tag preservation the merge keeps files tagged and
+        # clustering rewrites only the batch-sized upsert files, so this
+        # wall is the engine's real per-batch cost (the first pass above
+        # includes the one-time bootstrap re-sort of the fragmented
+        # load).
+        t0 = time.perf_counter()
+        cl2_dir = os.path.join(root, "_changelog_stage2")
+        synth_changelog(
+            spark, table.scan(spark), n_upd_mod=13, n_del_mod=19,
+            ordinal_base=1 << 62,
+        ).write.parquet(cl2_dir)
+        changes2 = spark.read.parquet(cl2_dir)
+        phases["stage_changelog2"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rep2 = run_pass(
+            spark, table, changes2,
+            target_file_bytes=target_mb << 20, target_file_rows=target_rows,
+            keep_snapshots=3, measure=False,
+        )
+        steady_wall = time.perf_counter() - t0
+        phases["steady_pass"] = steady_wall
+
         return {
+            "steady_pass_sec": round(steady_wall, 3),
+            "steady_timings": rep2.timings,
+            "steady_cluster_files_rewritten": rep2.cluster.get("files_before"),
+            "steady_merge_files_rewritten": rep2.merge.get("files_rewritten"),
             "phases": {k: round(v, 3) for k, v in phases.items()},
+            "pass_timings": rep.timings,
             "rows_loaded": int(n_rows),
             "rows_after": int(row["n"]),
             "total_tokens_after": int(row["tot"]),
@@ -265,6 +300,7 @@ def main() -> None:
         "value": maint["maintenance_pass_sec"],
         "unit": "sec",
         "pass_runs": [m["maintenance_pass_sec"] for m in maints],
+        "steady_pass_runs": [m["steady_pass_sec"] for m in maints],
         "load_runs": [m["phases"]["load"] for m in maints],
         "queries": queries,
         "sf": sf,

@@ -166,57 +166,109 @@ def compact(
     else:
         bins = plan_bins(entries, target_bytes, small)
 
+    # Cluster-tag preservation: a bin whose members ALL carry the same
+    # curve tag (cluster's sort_order, e.g. "zorder-v1") is re-sorted by
+    # that CURVE key and the output keeps the tag — merging
+    # curve-sorted files of one partition stays clustered.  Without
+    # this, compaction emits untagged doc_id-sorted files that the NEXT
+    # pass's incremental clustering rewrites again: cold data would
+    # ping-pong between cluster and compact forever, and at the
+    # 10^12-row design point that churn (every cold byte rewritten
+    # twice per pass) dominates the whole engine's write amplification.
+    # Bins are grouped by tag so each write stamps one sort_order;
+    # mixed/untagged bins keep the legacy doc_id sort.
+    by_tag: dict[str | None, list[list[DataFile]]] = {}
+    for members in bins:
+        tags = {e.sort_order for e in members}
+        tag = tags.pop() if len(tags) == 1 else None
+        curve = (tag or "").rsplit("-", 1)[0]
+        if curve not in ("zorder", "hilbert"):
+            tag = None  # unknown order: re-sorting by it is impossible
+        by_tag.setdefault(tag, []).append(members)
+
     result = CompactionResult(job_id=job_id)
-    for start in range(0, len(bins), max_bins_per_commit):
-        chunk = bins[start : start + max_bins_per_commit]
-        import os
+    for tag in sorted(by_tag, key=lambda t: t or ""):
+        tag_bins = by_tag[tag]
+        for start in range(0, len(tag_bins), max_bins_per_commit):
+            chunk = tag_bins[start : start + max_bins_per_commit]
+            result = _rewrite_chunk(spark, table, chunk, tag, job_id, result)
+    return result
 
-        path_to_bin = {}
-        removed = []
-        for b, members in enumerate(chunk):
-            for e in members:
-                path_to_bin[os.path.abspath(f"{table.root}/{e.path}")] = b
-                removed.append(e.path)
 
-        bin_map = spark.createDataFrame(
-            [(p, b) for p, b in path_to_bin.items()], ["_fp", "_bin"]
+def _rewrite_chunk(
+    spark: SparkSession,
+    table: Table,
+    chunk: list[list[DataFile]],
+    tag: str | None,
+    job_id: str,
+    result: CompactionResult,
+) -> CompactionResult:
+    """Read one chunk of bins, rewrite each bin into one file (curve-
+    sorted + tagged when ``tag`` is set, doc_id-sorted otherwise), and
+    commit atomically, accumulating into ``result``."""
+    import os
+
+    path_to_bin = {}
+    removed = []
+    for b, members in enumerate(chunk):
+        for e in members:
+            path_to_bin[os.path.abspath(f"{table.root}/{e.path}")] = b
+            removed.append(e.path)
+
+    bin_map = spark.createDataFrame(
+        [(p, b) for p, b in path_to_bin.items()], ["_fp", "_bin"]
+    )
+    flat = [e for m in chunk for e in m]
+    df = (
+        table.read_files(spark, flat, with_file_path="_fp")
+        .join(F.broadcast(bin_map), "_fp")
+        .drop("_fp")
+    )
+    sort_by, drop_cols = table.key_cols, None
+    if tag is not None:
+        # recompute the curve key (vectorized Arrow kernel over only
+        # the bin rows) and keep the bin internally curve-sorted
+        from canal_spark.cluster import with_cluster_key
+
+        curve = tag.rsplit("-", 1)[0]
+        dim_col = table.partition_by[0] if table.partition_by else None
+        df = with_cluster_key(
+            df, curve=curve, doc_col=table.key_cols,
+            source_col=dim_col if dim_col is not None else table.key_cols[0],
         )
-        flat = [e for m in chunk for e in m]
-        df = (
-            table.read_files(spark, flat, with_file_path="_fp")
-            .join(F.broadcast(bin_map), "_fp")
-            .drop("_fp")
+        sort_by, drop_cols = ["_ckey"], ["_ckey"]
+    # guard against silent path-join misses: rows in must equal rows out
+    expected_rows = sum(e.rows for m in chunk for e in m)
+    new_entries = write_datafiles(
+        spark,
+        table,
+        df,
+        group_col="_bin",
+        n_groups=len(chunk),
+        sort_within_by=sort_by,
+        drop_cols=drop_cols,
+        sort_order=tag,
+    )
+    got_rows = sum(e.rows for e in new_entries)
+    if got_rows != expected_rows:
+        raise RuntimeError(
+            f"compaction row mismatch: read {expected_rows}, wrote {got_rows} "
+            "(path-join miss?) — aborting before commit"
         )
-        # guard against silent path-join misses: rows in must equal rows out
-        expected_rows = sum(e.rows for m in chunk for e in m)
-        new_entries = write_datafiles(
-            spark,
-            table,
-            df,
-            group_col="_bin",
-            n_groups=len(chunk),
-            sort_within_by=table.key_cols,
-        )
-        got_rows = sum(e.rows for e in new_entries)
-        if got_rows != expected_rows:
-            raise RuntimeError(
-                f"compaction row mismatch: read {expected_rows}, wrote {got_rows} "
-                "(path-join miss?) — aborting before commit"
-            )
-        snap = table.commit(
-            added=new_entries,
-            removed_paths=removed,
-            operation="replace",
-            summary={
-                "phase": "compact",
-                "job-id": job_id,
-                "bins": len(chunk),
-                "pack-by": pack_by,
-            },
-        )
-        result.bins_written += len(chunk)
-        result.files_removed += len(removed)
-        result.bytes_compacted += sum(e.bytes for m in chunk for e in m)
-        result.commits += 1
-        result.snapshot_ids.append(snap.snapshot_id)
+    snap = table.commit(
+        added=new_entries,
+        removed_paths=removed,
+        operation="replace",
+        summary={
+            "phase": "compact",
+            "job-id": job_id,
+            "bins": len(chunk),
+            "sort-order": tag or "",
+        },
+    )
+    result.bins_written += len(chunk)
+    result.files_removed += len(removed)
+    result.bytes_compacted += sum(e.bytes for m in chunk for e in m)
+    result.commits += 1
+    result.snapshot_ids.append(snap.snapshot_id)
     return result

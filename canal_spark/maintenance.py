@@ -12,6 +12,7 @@ lineage row with its metrics.
 
 from __future__ import annotations
 
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -32,6 +33,9 @@ class MaintenanceReport:
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
     band_index: dict = field(default_factory=dict)
+    # wall seconds per phase — the per-pass cost breakdown an operator
+    # reads first when a pass regresses (which phase grew?)
+    timings: dict = field(default_factory=dict)
 
 
 def run_pass(
@@ -55,10 +59,12 @@ def run_pass(
     rep = MaintenanceReport(job_id=job_id)
 
     if changes is not None:
+        _t0 = time.perf_counter()
         m = _merge.merge_into(
             spark, table, changes, target_file_rows=target_file_rows, job_id=job_id
         )
         rep.merge = m.__dict__
+        rep.timings["merge"] = round(time.perf_counter() - _t0, 3)
         if lineage and m.applied:
             _ckpt.record(
                 spark, lineage, job_id, "merge",
@@ -73,12 +79,15 @@ def run_pass(
         if band_index is not None and m.applied:
             from canal_spark.dedup_index import refresh_band_index
 
+            _t0 = time.perf_counter()
+
             b = refresh_band_index(
                 spark, table, band_index,
                 keys=changes.select("doc_id"),
                 job_id=job_id,
             )
             rep.band_index = b.__dict__
+            rep.timings["band_index"] = round(time.perf_counter() - _t0, 3)
             if lineage and b.applied:
                 _ckpt.record(
                     spark, lineage, job_id, "band_index",
@@ -99,10 +108,12 @@ def run_pass(
     # residual pass: it coalesces whatever is still small (clustered
     # remainders, tiny partitions), usually a no-op.
     if do_cluster:
+        _t0 = time.perf_counter()
         z = _cluster.cluster(
             spark, table, curve=curve, target_file_rows=target_file_rows,
             measure=measure, scope=cluster_scope, job_id=job_id,
         )
+        rep.timings["cluster"] = round(time.perf_counter() - _t0, 3)
         rep.cluster = {
             "snapshot_id": z.snapshot_id, "curve": z.curve,
             "files_before": z.files_before, "files_after": z.files_after,
@@ -116,10 +127,12 @@ def run_pass(
                 tightness_after=z.tightness_after.get("hash_range"),
             )
 
+    _t0 = time.perf_counter()
     c = _compact.compact(
         spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
     )
     rep.compact = c.__dict__
+    rep.timings["compact"] = round(time.perf_counter() - _t0, 3)
     if lineage and c.commits:
         _ckpt.record(
             spark, lineage, job_id, "compact",
@@ -127,8 +140,10 @@ def run_pass(
             bytes_shuffled=c.bytes_compacted,
         )
 
+    _t0 = time.perf_counter()
     e = table.expire_snapshots(keep_last=keep_snapshots)
     rep.expire = e
+    rep.timings["expire"] = round(time.perf_counter() - _t0, 3)
     if lineage and e.get("expired"):
         _ckpt.record(spark, lineage, job_id, "expire",
                      snapshot_id=table.current_snapshot_id)

@@ -375,6 +375,31 @@ def merge_into(
         if affected:
             # era-aware read: affected files may predate renames/widenings
             target_affected = table.read_files(spark, affected)
+            # Cluster-tag preservation: when every affected file carries
+            # the same curve tag (steady state on a clustered table),
+            # the kept rows are written back IN SCAN ORDER — the parquet
+            # scan yields each file's rows in file order and the
+            # broadcast anti-join is order-preserving, so outputs stay
+            # curve-sorted runs and keep the tag.  The next clustering
+            # pass then rewrites ONLY the upsert files (batch-sized)
+            # instead of every merged file: at the 10^12-row design
+            # point this halves the pass's write amplification (cold
+            # kept bytes are written once, not merge-rewritten and then
+            # cluster-re-sorted).  Re-sorting by doc_id would buy
+            # nothing: per-file min/max stats are order-independent.
+            # Tasks that coalesce several small files concatenate sorted
+            # runs (stats = union, still correct); compaction re-sorts
+            # those bins by the curve key and restores tightness.
+            # Only the BROADCAST anti-join preserves scan order; the
+            # shuffled fallback (huge backfill) exchanges rows, so its
+            # outputs are neither sorted runs nor stat-tight — never tag
+            # them (the next cluster pass re-sorts them, correctly).
+            keep_tags = {e.sort_order for e in affected}
+            keep_tag = (
+                keep_tags.pop()
+                if len(keep_tags) == 1 and n_keys <= max_broadcast_keys
+                else None
+            )
             if n_d_keys > 0:
                 # exact delete count: table rows matching final-D keys.
                 # (The old rows_in+n_up-rows_out arithmetic counted every
@@ -403,7 +428,9 @@ def merge_into(
             keys_side = F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
             keep = target_affected.join(keys_side, key_cols, "left_anti")
             new_entries += write_datafiles(
-                spark, table, keep, sort_within_by=key_cols
+                spark, table, keep,
+                sort_within_by=None if keep_tag else key_cols,
+                sort_order=keep_tag,
             )
         # hash (not range) partition the upsert batch: range partitioning
         # would run a sampling job that recomputes the whole dedupe plan.

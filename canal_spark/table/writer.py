@@ -137,7 +137,12 @@ def write_datafiles(
         n = n_groups or 200
         grouped = df.repartition(n, group_col)
         if sort_within_by:
-            grouped = grouped.sortWithinPartitions(*sort_within_by)
+            # group col FIRST: the dynamic-partition writer requires its
+            # input ordered by the partition column and would otherwise
+            # insert its own sort AFTER this one, destroying the
+            # within-file key order (files claiming a curve sort order
+            # must actually be curve-sorted runs)
+            grouped = grouped.sortWithinPartitions(group_col, *sort_within_by)
         if drop_cols:
             # projection after the sort: row order survives, the sort
             # key (e.g. a curve key) doesn't reach the files

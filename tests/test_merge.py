@@ -341,3 +341,75 @@ def test_gtid_quiet_stream_does_not_regress_scalar_hwm(spark, token_table):
     # property survives even after expiry drops the old summaries
     t.expire_snapshots(keep_last=1)
     assert merge_high_water_mark(t) == 1_000_000
+
+
+def test_merge_on_clustered_table_preserves_tag_bounds_recluster(spark, token_table):
+    """Steady state on a clustered table: the COW keep-side writes stay
+    tagged (scan-order-preserving broadcast anti-join), so the next
+    incremental cluster pass rewrites ONLY the batch's upsert files —
+    the write-amplification contract at the 10^12-row design point."""
+    from canal_spark.cluster import cluster, with_cluster_key
+
+    t, base = token_table
+    cluster(spark, t, target_file_rows=200, measure=False)
+    assert all(e.sort_order == "zorder-v1" for e in t.files())
+
+    rows = synth_changelog_rows(base, 200)
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+    tagged = [e for e in t.files() if e.sort_order == "zorder-v1"]
+    untagged = [e for e in t.files() if e.sort_order != "zorder-v1"]
+    # keep-side rewrites kept the tag; only the upsert files are untagged
+    assert len(tagged) > 0 and len(untagged) > 0
+    assert sum(e.rows for e in untagged) <= 200  # batch-sized, not table-sized
+
+    # tagged keep files remain curve-sorted runs per file
+    df = with_cluster_key(
+        t.read_files(spark, tagged, with_file_path="fp"),
+        doc_col=t.key_cols, source_col="source",
+    )
+    by_fp = {}
+    for r in df.select("fp", "_ckey").collect():
+        by_fp.setdefault(r["fp"], []).append(r["_ckey"])
+    for fp, keys in by_fp.items():
+        assert keys == sorted(keys), f"keep file {fp} lost curve order"
+
+    # the incremental cluster pass now touches only the upsert files
+    z = cluster(spark, t, target_file_rows=200, measure=False)
+    assert z.files_before == len(untagged)
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+
+def test_merge_mixed_tags_does_not_claim_order(spark, token_table):
+    """If the affected files don't all share one sort order, the keep
+    side must fall back to the legacy doc_id sort, untagged."""
+    from canal_spark.cluster import cluster
+
+    t, base = token_table
+    cluster(spark, t, target_file_rows=200, measure=False)
+    # append an UNTAGGED file so affected files mix tags (doc_ids made
+    # disjoint from the base set — same seed indexes would collide)
+    from canal_spark.changelog import synth_token_rows
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    extra_rows = [
+        (d.replace(":", ":x", 1), toks, n, src)
+        for d, toks, n, src in synth_token_rows(100, seed=123)
+    ]
+    append(spark, t,
+           spark.createDataFrame(extra_rows, TOKEN_TABLE_SCHEMA).repartition(1))
+    base_plus = base + extra_rows
+
+    rows = synth_changelog_rows(base_plus, 150)
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    # every affected file was rewritten; since tags were mixed the keep
+    # writes are untagged (no file may lie about its internal order)
+    # — the only possibly-tagged survivors are PRUNED (untouched) files
+    pruned = res.files_pruned
+    tagged = [e for e in t.files() if e.sort_order == "zorder-v1"]
+    assert len(tagged) <= pruned
+    assert scan_dict(spark, t) == oracle_dict(base_plus, rows)
