@@ -14,10 +14,14 @@ from canal_spark.operators import (
     mv,
     relational,
     similarity,
+    temporal,
     text,
 )
 
-_MODULES = (relational, cdc_ext, mv, dedup, text, similarity, multimodal, funcreg)
+_MODULES = (
+    relational, cdc_ext, mv, dedup, text, similarity, multimodal, funcreg,
+    temporal,
+)
 
 
 def all_queries():
