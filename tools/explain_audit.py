@@ -258,6 +258,26 @@ def main() -> None:
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
+    # 11. temporal joins: the as-of is union + ONE keyed exchange + window
+    # (no join node at all); the range join is a bucketed equi-join —
+    # neither may degenerate into a cartesian / nested-loop product
+    from canal_spark.operators.temporal import q_asof_join, q_range_join
+
+    p11 = plan_of(q_asof_join(spark, sf_dir))
+    sections.append((
+        "As-of join: union + one keyed exchange + running-last window, no join node",
+        p11,
+        ["Window", "Union", "hashpartitioning(user_id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ))
+    p12 = plan_of(q_range_join(spark, sf_dir))
+    sections.append((
+        "Range join: bucketed equi-join with residual range predicate, no product",
+        p12,
+        ["Join", "bkt"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
