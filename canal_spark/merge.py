@@ -377,29 +377,33 @@ def merge_into(
             target_affected = table.read_files(spark, affected)
             # Cluster-tag preservation: when every affected file carries
             # the same curve tag (steady state on a clustered table),
-            # the kept rows are written back IN SCAN ORDER — the parquet
-            # scan yields each file's rows in file order and the
-            # broadcast anti-join is order-preserving, so outputs stay
-            # curve-sorted runs and keep the tag.  The next clustering
-            # pass then rewrites ONLY the upsert files (batch-sized)
-            # instead of every merged file: at the 10^12-row design
-            # point this halves the pass's write amplification (cold
-            # kept bytes are written once, not merge-rewritten and then
-            # cluster-re-sorted).  Re-sorting by doc_id would buy
-            # nothing: per-file min/max stats are order-independent.
-            # Tasks that coalesce several small files concatenate sorted
-            # runs (stats = union, still correct); compaction re-sorts
-            # those bins by the curve key and restores tightness.
-            # Only the BROADCAST anti-join preserves scan order; the
-            # shuffled fallback (huge backfill) exchanges rows, so its
-            # outputs are neither sorted runs nor stat-tight — never tag
-            # them (the next cluster pass re-sorts them, correctly).
+            # each file's kept rows are written back as THEIR OWN file —
+            # grouped by source file (task-local, zero exchange: the
+            # broadcast anti-join preserves scan locality) and re-sorted
+            # within the group by the recomputed curve key.  Outputs
+            # stay stratum-pure (partition attribution survives),
+            # curve-sorted, and tagged, so the next clustering pass
+            # rewrites ONLY the upsert files (batch-sized) instead of
+            # every merged file: at the 10^12-row design point this
+            # halves the pass's write amplification (cold kept bytes are
+            # written once, not merge-rewritten and then re-clustered).
+            # Without the per-file grouping, scan-task coalescing of
+            # small files would concatenate strata into mixed files that
+            # never regain partition attribution once the tag suppresses
+            # re-clustering.
+            # Only the BROADCAST anti-join keeps the big side
+            # exchange-free; the shuffled fallback (huge backfill) moves
+            # rows across tasks, so its outputs get the legacy
+            # doc_id-sorted untagged treatment (the next cluster pass
+            # re-sorts them, correctly).
             keep_tags = {e.sort_order for e in affected}
             keep_tag = (
                 keep_tags.pop()
                 if len(keep_tags) == 1 and n_keys <= max_broadcast_keys
                 else None
             )
+            if keep_tag and keep_tag.rsplit("-", 1)[0] not in ("zorder", "hilbert"):
+                keep_tag = None  # unknown order: cannot re-sort by it
             if n_d_keys > 0:
                 # exact delete count: table rows matching final-D keys.
                 # (The old rows_in+n_up-rows_out arithmetic counted every
@@ -426,12 +430,33 @@ def merge_into(
             # AQE's skew-join splitting absorb hot key ranges (keys are
             # already deduped, so the build side has no hot keys).
             keys_side = F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
-            keep = target_affected.join(keys_side, key_cols, "left_anti")
-            new_entries += write_datafiles(
-                spark, table, keep,
-                sort_within_by=None if keep_tag else key_cols,
-                sort_order=keep_tag,
-            )
+            if keep_tag:
+                from canal_spark.cluster import with_cluster_key
+
+                src = table.read_files(spark, affected, with_file_path="_fp")
+                keep = (
+                    src.join(keys_side, key_cols, "left_anti")
+                    # compact group id per source file (the raw path has
+                    # separators partitionBy can't use as a dir value)
+                    .withColumn("_kgrp", F.md5(F.col("_fp")))
+                    .drop("_fp")
+                )
+                dim_col = table.partition_by[0] if table.partition_by else None
+                keep = with_cluster_key(
+                    keep, curve=keep_tag.rsplit("-", 1)[0], doc_col=key_cols,
+                    source_col=dim_col if dim_col is not None else key_cols[0],
+                )
+                new_entries += write_datafiles(
+                    spark, table, keep,
+                    group_col="_kgrp", group_local=True,
+                    sort_within_by=["_ckey"], drop_cols=["_ckey"],
+                    sort_order=keep_tag,
+                )
+            else:
+                keep = target_affected.join(keys_side, key_cols, "left_anti")
+                new_entries += write_datafiles(
+                    spark, table, keep, sort_within_by=key_cols
+                )
         # hash (not range) partition the upsert batch: range partitioning
         # would run a sampling job that recomputes the whole dedupe plan.
         upsert_entries = []

@@ -118,6 +118,7 @@ def write_datafiles(
     sort_within_by: list[str] | None = None,
     drop_cols: list[str] | None = None,
     sort_order: str | None = None,
+    group_local: bool = False,
 ) -> list[DataFile]:
     """Write ``df`` into fresh immutable data files; return manifest entries.
 
@@ -127,6 +128,11 @@ def write_datafiles(
       rows of a group hash to one partition (``repartition(n, col)``)
       and ``partitionBy`` then splits co-resident groups into separate
       files.  This is how bin-packed compaction emits its target files.
+    * ``group_local=True``: groups are already task-local (e.g. the
+      group is derived from the input FILE a row was scanned from) —
+      skip the repartition and write one file per (task, group) with NO
+      exchange.  The merge keep-side uses this to write each affected
+      file's survivors back as its own stratum-pure file.
 
     Partition values for the manifest are inferred from per-file stats:
     a table partition column with ``min == max`` in a file pins that
@@ -135,7 +141,7 @@ def write_datafiles(
     prefix = table.new_data_prefix()
     if group_col is not None:
         n = n_groups or 200
-        grouped = df.repartition(n, group_col)
+        grouped = df if group_local else df.repartition(n, group_col)
         if sort_within_by:
             # group col FIRST: the dynamic-partition writer requires its
             # input ordered by the partition column and would otherwise

@@ -364,6 +364,9 @@ def test_merge_on_clustered_table_preserves_tag_bounds_recluster(spark, token_ta
     # keep-side rewrites kept the tag; only the upsert files are untagged
     assert len(tagged) > 0 and len(untagged) > 0
     assert sum(e.rows for e in untagged) <= 200  # batch-sized, not table-sized
+    # per-source-file keep grouping keeps outputs stratum-pure: every
+    # tagged file still pins its partition value (min == max on source)
+    assert all(e.partition.get("source") for e in tagged)
 
     # tagged keep files remain curve-sorted runs per file
     df = with_cluster_key(
