@@ -80,13 +80,16 @@ def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int,
     """Binlog-shaped changelog over the synthesized table: updates
     truncate tokens to 16, deletes tombstone; ordinal = xxhash-ranked.
     ``ordinal_base`` offsets a follow-up batch past the first batch's
-    high-water mark (ordinals < 2^62, so base 2^62 stays in int64)."""
+    high-water mark.  The per-doc hash domain is 2^40 — only SAME-key
+    ordinal order matters for last-wins dedupe (U=2h+1 < D=2h+2), and
+    the compact domain leaves headroom for many follow-up batches
+    before int64 overflows (base 2^42, 2^43, ... all safe)."""
     from pyspark.sql import functions as F
 
     # U and D ordinals must never collide for the same doc (a doc can
     # match both filters): U = 2h+1, D = 2h+2 — delete wins, and the
     # dedupe tie-break is deterministic run to run.
-    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 61)) + F.lit(
+    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 40)) + F.lit(
         ordinal_base // 2
     )
     upd = token_df.where(F.crc32(F.col("doc_id")) % n_upd_mod == 0).select(
@@ -203,7 +206,7 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
         cl2_dir = os.path.join(root, "_changelog_stage2")
         synth_changelog(
             spark, table.scan(spark), n_upd_mod=13, n_del_mod=19,
-            ordinal_base=1 << 62,
+            ordinal_base=1 << 42,
         ).write.parquet(cl2_dir)
         changes2 = spark.read.parquet(cl2_dir)
         phases["stage_changelog2"] = time.perf_counter() - t0
@@ -216,7 +219,47 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
         steady_wall = time.perf_counter() - t0
         phases["steady_pass"] = steady_wall
 
+        # MERGE-ON-READ pass: the same steady-state shape applied as
+        # equality deletes (mode="mor") — the batch commits as upsert
+        # files + one delete file with ZERO base-table reads/rewrites.
+        # At the 10^12-row design point this is the apply strategy for
+        # batches whose keys spray wide (COW would touch O(table)
+        # files); the wall here is the pure O(batch) write cost.  Debt
+        # repayment is deferred (high threshold) so the number isolates
+        # the apply; the materialize cost is amortized and shows up in
+        # the steady COW pass shape instead.
+        t0 = time.perf_counter()
+        cl3_dir = os.path.join(root, "_changelog_stage3")
+        synth_changelog(
+            spark, table.scan(spark), n_upd_mod=23, n_del_mod=29,
+            ordinal_base=1 << 43,
+        ).write.parquet(cl3_dir)
+        changes3 = spark.read.parquet(cl3_dir)
+        phases["stage_changelog3"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rep3 = run_pass(
+            spark, table, changes3,
+            target_file_bytes=target_mb << 20, target_file_rows=target_rows,
+            keep_snapshots=3, measure=False,
+            merge_mode="mor", max_pending_delete_files=1 << 30,
+            do_cluster=False, do_compact=False,
+        )
+        mor_wall = time.perf_counter() - t0
+        phases["mor_pass"] = mor_wall
+        # post-MoR scan: the broadcast anti-join overhead a reader pays
+        # while delete debt is pending (compare with scan_seq_per_sec)
+        t0 = time.perf_counter()
+        mor_row = table.scan(spark).agg(F.count("*").alias("n")).collect()[0]
+        mor_scan_wall = time.perf_counter() - t0
+        phases["mor_scan"] = mor_scan_wall
+
         return {
+            "mor_pass_sec": round(mor_wall, 3),
+            "mor_merge_files_rewritten": rep3.merge.get("files_rewritten"),
+            "mor_scan_sec": round(mor_scan_wall, 3),
+            "mor_scan_seq_per_sec": round(
+                mor_row["n"] / mor_scan_wall if mor_scan_wall > 0 else 0.0, 1
+            ),
             "steady_pass_sec": round(steady_wall, 3),
             "steady_timings": rep2.timings,
             "steady_cluster_files_rewritten": rep2.cluster.get("files_before"),

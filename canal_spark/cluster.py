@@ -242,7 +242,9 @@ def cluster(
 
     key_cols = table.key_cols
     dim_col = table.partition_by[0] if table.partition_by else None
-    raw = table.read_files(spark, victims)
+    # live read: pending MoR equality-deletes fold in here, or the
+    # re-clustered files (new sequence) would resurrect deleted rows
+    raw = table.read_files_live(spark, victims)
 
     # Analytic range partitioning, no sampling job.  The curve key as a
     # whole is NOT uniform (the source dim is low-cardinality), but the

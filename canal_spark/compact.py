@@ -220,7 +220,9 @@ def _rewrite_chunk(
     )
     flat = [e for m in chunk for e in m]
     df = (
-        table.read_files(spark, flat, with_file_path="_fp")
+        # live read: pending MoR equality-deletes fold in here, or the
+        # rewritten bins (new sequence) would resurrect deleted rows
+        table.read_files_live(spark, flat, with_file_path="_fp")
         .join(F.broadcast(bin_map), "_fp")
         .drop("_fp")
     )
@@ -237,8 +239,13 @@ def _rewrite_chunk(
             source_col=dim_col if dim_col is not None else table.key_cols[0],
         )
         sort_by, drop_cols = ["_ckey"], ["_ckey"]
-    # guard against silent path-join misses: rows in must equal rows out
+    # guard against silent path-join misses: rows in must equal rows
+    # out — except while MoR delete debt is pending, when the live read
+    # legitimately drops deleted rows and manifest counts are only an
+    # upper bound (the exact check resumes once materialize_deletes
+    # repays the debt)
     expected_rows = sum(e.rows for m in chunk for e in m)
+    deletes_pending = bool(table.delete_files())
     new_entries = write_datafiles(
         spark,
         table,
@@ -250,7 +257,7 @@ def _rewrite_chunk(
         sort_order=tag,
     )
     got_rows = sum(e.rows for e in new_entries)
-    if got_rows != expected_rows:
+    if got_rows != expected_rows and not (deletes_pending and got_rows < expected_rows):
         raise RuntimeError(
             f"compaction row mismatch: read {expected_rows}, wrote {got_rows} "
             "(path-join miss?) — aborting before commit"

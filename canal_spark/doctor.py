@@ -65,7 +65,11 @@ def check_table(
     ``partition`` (recorded partition value contradicts the file's own
     min/max stats).
     """
-    entries = table.files(snapshot_id)
+    # ALL manifest entries: pending equality-delete files get the same
+    # missing/bytes/rows/footer validation as data files (a corrupt
+    # delete file silently un-deletes rows — worse than a corrupt data
+    # file, which at least fails loudly at scan)
+    entries = table.all_entries(snapshot_id)
     violations: list[dict] = []
 
     seen: set[str] = set()

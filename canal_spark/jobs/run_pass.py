@@ -20,6 +20,13 @@ def main() -> None:
     p.add_argument("--band-index", default=None,
                    help="band-index table root to sync after the merge "
                         "(created empty if absent)")
+    p.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                   help="cow: rewrite affected files in place; mor: commit "
+                        "equality-delete files (O(batch) write, scans fold "
+                        "deletes until materialization)")
+    p.add_argument("--max-pending-delete-files", type=int, default=8,
+                   help="materialize merge-on-read delete debt once this "
+                        "many delete files accumulate")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -47,8 +54,11 @@ def main() -> None:
         keep_snapshots=args.keep_last,
         job_id=args.job_id,
         band_index=band_index,
+        merge_mode=args.merge_mode,
+        max_pending_delete_files=args.max_pending_delete_files,
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
+          "materialize": rep.materialize,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,
           "metrics": prometheus_metrics(rep, destination=args.table)})

@@ -29,6 +29,7 @@ from canal_spark.table.format import Table
 class MaintenanceReport:
     job_id: str
     merge: dict = field(default_factory=dict)
+    materialize: dict = field(default_factory=dict)
     compact: dict = field(default_factory=dict)
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
@@ -49,11 +50,21 @@ def run_pass(
     curve: str = "zorder",
     cluster_scope: str = "incremental",
     do_cluster: bool = True,
+    do_compact: bool = True,
     keep_snapshots: int = 5,
     measure: bool = True,
     job_id: str | None = None,
     band_index: Table | None = None,
+    merge_mode: str = "cow",
+    max_pending_delete_files: int = 8,
 ) -> MaintenanceReport:
+    """One maintenance pass.  ``merge_mode="mor"`` applies the changelog
+    as merge-on-read equality deletes (O(batch) write, zero base-table
+    reads); the accumulated delete debt is repaid by
+    ``materialize_deletes`` once ``max_pending_delete_files`` pile up —
+    the amortization knob: higher defers rewrite I/O across more
+    batches, at the cost of one extra broadcast anti-join per scan in
+    the window."""
     job_id = job_id or uuid.uuid4().hex[:12]
     lineage = _ckpt.ensure_lineage(lineage_root) if lineage_root else None
     rep = MaintenanceReport(job_id=job_id)
@@ -61,7 +72,8 @@ def run_pass(
     if changes is not None:
         _t0 = time.perf_counter()
         m = _merge.merge_into(
-            spark, table, changes, target_file_rows=target_file_rows, job_id=job_id
+            spark, table, changes, target_file_rows=target_file_rows, job_id=job_id,
+            mode=merge_mode,
         )
         rep.merge = m.__dict__
         rep.timings["merge"] = round(time.perf_counter() - _t0, 3)
@@ -99,6 +111,24 @@ def run_pass(
                     },
                 )
 
+    # Repay merge-on-read debt BEFORE clustering: once enough delete
+    # files accumulate, fold them into the data files in one pass (the
+    # rewrite prunes to files the pending keys can actually hit and
+    # preserves cluster tags).  Below the threshold the debt rides —
+    # scans pay one small broadcast anti-join, writes pay nothing.
+    if len(table.delete_files()) >= max_pending_delete_files:
+        _t0 = time.perf_counter()
+        mat = _merge.materialize_deletes(spark, table)
+        rep.materialize = mat.__dict__
+        rep.timings["materialize"] = round(time.perf_counter() - _t0, 3)
+        if lineage and mat.applied:
+            _ckpt.record(
+                spark, lineage, job_id, "materialize",
+                snapshot_id=mat.snapshot_id,
+                files_rewritten=mat.files_rewritten,
+                bytes_shuffled=mat.bytes_rewritten,
+            )
+
     # Cluster BEFORE compacting: the incremental cluster pass rewrites
     # every untagged file (exactly what merge just produced) into
     # ~target-size, curve-ordered, range-disjoint files — so compacting
@@ -127,18 +157,19 @@ def run_pass(
                 tightness_after=z.tightness_after.get("hash_range"),
             )
 
-    _t0 = time.perf_counter()
-    c = _compact.compact(
-        spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
-    )
-    rep.compact = c.__dict__
-    rep.timings["compact"] = round(time.perf_counter() - _t0, 3)
-    if lineage and c.commits:
-        _ckpt.record(
-            spark, lineage, job_id, "compact",
-            snapshot_id=c.snapshot_ids[-1], files_rewritten=c.files_removed,
-            bytes_shuffled=c.bytes_compacted,
+    if do_compact:
+        _t0 = time.perf_counter()
+        c = _compact.compact(
+            spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
         )
+        rep.compact = c.__dict__
+        rep.timings["compact"] = round(time.perf_counter() - _t0, 3)
+        if lineage and c.commits:
+            _ckpt.record(
+                spark, lineage, job_id, "compact",
+                snapshot_id=c.snapshot_ids[-1], files_rewritten=c.files_removed,
+                bytes_shuffled=c.bytes_compacted,
+            )
 
     _t0 = time.perf_counter()
     e = table.expire_snapshots(keep_last=keep_snapshots)
@@ -190,6 +221,17 @@ def prometheus_metrics(rep: MaintenanceReport, destination: str = "tokens") -> d
         f"canal_spark_compact_bytes{lbl}": int(c.get("bytes_compacted", 0)),
         f"canal_spark_expire_snapshots{lbl}": int(x.get("expired", 0) or 0),
     }
+    if rep.materialize:
+        mt = rep.materialize
+        vals[f"canal_spark_materialize_files_rewritten{lbl}"] = int(
+            mt.get("files_rewritten", 0)
+        )
+        vals[f"canal_spark_materialize_delete_files_removed{lbl}"] = int(
+            mt.get("delete_files_removed", 0)
+        )
+        vals[f"canal_spark_materialize_rows_deleted{lbl}"] = int(
+            mt.get("rows_deleted", 0)
+        )
     if z:
         vals[f"canal_spark_cluster_files_before{lbl}"] = int(z.get("files_before", 0))
         vals[f"canal_spark_cluster_files_after{lbl}"] = int(z.get("files_after", 0))

@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from canal_spark.table.format import DataFile, Table, prune_files
 from canal_spark.table.writer import write_datafiles
@@ -187,6 +188,66 @@ def _affected_files(
     return affected, untouched
 
 
+def _refine_noops(
+    spark: SparkSession,
+    table: Table,
+    final: DataFrame,
+    key_cols: list[str],
+    max_probe_keys: int = 2_000_000,
+) -> DataFrame:
+    """Clear the ``_noop`` flag on keys NOT currently present in the table.
+
+    All-no-op suppression (reference: LogEventConvert.isUpdate:905-929 —
+    a U whose captured before-images equal its after-images changes
+    nothing) is only valid when the key's current table row anchors the
+    before-image chain.  A no-op U on an ABSENT key (deleted in a prior
+    batch) must re-insert the after-image, matching the single-threaded
+    replay oracle.
+
+    Cost: zero when the batch has no all-no-op keys (one count on the
+    persisted dedupe).  Otherwise a manifest-pruned, column-pruned read
+    of only the files whose key range covers the no-op keys, leftsemi
+    against the (small, broadcast) key set.  Above ``max_probe_keys``
+    the probe is skipped conservatively — every no-op key upserts,
+    which is always correct, just forgoes the suppression optimization.
+    The probe reads through ``read_files_live`` so pending merge-on-read
+    deletes count as absence.
+    """
+    noops = final.where(F.col("_noop")).select(*key_cols)
+    n_noop = noops.count()
+    if n_noop == 0:
+        return final
+    if n_noop > max_probe_keys:
+        return final.withColumn("_noop", F.lit(False))
+    keys = np.sort(
+        np.array([r[0] for r in noops.select(key_cols[0]).collect()], dtype=object)
+    )
+    candidates, _ = _affected_files(table.files(), keys, key_cols[0])
+    if not candidates:
+        return final.withColumn("_noop", F.lit(False))
+    live = table.read_files_live(spark, candidates).select(*key_cols)
+    present_rows = [
+        tuple(r)
+        for r in live.join(F.broadcast(noops), key_cols, "leftsemi")
+        .distinct()
+        .collect()
+    ]
+    if not present_rows:
+        return final.withColumn("_noop", F.lit(False))
+    cur = {f.name: f for f in table.spark_schema().fields}
+    key_schema = StructType([cur[k] for k in key_cols])
+    present = spark.createDataFrame(present_rows, key_schema).withColumn(
+        "_present", F.lit(True)
+    )
+    return (
+        final.join(F.broadcast(present), key_cols, "left")
+        .withColumn(
+            "_noop", F.col("_noop") & F.coalesce(F.col("_present"), F.lit(False))
+        )
+        .drop("_present")
+    )
+
+
 def merge_into(
     spark: SparkSession,
     table: Table,
@@ -195,6 +256,7 @@ def merge_into(
     max_driver_keys: int = 2_000_000,
     max_broadcast_keys: int = 5_000_000,
     job_id: str | None = None,
+    mode: str = "cow",
 ) -> MergeResult:
     """Apply a changelog DataFrame (CHANGELOG_SCHEMA shape) to ``table``.
 
@@ -206,7 +268,20 @@ def merge_into(
     nothing (column-change pruning, LogEventConvert.isUpdate:905-929 /
     RdbSyncService.update:296-314) — but the high-water mark still
     advances past it (the cursor moves even when nothing applies, F6).
+
+    ``mode="cow"`` (default) is copy-on-write: affected target files
+    rewrite in place — reads stay delete-free, writes cost O(affected
+    files).  ``mode="mor"`` is merge-on-read (Iceberg v2 equality
+    deletes): the batch commits as upsert data files plus ONE
+    equality-delete file of the changed keys, with ZERO reads or
+    rewrites of the base table — write cost is O(batch) no matter how
+    wide the batch's key range sprays across a 100 TB table.  Scans
+    anti-join pending deletes (sequence-aware, so insert-after-delete
+    works) until ``materialize_deletes`` repays the debt.  Both modes
+    share the checkpoint algebra, so they can interleave on one table.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
     job_id = job_id or uuid.uuid4().hex[:12]
     key_cols = table.key_cols
     data_cols = table.spark_schema().fieldNames()
@@ -296,9 +371,18 @@ def merge_into(
     # the deduped batch is small next to the table by CDC contract —
     # persist it: stats, manifest pruning, anti-join build side, and the
     # upsert write all reuse it without recomputing the dedupe shuffle
-    final = final.persist()
+    final = _persisted = final.persist()
 
     try:
+        # suppression is only sound for keys PRESENT in the table: the
+        # CDC before-image contract chains table == before_1 == after_1
+        # == ... == after_N only when the chain is anchored to a live
+        # row.  A U on a key deleted in an earlier batch must upsert
+        # (the oracle puts the after-image regardless) — reclassify
+        # those here via a manifest-pruned presence probe.
+        final = _refine_noops(
+            spark, table, final, key_cols, max_probe_keys=max_driver_keys
+        )
         row = final.agg(
             F.count("*").alias("n"),
             F.max("_mo").alias("hwm"),
@@ -329,6 +413,7 @@ def merge_into(
                 sid = r["stream_id"]
                 new_gset[sid] = max(int(new_gset.get(sid, 0)), int(r["mo"]))
         skew_stats = {
+            "mode": mode,
             "slice_rows": int(row["rows"]),
             "hot_key_freq": int(row["max_freq"]),
             "mean_key_freq": round(row["rows"] / n_keys_all, 2),
@@ -346,7 +431,34 @@ def merge_into(
         upserts = effective.where(F.col("op") != "D").select(*data_cols)
 
         entries = table.files()
-        if n_keys == 0:
+        # pending equality-deletes from earlier merge-on-read batches:
+        # every COW read of old files must fold them in, or rewritten
+        # survivors would resurrect deleted rows (their new sequence
+        # stops the pending delete from applying)
+        pending_dels = table.delete_files()
+        new_entries = []
+        rows_del = 0
+        if mode == "mor":
+            # merge-on-read: no base-table read, no rewrite — the batch
+            # commits as upsert files + ONE equality-delete file of all
+            # changed keys (key-sorted so its footer min/max stats let
+            # materialize_deletes prune the files it must rewrite).
+            # Updated keys need the delete too: it kills the PREVIOUS
+            # version in older-sequence files, while the new version
+            # (same commit sequence) is exempt by the strict inequality.
+            affected, untouched = [], entries
+            if n_keys > 0:
+                m_del = max(1, -(-n_keys // 5_000_000))
+                del_entries = write_datafiles(
+                    spark,
+                    table,
+                    keys_df.repartition(m_del, *key_cols),
+                    sort_within_by=key_cols,
+                )
+                for e in del_entries:
+                    e.content = "eq-deletes"
+                new_entries += del_entries
+        elif n_keys == 0:
             affected, untouched = [], entries
         elif n_keys <= max_driver_keys:
             # manifest pruning needs the key list driver-side (O(K log F)
@@ -370,11 +482,12 @@ def merge_into(
         # compaction/cluster phases exist to repay — rewrite
         # amplification stays bounded by the touched files, never the
         # table.
-        new_entries = []
-        rows_del = 0
         if affected:
-            # era-aware read: affected files may predate renames/widenings
-            target_affected = table.read_files(spark, affected)
+            # era-aware read (with pending eq-deletes applied): affected
+            # files may predate renames/widenings and may carry MoR debt
+            target_affected = table.read_files_live(
+                spark, affected, delete_entries=pending_dels
+            )
             # Cluster-tag preservation: when every affected file carries
             # the same curve tag (steady state on a clustered table),
             # each file's kept rows are written back as THEIR OWN file —
@@ -433,7 +546,10 @@ def merge_into(
             if keep_tag:
                 from canal_spark.cluster import with_cluster_key
 
-                src = table.read_files(spark, affected, with_file_path="_fp")
+                src = table.read_files_live(
+                    spark, affected, delete_entries=pending_dels,
+                    with_file_path="_fp",
+                )
                 keep = (
                     src.join(keys_side, key_cols, "left_anti")
                     # compact group id per source file (the raw path has
@@ -471,12 +587,13 @@ def merge_into(
         new_entries += upsert_entries
         n_up = sum(e.rows for e in upsert_entries)
     finally:
-        final.unpersist()
+        _persisted.unpersist()
 
     summary = {
         CKPT_KEY: int(new_hwm),
         "job-id": job_id,
         "phase": "merge",
+        "merge-mode": mode,
         "keys-changed": int(n_keys),
         "files-pruned": len(untouched),
     }
@@ -510,4 +627,125 @@ def merge_into(
         bytes_rewritten=sum(e.bytes for e in affected),
         job_id=job_id,
         extra=skew_stats,
+    )
+
+
+# --------------------------------------------------------------------------
+# merge-on-read debt repayment
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class MaterializeResult:
+    applied: bool
+    snapshot_id: int | None = None
+    files_rewritten: int = 0
+    files_added: int = 0
+    files_pruned: int = 0
+    delete_files_removed: int = 0
+    rows_deleted: int = 0
+    bytes_rewritten: int = 0
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    table: Table,
+    max_driver_keys: int = 2_000_000,
+) -> MaterializeResult:
+    """Fold pending equality-deletes into the data files and drop the
+    delete files — the compaction phase of merge-on-read (Iceberg's
+    rewrite_position_delete_files analogue for equality deletes).
+
+    Only files a delete can actually hit rewrite: a data file is
+    subject when its sequence is below some delete's sequence AND its
+    key min/max overlaps the pending key set (driver-side manifest
+    pruning, same machinery as COW merge).  Unaffected files are
+    provably clean — min/max pruning has no false negatives — so ALL
+    pending delete files drop in the same atomic commit, even when
+    nothing rewrites (dead deletes are pure metadata removal).
+
+    Cluster tags are preserved the same way the COW keep-side does:
+    when every rewritten file carries one curve tag, survivors write
+    back per source file, re-sorted by the recomputed curve key, so the
+    next clustering pass skips them.
+    """
+    dels = table.delete_files()
+    if not dels:
+        return MaterializeResult(applied=False)
+    key_cols = table.key_cols
+    entries = table.files()
+    max_dseq = max(int(d.seq or 0) for d in dels)
+    subject = [e for e in entries if int(e.seq or 0) < max_dseq]
+    n_del_keys = sum(d.rows for d in dels)
+
+    if subject and 0 < n_del_keys <= max_driver_keys:
+        # exact pending-key list (bounded by the maintenance contract:
+        # batch-sized deltas times passes since the last materialize)
+        d_paths = [f"{table.root}/{d.path}" for d in dels]
+        from pyspark.sql.types import StructType
+
+        kfield = [f for f in table.spark_schema().fields if f.name == key_cols[0]]
+        keys = np.sort(
+            np.array(
+                [
+                    r[0]
+                    for r in spark.read.schema(StructType(kfield))
+                    .parquet(*d_paths)
+                    .distinct()
+                    .collect()
+                ],
+                dtype=object,
+            )
+        )
+        affected, untouched = _affected_files(subject, keys, key_cols[0])
+    else:
+        affected, untouched = subject, []
+
+    new_entries: list[DataFile] = []
+    if affected:
+        keep_tags = {e.sort_order for e in affected}
+        keep_tag = keep_tags.pop() if len(keep_tags) == 1 else None
+        if keep_tag and keep_tag.rsplit("-", 1)[0] not in ("zorder", "hilbert"):
+            keep_tag = None
+        if keep_tag:
+            from canal_spark.cluster import with_cluster_key
+
+            src = table.read_files_live(
+                spark, affected, delete_entries=dels, with_file_path="_fp"
+            )
+            keep = src.withColumn("_kgrp", F.md5(F.col("_fp"))).drop("_fp")
+            dim_col = table.partition_by[0] if table.partition_by else None
+            keep = with_cluster_key(
+                keep, curve=keep_tag.rsplit("-", 1)[0], doc_col=key_cols,
+                source_col=dim_col if dim_col is not None else key_cols[0],
+            )
+            new_entries = write_datafiles(
+                spark, table, keep,
+                group_col="_kgrp", group_local=True,
+                sort_within_by=["_ckey"], drop_cols=["_ckey"],
+                sort_order=keep_tag,
+            )
+        else:
+            keep = table.read_files_live(spark, affected, delete_entries=dels)
+            new_entries = write_datafiles(spark, table, keep, sort_within_by=key_cols)
+
+    snap = table.commit(
+        added=new_entries,
+        removed_paths=[e.path for e in affected] + [d.path for d in dels],
+        operation="overwrite",
+        summary={
+            "phase": "materialize-deletes",
+            "delete-files-removed": len(dels),
+            "pending-delete-keys": int(n_del_keys),
+        },
+    )
+    return MaterializeResult(
+        applied=True,
+        snapshot_id=snap.snapshot_id,
+        files_rewritten=len(affected),
+        files_added=len(new_entries),
+        files_pruned=len(untouched) + (len(entries) - len(subject)),
+        delete_files_removed=len(dels),
+        rows_deleted=sum(e.rows for e in affected) - sum(e.rows for e in new_entries),
+        bytes_rewritten=sum(e.bytes for e in affected),
     )

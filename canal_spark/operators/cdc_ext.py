@@ -282,6 +282,57 @@ FROM lineitem WHERE l_orderkey % 1001 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# A1-A3 merge-on-read scan — Iceberg-v2-style equality-delete resolution
+# (canal_spark/merge.py mode="mor" + table/format.py read_files_live):
+# data rows carry a commit sequence; an equality-delete set at sequence
+# d kills rows with the same key and a STRICTLY SMALLER sequence, so a
+# key re-inserted after its delete survives.  Reference behavior: the
+# same keyed INSERT/UPDATE/DELETE resolution as the COW path
+# (client-adapter/rdb/.../RdbSyncService.java insert/update/delete),
+# deferred to scan time.
+# --------------------------------------------------------------------------
+
+
+def q_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware merge-on-read scan over `documents`: rows are
+    assigned commit sequences seq = doc_id % 5; two pending
+    equality-delete sets exist — keys doc_id%3==0 at delete-sequence 2
+    and keys doc_id%7==0 at delete-sequence 4.  The scan is ONE
+    anti-join with the sequence comparison as a residual condition —
+    exactly read_files_live's plan shape (broadcast pending-delete keys,
+    per-row sequence from the file manifest)."""
+    docs = load(spark, sf_dir, "documents")
+    data = docs.select(
+        "doc_id", "source", (F.col("doc_id") % 5).alias("seq")
+    )
+    dels = (
+        docs.where("doc_id % 3 = 0")
+        .select(F.col("doc_id").alias("d_id"), F.lit(2).alias("dseq"))
+        .unionByName(
+            docs.where("doc_id % 7 = 0").select(
+                F.col("doc_id").alias("d_id"), F.lit(4).alias("dseq")
+            )
+        )
+    )
+    cond = (F.col("doc_id") == F.col("d_id")) & (F.col("dseq") > F.col("seq"))
+    return data.join(F.broadcast(dels), cond, "left_anti").select(
+        "doc_id", "source", F.col("seq").cast("long").alias("seq")
+    )
+
+
+SQL_MOR_SCAN = """
+WITH data AS (SELECT doc_id, source, doc_id % 5 AS seq FROM documents),
+     dels AS (SELECT doc_id AS d_id, 2 AS dseq FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id AS d_id, 4 AS dseq FROM documents WHERE doc_id % 7 = 0)
+SELECT doc_id, source, CAST(seq AS BIGINT) AS seq
+FROM data
+WHERE NOT EXISTS (SELECT 1 FROM dels
+                  WHERE dels.d_id = data.doc_id AND dels.dseq > data.seq)
+"""
+
+
 QUERIES = {
     "timeline_merge": q_timeline_merge,
     "flat_message_roundtrip": q_flat_message_roundtrip,
@@ -289,6 +340,7 @@ QUERIES = {
     "empty_txn_suppress": q_empty_txn_suppress,
     "start_position_resolve": q_start_position_resolve,
     "unsigned_promotion": q_unsigned_promotion,
+    "mor_scan": q_mor_scan,
 }
 
 ORACLES = {
@@ -298,4 +350,5 @@ ORACLES = {
     "empty_txn_suppress": SQL_EMPTY_TXN_SUPPRESS,
     "start_position_resolve": SQL_START_POSITION,
     "unsigned_promotion": SQL_UNSIGNED_PROMOTION,
+    "mor_scan": SQL_MOR_SCAN,
 }

@@ -73,6 +73,15 @@ class DataFile:
     # evolution: old files keep their old spec's partition values; new
     # files carry the new spec's — scans prune each file by ITS spec)
     spec_id: int | None = None
+    # entry kind — "data" (default) or "eq-deletes" (Iceberg v2
+    # equality-delete file: parquet of key columns whose rows mark
+    # earlier-sequence data rows with those keys as deleted)
+    content: str = "data"
+    # commit sequence (= committing snapshot id, stamped by commit()):
+    # an eq-delete file applies to data files with a STRICTLY SMALLER
+    # seq, so a key re-inserted after its delete survives.  None on
+    # pre-MoR data files -> reads treat it as 0 (every delete applies).
+    seq: int | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -88,6 +97,10 @@ class DataFile:
             d["schema_id"] = self.schema_id
         if self.spec_id is not None:
             d["spec_id"] = self.spec_id
+        if self.content != "data":
+            d["content"] = self.content
+        if self.seq is not None:
+            d["seq"] = self.seq
         return d
 
     @staticmethod
@@ -101,6 +114,8 @@ class DataFile:
             sort_order=d.get("sort_order"),
             schema_id=d.get("schema_id"),
             spec_id=d.get("spec_id"),
+            content=d.get("content", "data"),
+            seq=d.get("seq"),
         )
 
 
@@ -300,8 +315,9 @@ class Table:
         os.replace(path + ".tmp", path)
         return name
 
-    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
-        """All live data files at a snapshot (default: current)."""
+    def all_entries(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """All live manifest entries at a snapshot — data files AND
+        equality-delete files (default: current)."""
         if snapshot_id is None:
             snap = self.current_snapshot()
             if snap is None:
@@ -312,6 +328,21 @@ class Table:
         for m in snap.manifests:
             out.extend(self._read_manifest(m))
         return out
+
+    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Live DATA files at a snapshot (default: current) — the
+        contract every maintenance planner (merge prune, compaction
+        bin-pack, clustering scope) operates over.  Equality-delete
+        entries live alongside them in the same manifests; use
+        ``delete_files()`` for those."""
+        return [e for e in self.all_entries(snapshot_id) if e.content == "data"]
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Live equality-delete files at a snapshot (merge-on-read
+        debt).  Empty on a pure copy-on-write table."""
+        return [
+            e for e in self.all_entries(snapshot_id) if e.content == "eq-deletes"
+        ]
 
     # ---- snapshot resolution ---------------------------------------------
 
@@ -408,6 +439,94 @@ class Table:
             out = out.unionByName(p)
         return out
 
+    def read_files_live(
+        self,
+        spark: SparkSession,
+        entries: list["DataFile"],
+        delete_entries: list["DataFile"] | None = None,
+        target_schema_id: int | None = None,
+        with_file_path: str | None = None,
+        max_broadcast_delete_rows: int = 5_000_000,
+    ) -> DataFrame:
+        """Read data files with pending equality-deletes APPLIED — the
+        merge-on-read scan (Iceberg v2 semantics).
+
+        A delete file (parquet of key columns, commit sequence ``d.seq``)
+        kills rows of data files with a STRICTLY SMALLER sequence whose
+        keys match; rows written at or after ``d.seq`` survive, so
+        insert-after-delete works.  Plan shape: ONE broadcast hash
+        anti-join of the data scan against the union of pending delete
+        keys, with the sequence comparison as a residual condition —
+        per-row sequences attach via a broadcast (path -> seq) map join
+        (O(#files), manifest scale).  Delete sets are batch-sized by the
+        maintenance contract (materialize_deletes repays the debt), so
+        the broadcast side stays small; a mass-delete backfill above
+        ``max_broadcast_delete_rows`` falls back to a shuffled anti-join
+        under AQE.
+
+        Every REWRITE path (merge keep-side, compaction, clustering)
+        must read through this — a rewrite bumps surviving rows to a new
+        sequence, which stops pending deletes from applying to them, so
+        the deletes have to be folded in during the read or deleted rows
+        would resurrect.
+        """
+        from pyspark.sql import functions as FF
+        from pyspark.sql.types import StructType
+
+        from canal_spark.table.writer import norm_file_path
+
+        dels = list(delete_entries) if delete_entries is not None else self.delete_files()
+        if entries:
+            min_seq = min(int(e.seq or 0) for e in entries)
+            dels = [d for d in dels if int(d.seq or 0) > min_seq]
+        if not dels or not entries:
+            return self.read_files(
+                spark, entries, target_schema_id=target_schema_id,
+                with_file_path=with_file_path,
+            )
+
+        fp = with_file_path or "_sg_fp"
+        df = self.read_files(
+            spark, entries, target_schema_id=target_schema_id, with_file_path=fp
+        )
+        seq_df = spark.createDataFrame(
+            [(os.path.abspath(f"{self.root}/{e.path}"), int(e.seq or 0)) for e in entries],
+            f"`{fp}` string, _sg_seq long",
+        )
+        df = df.join(FF.broadcast(seq_df), fp, "left").withColumn(
+            "_sg_seq", FF.coalesce(FF.col("_sg_seq"), FF.lit(0))
+        )
+
+        # delete keys: key columns are protected from rename/retype, so
+        # the current schema's key fields read every delete era
+        key_cols = self.key_cols
+        cur = {f.name: f for f in self.spark_schema().fields}
+        key_schema = StructType([cur[k] for k in key_cols])
+        d_paths = [os.path.join(self.root, d.path) for d in dels]
+        d_df = (
+            spark.read.schema(key_schema)
+            .parquet(*d_paths)
+            .select(
+                *[FF.col(k).alias(f"_sg_d_{k}") for k in key_cols],
+                norm_file_path(FF.col("_metadata.file_path")).alias("_sg_dfp"),
+            )
+        )
+        dseq_df = spark.createDataFrame(
+            [(os.path.abspath(f"{self.root}/{d.path}"), int(d.seq or 0)) for d in dels],
+            "_sg_dfp string, _sg_dseq long",
+        )
+        d_df = d_df.join(FF.broadcast(dseq_df), "_sg_dfp", "left").drop("_sg_dfp")
+        n_del_rows = sum(d.rows for d in dels)
+        d_side = FF.broadcast(d_df) if n_del_rows <= max_broadcast_delete_rows else d_df
+        cond = FF.lit(True)
+        for k in key_cols:
+            cond = cond & (FF.col(k) == FF.col(f"_sg_d_{k}"))
+        cond = cond & (FF.col("_sg_dseq") > FF.col("_sg_seq"))
+        out = df.join(d_side, cond, "left_anti").drop("_sg_seq")
+        if with_file_path is None:
+            out = out.drop(fp)
+        return out
+
     def era_stat_name(self, entry: "DataFile", col: str, target_schema_id: int | None = None) -> str:
         """The name ``col`` had when ``entry`` was written (file stats
         are keyed by write-time names)."""
@@ -443,7 +562,9 @@ class Table:
         then applies row-group pushdown inside surviving files.
         """
         snap = self.resolve_snapshot(snapshot_id, as_of_version, as_of_timestamp_ms)
-        entries = self.files(snap.snapshot_id) if snap is not None else []
+        all_entries = self.all_entries(snap.snapshot_id) if snap is not None else []
+        entries = [e for e in all_entries if e.content == "data"]
+        dels = [e for e in all_entries if e.content == "eq-deletes"]
         # project with the schema AS OF the snapshot being read: after a
         # drop, a time-travel read of a pre-drop snapshot still returns
         # the dropped column's data
@@ -458,9 +579,17 @@ class Table:
             range_filter,
             stat_name=lambda e, c: self.era_stat_name(e, c, tid),
         )
-        return self.read_files(spark, entries, target_schema_id=tid)
+        # merge-on-read: pending equality-deletes (at THIS snapshot)
+        # apply as a broadcast anti-join; a pure-COW table has none and
+        # takes the plain scan path with zero overhead
+        return self.read_files_live(
+            spark, entries, delete_entries=dels, target_schema_id=tid
+        )
 
     def row_count(self, snapshot_id: int | None = None) -> int:
+        """Manifest row count of live DATA files.  With pending
+        equality-deletes this is an upper bound on the scan row count
+        (exact again once materialize_deletes repays the debt)."""
         return sum(e.rows for e in self.files(snapshot_id))
 
     # ---- commits ----------------------------------------------------------
@@ -489,9 +618,17 @@ class Table:
         manifest.  So commit cost is O(delta), not O(table).
         """
         removed = set(removed_paths)
+        # entries arriving without a commit sequence get stamped with the
+        # committing snapshot id (re-stamped per attempt: a lost race
+        # changes the id).  The sequence orders equality-deletes against
+        # data files: a delete applies only to strictly-older sequences.
+        unstamped = [e for e in added if e.seq is None]
         for _ in range(max_retries):
             self.refresh()
             parent = self.current_snapshot()
+            next_id = (parent.snapshot_id + 1) if parent else 1
+            for e in unstamped:
+                e.seq = next_id
             manifests: list[str] = []
             removed_found: set[str] = set()
             if parent is not None:
@@ -959,7 +1096,9 @@ class Table:
         snap = self.current_snapshot()
         if snap is None:
             return {"manifests_before": 0, "manifests_after": 0}
-        entries = self.files()
+        # ALL entries: consolidating must carry equality-delete entries
+        # forward, or pending deletes would silently stop applying
+        entries = self.all_entries()
         before = len(snap.manifests)
         entries.sort(key=lambda e: (json.dumps(e.partition, sort_keys=True), e.path))
         new_manifests = []

@@ -87,3 +87,27 @@ def test_truncated_and_garbled_files_reported_not_crashed(spark, tmp_table_root)
     kinds = {(v["kind"], v["file"]) for v in rep["violations"]}
     assert ("bytes", entries[0].path) in kinds
     assert ("footer", entries[1].path) in kinds
+
+
+def test_doctor_validates_pending_delete_files(spark, tmp_table_root):
+    """Equality-delete files get the same physical validation as data
+    files: a healthy MoR table passes; a truncated delete file (which
+    would silently un-delete rows at scan) is flagged."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows, synth_token_rows
+    from canal_spark.merge import merge_into
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(200)
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    merge_into(spark, t, changelog_df(spark, synth_changelog_rows(base, 60)), mode="mor")
+    dels = t.refresh().delete_files()
+    assert len(dels) == 1
+    rep = check_table(spark, t)
+    assert rep["ok"] and rep["files"] > len(t.files())
+
+    p = os.path.join(t.root, dels[0].path)
+    with open(p, "r+b") as f:
+        f.truncate(os.path.getsize(p) // 2)
+    rep = check_table(spark, t)
+    assert not rep["ok"]
+    assert any(v["file"] == dels[0].path for v in rep["violations"])

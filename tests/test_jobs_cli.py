@@ -195,3 +195,60 @@ def test_run_pass_cli_band_index_and_metrics(tmp_path):
     assert (rep["metrics"][f"canal_instance_put_rows{lbl}"]
             == rep["metrics"][f"canal_instance_ack_rows{lbl}"])
     assert f"canal_spark_band_index_dup_candidates{lbl}" in rep["metrics"]
+
+
+def test_run_pass_cli_mor_and_materialize(tmp_path):
+    """The merge-mode switch end to end through spark-submit-shaped CLI:
+    a mor pass writes zero base rewrites + one pending delete file; a
+    second pass with threshold 1 repays the debt; the final scan
+    matches the replay oracle."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        python_oracle_apply,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("run-pass-cli-mor", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(400)
+    append(spark, t, base_table_df(spark, 400).repartition(4))
+
+    rows1 = synth_changelog_rows(base, 80, seed=101)
+    cl1 = str(tmp_path / "cl1")
+    changelog_df(spark, rows1).write.parquet(cl1)
+    rep = run_job("canal_spark.jobs.run_pass", root,
+                  "--changelog", cl1, "--merge-mode", "mor",
+                  "--target-file-rows", "300")
+    assert rep["merge"]["applied"] is True
+    assert rep["merge"]["files_rewritten"] == 0
+    assert rep["merge"]["extra"]["mode"] == "mor"
+    assert len(load_table(root).delete_files()) == 1
+
+    rows2 = synth_changelog_rows(base, 80, seed=102, start_ordinal=10_001)
+    cl2 = str(tmp_path / "cl2")
+    changelog_df(spark, rows2).write.parquet(cl2)
+    rep2 = run_job("canal_spark.jobs.run_pass", root,
+                   "--changelog", cl2, "--merge-mode", "mor",
+                   "--max-pending-delete-files", "1",
+                   "--target-file-rows", "300")
+    assert rep2["materialize"].get("applied") is True
+    lbl = f'{{destination="{root}"}}'
+    assert f"canal_spark_materialize_delete_files_removed{lbl}" in rep2["metrics"]
+
+    t2 = load_table(root)
+    assert t2.delete_files() == []
+    want = python_oracle_apply(
+        {r[0]: (list(r[1]), r[2], r[3]) for r in base}, rows1 + rows2
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in t2.scan(spark).collect()
+    }
+    assert got == {k: (list(v[0]), v[1], v[2]) for k, v in want.items()}

@@ -211,6 +211,32 @@ def test_noop_suppression_requires_every_event_noop(spark, token_table):
     assert scan_dict(spark, t)[k] == ([42, 43], 2, src)
 
 
+def test_noop_update_on_absent_key_reinserts(spark, token_table):
+    """No-op suppression is only sound for keys PRESENT in the table:
+    the before-image chain must anchor to a live row.  A no-op U on a
+    key deleted in an earlier (already applied) batch must re-insert
+    the after-image — exactly what the replay oracle does."""
+    t, base = token_table
+    k, toks, n, src = base[3]
+    all_rows = [(1, "D", k, None, None, None, E, 1)]
+    merge_into(spark, t, changelog_df(spark, all_rows))
+    assert k not in scan_dict(spark, t)
+    # batch 2: a single U whose before-image equals its after-image
+    rows2 = [(2, "U", k, list(toks), n, src, E, 1, list(toks), n)]
+    all_rows += rows2
+    res = merge_into(spark, t, changelog_df(spark, rows2))
+    assert res.applied
+    assert res.extra["noop_updates_suppressed"] == 0  # reclassified
+    assert scan_dict(spark, t) == oracle_dict(base, all_rows)
+    # same invariant on the merge-on-read path
+    rows3 = [(3, "D", k, None, None, None, E, 1)]
+    rows4 = [(4, "U", k, list(toks), n, src, E, 1, list(toks), n)]
+    merge_into(spark, t, changelog_df(spark, rows3), mode="mor")
+    merge_into(spark, t, changelog_df(spark, rows4), mode="mor")
+    all_rows += rows3 + rows4
+    assert scan_dict(spark, t) == oracle_dict(base, all_rows)
+
+
 def test_second_table_shape_composite_key(spark, tmp_table_root):
     """The key/schema contract is table config, not code (multi-table
     generality — TableMetaCache.java discovers shapes at runtime; here

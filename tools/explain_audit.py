@@ -278,6 +278,25 @@ def main() -> None:
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
+    # 13. merge-on-read live scan: pending equality-deletes fold in as
+    # ONE broadcast hash anti-join (delete keys = batch-sized build
+    # side) with the data-vs-delete sequence comparison as a residual
+    # join condition; per-file sequences attach via a broadcast
+    # O(#files) path->seq map join.  The 100 TB data side never
+    # shuffles and never degrades to a nested-loop product.
+    from canal_spark.merge import merge_into
+
+    merge_into(spark, t, changes, mode="mor")
+    t.refresh()
+    assert t.delete_files(), "MoR merge should leave pending deletes"
+    p13 = plan_of(t.scan(spark))
+    sections.append((
+        "MoR live scan: broadcast anti-join of pending delete keys, seq residual, no shuffle",
+        p13,
+        ["BroadcastHashJoin LeftAnti", "BroadcastExchange"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
