@@ -1,0 +1,71 @@
+"""spark-submit job: maintain the IVF (ANN) cell index alongside an
+embedding table — full build (trains + pins a codebook) or incremental
+refresh from a changelog batch under the frozen codebook (the second
+derived-store sync instance; see canal_spark/ann_index).
+
+  # one-time full build (trains the codebook)
+  spark-submit --py-files canal_spark.zip canal_spark/jobs/ann.py \\
+      /warehouse/embeddings --index /warehouse/embeddings_ivf --full
+
+  # per-batch incremental refresh (run AFTER the data merge of the same
+  # changelog, e.g. by run_pass --ivf-index, or standalone):
+  spark-submit ... canal_spark/jobs/ann.py /warehouse/embeddings \\
+      --index /warehouse/embeddings_ivf --changelog /staging/changelog \\
+      --lineage /warehouse/_lineage
+"""
+
+from __future__ import annotations
+
+import os
+
+from canal_spark.jobs.common import base_parser, emit, session
+
+
+def main() -> None:
+    p = base_parser("IVF ANN-index maintenance")
+    p.add_argument("--index", required=True, help="IVF index table root")
+    p.add_argument("--changelog", default=None,
+                   help="changelog parquet dir (keys to refresh)")
+    p.add_argument("--full", action="store_true",
+                   help="full rebuild (retrains the codebook)")
+    p.add_argument("--emb-col", default="embedding",
+                   help="embedding column name in the data table")
+    p.add_argument("--keep-snapshots", type=int, default=5,
+                   help="index snapshots to retain after the refresh")
+    args = p.parse_args()
+
+    from canal_spark import load_table
+    from canal_spark.ann_index import create_ivf_index, refresh_ivf_index
+    from canal_spark.checkpoint import ensure_lineage, record
+
+    spark = session(args, "canal-ann-index")
+    table = load_table(args.table)
+    if os.path.exists(os.path.join(args.index, "metadata")):
+        index = load_table(args.index)
+    else:
+        index = create_ivf_index(args.index)
+
+    keys = None
+    if not args.full and args.changelog:
+        keys = spark.read.parquet(args.changelog).select(table.key_cols[0])
+    res = refresh_ivf_index(
+        spark, table, index, keys=keys, emb_col=args.emb_col,
+        job_id=args.job_id,
+    )
+    if args.lineage and res.applied:
+        lineage = ensure_lineage(args.lineage)
+        record(
+            spark, lineage, res.job_id, "ivf_index",
+            snapshot_id=res.snapshot_id,
+            files_rewritten=res.files_rewritten,
+            metrics={
+                "vecs_changed": res.vecs_changed,
+                "codebook_version": res.codebook_version,
+            },
+        )
+    expire = index.expire_snapshots(keep_last=args.keep_snapshots)
+    emit({"job": "ann_index", "expire": expire, **res.__dict__})
+
+
+if __name__ == "__main__":
+    main()

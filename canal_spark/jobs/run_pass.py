@@ -20,6 +20,10 @@ def main() -> None:
     p.add_argument("--band-index", default=None,
                    help="band-index table root to sync after the merge "
                         "(created empty if absent)")
+    p.add_argument("--ivf-index", default=None,
+                   help="IVF ANN-index table root to sync after the merge "
+                        "(must already be fully built — the codebook is "
+                        "trained by jobs/ann.py --full)")
     p.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
                    help="cow: rewrite affected files in place; mor: commit "
                         "equality-delete files (O(batch) write, scans fold "
@@ -54,11 +58,12 @@ def main() -> None:
         keep_snapshots=args.keep_last,
         job_id=args.job_id,
         band_index=band_index,
+        ivf_index=load_table(args.ivf_index) if args.ivf_index else None,
         merge_mode=args.merge_mode,
         max_pending_delete_files=args.max_pending_delete_files,
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
-          "materialize": rep.materialize,
+          "materialize": rep.materialize, "ivf_index": rep.ivf_index,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,
           "metrics": prometheus_metrics(rep, destination=args.table)})

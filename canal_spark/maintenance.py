@@ -29,6 +29,7 @@ from canal_spark.table.format import Table
 class MaintenanceReport:
     job_id: str
     merge: dict = field(default_factory=dict)
+    ivf_index: dict = field(default_factory=dict)
     materialize: dict = field(default_factory=dict)
     compact: dict = field(default_factory=dict)
     cluster: dict = field(default_factory=dict)
@@ -55,6 +56,7 @@ def run_pass(
     measure: bool = True,
     job_id: str | None = None,
     band_index: Table | None = None,
+    ivf_index: Table | None = None,
     merge_mode: str = "cow",
     max_pending_delete_files: int = 8,
 ) -> MaintenanceReport:
@@ -109,6 +111,26 @@ def run_pass(
                         "dup_candidates": b.dup_candidates,
                         "hot_buckets_capped": b.hot_buckets_capped,
                     },
+                )
+        # Second derived store: the IVF (ANN) cell index — changed keys
+        # re-assign under the FROZEN codebook, deletes fall out.
+        if ivf_index is not None and m.applied:
+            from canal_spark.ann_index import refresh_ivf_index
+
+            _t0 = time.perf_counter()
+            v = refresh_ivf_index(
+                spark, table, ivf_index,
+                keys=changes.select(table.key_cols[0]),
+                job_id=job_id,
+            )
+            rep.ivf_index = v.__dict__
+            rep.timings["ivf_index"] = round(time.perf_counter() - _t0, 3)
+            if lineage and v.applied:
+                _ckpt.record(
+                    spark, lineage, job_id, "ivf_index",
+                    snapshot_id=v.snapshot_id,
+                    files_rewritten=v.files_rewritten,
+                    metrics={"vecs_changed": v.vecs_changed},
                 )
 
     # Repay merge-on-read debt BEFORE clustering: once enough delete
@@ -250,5 +272,16 @@ def prometheus_metrics(rep: MaintenanceReport, destination: str = "tokens") -> d
         )
         vals[f"canal_spark_band_index_files_rewritten{lbl}"] = int(
             b.get("files_rewritten", 0)
+        )
+    if rep.ivf_index:
+        iv = rep.ivf_index
+        vals[f"canal_spark_ivf_index_vecs_changed{lbl}"] = int(
+            iv.get("vecs_changed", 0)
+        )
+        vals[f"canal_spark_ivf_index_files_rewritten{lbl}"] = int(
+            iv.get("files_rewritten", 0)
+        )
+        vals[f"canal_spark_ivf_index_codebook_version{lbl}"] = int(
+            iv.get("codebook_version", 0)
         )
     return vals

@@ -1,0 +1,170 @@
+"""Maintained IVF (ANN) index: full build, incremental refresh under a
+frozen codebook, delete fall-out, idempotent replay, and top-k search
+through the index — the second derived-store instance of the
+ES-adapter sync pattern (after the MinHash band index)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from canal_spark import create_table
+from canal_spark.ann_index import (
+    CODEBOOK_PATH_PROP,
+    CODEBOOK_VERSION_PROP,
+    ann_search,
+    create_ivf_index,
+    load_codebook,
+    refresh_ivf_index,
+)
+from canal_spark.operators.similarity import EMB_DIM, _assign_cell_udf
+from canal_spark.table.writer import append
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+        StructField("source", StringType(), True),
+    ]
+)
+
+CL_SCHEMA = StructType(
+    [
+        StructField("ordinal", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def _vec(i: int) -> list[float]:
+    rng = np.random.default_rng(i)
+    return [float(x) for x in rng.standard_normal(EMB_DIM).astype(np.float32)]
+
+
+def _base_rows(n: int) -> list[tuple]:
+    return [(i, _vec(i), f"s{i % 3}") for i in range(n)]
+
+
+@pytest.fixture()
+def emb_table(spark, tmp_path):
+    t = create_table(
+        str(tmp_path / "emb"), EMB_SCHEMA,
+        partition_by=["source"], properties={"key-cols": "vec_id"},
+    )
+    rows = _base_rows(300)
+    append(spark, t, spark.createDataFrame(rows, EMB_SCHEMA).repartition(6))
+    idx = create_ivf_index(str(tmp_path / "ivf"))
+    return t, idx, rows
+
+
+def _index_dict(spark, idx):
+    return {r["vec_id"]: r["cell"] for r in idx.scan(spark).collect()}
+
+
+def _expected_cells(spark, t, idx):
+    """Ground truth: every CURRENT vector assigned under the index's
+    frozen codebook (the shared Arrow kernel)."""
+    cents = load_codebook(spark, idx)
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    df = t.scan(spark).select(
+        F.col("vec_id"), _assign_cell_udf(cents)(vec).cast("long").alias("cell")
+    )
+    return {r["vec_id"]: r["cell"] for r in df.collect()}
+
+
+def test_full_build_assigns_every_vector(spark, emb_table):
+    t, idx, rows = emb_table
+    res = refresh_ivf_index(spark, t, idx)
+    assert res.applied and res.full_rebuild and res.codebook_version == 1
+    assert idx.refresh().properties.get(CODEBOOK_PATH_PROP)
+    got = _index_dict(spark, idx)
+    assert set(got) == {r[0] for r in rows}
+    assert got == _expected_cells(spark, t, idx)
+
+
+def test_incremental_refresh_frozen_codebook(spark, emb_table):
+    t, idx, rows = emb_table
+    refresh_ivf_index(spark, t, idx)
+    cb_before = idx.refresh().properties[CODEBOOK_PATH_PROP]
+
+    from canal_spark.merge import merge_into
+
+    changes = [
+        (1, "U", 7, _vec(9007), "s1"),     # moved vector
+        (2, "D", 11, None, None),          # deleted
+        (3, "I", 5000, _vec(5000), "s2"),  # brand new
+    ]
+    cl = spark.createDataFrame(changes, CL_SCHEMA)
+    assert merge_into(spark, t, cl).applied
+    res = refresh_ivf_index(spark, t, idx, keys=cl.select("vec_id"))
+    assert res.applied and not res.full_rebuild
+    assert res.vecs_changed == 3
+    # manifest pruning did real work: only overlapping files rewrote
+    assert res.files_pruned > 0
+    # codebook FROZEN: same artifact, same version
+    t2 = idx.refresh()
+    assert t2.properties[CODEBOOK_PATH_PROP] == cb_before
+    assert int(t2.properties[CODEBOOK_VERSION_PROP]) == 1
+
+    got = _index_dict(spark, idx)
+    assert 11 not in got and 5000 in got
+    assert got == _expected_cells(spark, t, idx)
+
+    # replay is content-idempotent
+    refresh_ivf_index(spark, t, idx, keys=cl.select("vec_id"))
+    assert _index_dict(spark, idx) == got
+
+
+def test_run_pass_syncs_ivf_index(spark, emb_table):
+    """The full maintenance pass generalizes to the embedding shape:
+    merge + ivf sync + cluster + compact on a (vec_id, embedding,
+    source) table, with the scrape dump carrying the ivf counters."""
+    from canal_spark.maintenance import prometheus_metrics, run_pass
+
+    t, idx, rows = emb_table
+    refresh_ivf_index(spark, t, idx)
+    changes = [(i + 1, "U", i * 3 % 300, _vec(7000 + i), f"s{(i * 3 % 300) % 3}")
+               for i in range(40)]
+    cl = spark.createDataFrame(changes, CL_SCHEMA)
+    rep = run_pass(
+        spark, t, cl, ivf_index=idx, target_file_rows=200, pack_by="bytes"
+    )
+    assert rep.merge["applied"] and rep.ivf_index["applied"]
+    m = prometheus_metrics(rep)
+    lbl = '{destination="tokens"}'
+    assert m[f"canal_spark_ivf_index_vecs_changed{lbl}"] == len(
+        {c[2] for c in changes}
+    )
+    assert _index_dict(spark, idx) == _expected_cells(spark, t, idx)
+
+
+def test_ann_search_finds_exact_duplicate(spark, emb_table):
+    """An exact duplicate vector lands in the same cell by construction,
+    so the index search must return it at rank 1 with cosine 1.0."""
+    t, idx, rows = emb_table
+    from canal_spark.merge import merge_into
+
+    dup_of = 42
+    cl = spark.createDataFrame(
+        [(1, "I", 9042, _vec(dup_of), "s0")], CL_SCHEMA
+    )
+    merge_into(spark, t, cl)
+    refresh_ivf_index(spark, t, idx)  # full (first) build sees the dup
+
+    q = spark.createDataFrame(
+        [(dup_of, _vec(dup_of))], "q_id long, qv array<float>"
+    )
+    hits = ann_search(spark, t, idx, q, k=3).collect()
+    assert hits and hits[0]["q_id"] == dup_of
+    assert hits[0]["n_id"] == 9042 and hits[0]["rank"] == 1
+    assert hits[0]["cosine"] == pytest.approx(1.0)

@@ -252,3 +252,66 @@ def test_run_pass_cli_mor_and_materialize(tmp_path):
         for r in t2.scan(spark).collect()
     }
     assert got == {k: (list(v[0]), v[1], v[2]) for k, v in want.items()}
+
+
+def test_ann_index_cli_full_then_incremental(tmp_path):
+    """jobs/ann.py: full build trains + pins the codebook; the
+    incremental run refreshes only the changed keys under it."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField, StructType,
+    )
+
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.operators.similarity import EMB_DIM
+    from canal_spark.table.writer import append
+
+    emb_schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+        StructField("source", StringType(), True),
+    ])
+    cl_schema = StructType([
+        StructField("ordinal", LongType(), False),
+        StructField("op", StringType(), False),
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), True),
+        StructField("source", StringType(), True),
+    ])
+
+    def vec(i):
+        return [float(x) for x in
+                np.random.default_rng(i).standard_normal(EMB_DIM).astype("float32")]
+
+    spark = get_spark("ann-cli-fixture", master="local[4]", shuffle_partitions=4)
+    root = str(tmp_path / "emb")
+    idx_root = str(tmp_path / "ivf")
+    t = create_table(root, emb_schema, partition_by=["source"],
+                     properties={"key-cols": "vec_id"})
+    append(spark, t, spark.createDataFrame(
+        [(i, vec(i), f"s{i % 3}") for i in range(200)], emb_schema
+    ).repartition(4))
+
+    rep = run_job("canal_spark.jobs.ann", root, "--index", idx_root, "--full")
+    assert rep["applied"] and rep["full_rebuild"]
+    assert rep["codebook_version"] == 1
+    assert load_table(idx_root).row_count() == 200
+
+    # merge a small changelog, then refresh incrementally via the CLI
+    from canal_spark.merge import merge_into
+
+    cl = spark.createDataFrame(
+        [(1, "D", 3, None, None), (2, "I", 999, vec(999), "s1")], cl_schema
+    )
+    merge_into(spark, t, cl)
+    cl_dir = str(tmp_path / "cl")
+    cl.write.parquet(cl_dir)
+    rep2 = run_job("canal_spark.jobs.ann", root, "--index", idx_root,
+                   "--changelog", cl_dir,
+                   "--lineage", str(tmp_path / "lineage"))
+    assert rep2["applied"] and not rep2["full_rebuild"]
+    assert rep2["codebook_version"] == 1  # frozen
+    assert rep2["vecs_changed"] == 2 and rep2["files_pruned"] > 0
+    idx = load_table(idx_root)
+    ids = {r["vec_id"] for r in idx.scan(spark).collect()}
+    assert 3 not in ids and 999 in ids and len(ids) == 200
