@@ -217,11 +217,20 @@ def stream_apply(
     reader: str = "files",
     kafka_options: dict[str, str] | None = None,
     kafka_subscribe_mode: str = "subscribe",
+    merge_mode: str = "cow",
+    max_pending_delete_files: int | None = None,
 ) -> StreamApplyResult:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
     the batch-oriented test/ops mode.  Set ``available_now=False``
-    + ``await_seconds`` for a continuously-running stream."""
+    + ``await_seconds`` for a continuously-running stream.
+
+    ``merge_mode="mor"`` is the low-latency shape: each micro-batch
+    commits O(batch) equality-delete + upsert files with zero base-table
+    rewrites, keeping trigger latency flat no matter how wide the
+    batch's keys spray; set ``max_pending_delete_files`` to fold the
+    accumulated delete debt inline once that many pile up (leave None to
+    defer repayment entirely to the next maintenance pass)."""
     result = StreamApplyResult()
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -229,7 +238,17 @@ def stream_apply(
         # refresh: another writer (compaction) may have committed between
         # micro-batches; merge must see the latest snapshot + hwm
         t = table.refresh()
-        m = merge_into(spark, t, batch_df, target_file_rows=target_file_rows)
+        m = merge_into(
+            spark, t, batch_df, target_file_rows=target_file_rows,
+            mode=merge_mode,
+        )
+        if (
+            max_pending_delete_files is not None
+            and len(t.delete_files()) >= max_pending_delete_files
+        ):
+            from canal_spark.merge import materialize_deletes
+
+            materialize_deletes(spark, t)
         if m.applied:
             result.batches_applied += 1
             result.merges.append(

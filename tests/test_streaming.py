@@ -128,3 +128,33 @@ def test_stream_delay_metrics_windowed_counts(spark, token_table):
         "win_start", "source", "n_changes", "latest_event_time", "delay_ms"
     }
     assert all(r["delay_ms"] >= 0 for r in m)
+
+
+def test_stream_apply_mor_mode(spark, token_table, tmp_path):
+    """Low-latency streaming shape: each micro-batch commits O(batch)
+    MoR files with ZERO base rewrites; inline materialization folds the
+    debt once the threshold hits; the drained table matches the oracle."""
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.streaming import stream_apply
+
+    table, base = token_table
+    cl_dir = str(tmp_path / "changelog")
+    rows1 = synth_changelog_rows(base, 150, seed=71)
+    rows2 = synth_changelog_rows(base, 150, seed=72, start_ordinal=10_001)
+    _write_slice(spark, rows1, cl_dir)
+    _write_slice(spark, rows2, cl_dir)
+
+    res = stream_apply(
+        spark, table, cl_dir, str(tmp_path / "ck"),
+        max_files_per_trigger=1, merge_mode="mor",
+        max_pending_delete_files=2,
+    )
+    table = table.refresh()
+    assert res.batches_applied == 2
+    # every micro-batch was rewrite-free
+    for s in table.snapshots:
+        if s.summary.get("phase") == "merge":
+            assert s.summary.get("merge-mode") == "mor"
+    # threshold 2 hit after the second batch -> debt repaid inline
+    assert table.delete_files() == []
+    assert scan_dict(spark, table) == oracle_dict(base, rows1 + rows2)

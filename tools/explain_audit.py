@@ -297,6 +297,53 @@ def main() -> None:
         ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
+    # 14. ANN search through the maintained IVF index: query probes
+    # broadcast into the cell equi-join, candidates join the embedding
+    # table by key — the corpus-scale sides take hash joins, never a
+    # cartesian / nested-loop product, and the Arrow assign kernel does
+    # not appear (search uses the pinned codebook, not re-assignment).
+    from pyspark.sql.types import ArrayType, FloatType, LongType
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    from canal_spark.ann_index import ann_search, create_ivf_index, refresh_ivf_index
+    from canal_spark.operators.similarity import EMB_DIM
+
+    import numpy as _np
+
+    emb_schema = _ST([
+        _SF("vec_id", LongType(), False),
+        _SF("embedding", ArrayType(FloatType(), False), False),
+        _SF("source", _Str(), True),
+    ])
+    emb_root = tempfile.mkdtemp(prefix="audit_emb_")
+    shutil.rmtree(emb_root, ignore_errors=True)
+    et = create_table(emb_root, emb_schema, partition_by=["source"],
+                      properties={"key-cols": "vec_id"})
+
+    def _vec(i):
+        return [float(x) for x in
+                _np.random.default_rng(i).standard_normal(EMB_DIM).astype("float32")]
+
+    append(spark, et, spark.createDataFrame(
+        [(i, _vec(i), f"s{i % 3}") for i in range(300)], emb_schema
+    ).repartition(4))
+    idx = create_ivf_index(emb_root + "_ivf")
+    refresh_ivf_index(spark, et, idx)
+    qdf = spark.createDataFrame(
+        [(7, _vec(7)), (11, _vec(11))], "q_id long, qv array<float>"
+    )
+    p14 = plan_of(ann_search(spark, et, idx, qdf, k=3))
+    sections.append((
+        "ANN search via maintained IVF index: broadcast probes + hash joins, no product",
+        p14,
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "ArrowEvalPython"],
+    ))
+    shutil.rmtree(emb_root, ignore_errors=True)
+    shutil.rmtree(emb_root + "_ivf", ignore_errors=True)
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
