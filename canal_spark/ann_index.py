@@ -150,6 +150,7 @@ def refresh_ivf_index(
     keys: DataFrame | None = None,
     emb_col: str = "embedding",
     max_driver_keys: int = 2_000_000,
+    max_broadcast_keys: int = 5_000_000,
     target_file_rows: int = 4_000_000,
     job_id: str | None = None,
 ) -> IvfIndexResult:
@@ -214,11 +215,17 @@ def refresh_ivf_index(
         if n_keys == 0:
             return IvfIndexResult(applied=False, job_id=job_id)
 
+        # same gate as merge_into: batch-sized key sets broadcast, a
+        # huge backfill joins unhinted (AQE picks the strategy) instead
+        # of forcing a multi-million-key broadcast
+        def keys_side(df):
+            return F.broadcast(df) if n_keys <= max_broadcast_keys else df
+
         vec = F.transform(emb_col, lambda x: x.cast("double"))
         delta = (
             emb_table.scan(spark)
             .join(
-                F.broadcast(keys_df.select(F.col("vec_id").alias("_k"))),
+                keys_side(keys_df.select(F.col("vec_id").alias("_k"))),
                 F.col(key_col) == F.col("_k"),
                 "leftsemi",
             )
@@ -250,7 +257,7 @@ def refresh_ivf_index(
         new_entries = []
         if affected:
             keep = index_table.read_files(spark, affected).join(
-                F.broadcast(keys_df), "vec_id", "left_anti"
+                keys_side(keys_df), "vec_id", "left_anti"
             )
             new_entries += write_datafiles(
                 spark, index_table, keep, sort_within_by=["vec_id"]

@@ -169,6 +169,7 @@ def refresh_band_index(
     index_table: Table,
     keys: DataFrame | None = None,
     max_driver_keys: int = 2_000_000,
+    max_broadcast_keys: int = 5_000_000,
     target_file_rows: int = 1_000_000,
     max_bucket: int = MAX_BUCKET,
     report_candidates: bool = True,
@@ -227,9 +228,15 @@ def refresh_band_index(
         if n_keys == 0:
             return BandIndexResult(applied=False, job_id=job_id)
 
+        # same gate as merge_into: a batch-sized key set broadcasts (no
+        # shuffle), a huge backfill must not force a multi-million-key
+        # broadcast — join unhinted and let AQE pick the strategy
+        keys_side = (
+            F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
+        )
         src = token_table.scan(spark).select("doc_id", "tokens")
         delta_bands = token_band_frame(
-            src.join(F.broadcast(keys_df), "doc_id", "leftsemi")
+            src.join(keys_side, "doc_id", "leftsemi")
         ).persist()
 
         cands_n = dup_docs = capped_n = 0
@@ -238,7 +245,7 @@ def refresh_band_index(
             cands, capped, hits = delta_dup_candidates(
                 # exclude the delta's own (possibly stale) rows from the
                 # index side so a doc never matches itself
-                index_bands.join(F.broadcast(keys_df), "doc_id", "left_anti"),
+                index_bands.join(keys_side, "doc_id", "left_anti"),
                 delta_bands,
                 max_bucket=max_bucket,
             )
@@ -278,7 +285,7 @@ def refresh_band_index(
         new_entries = []
         if affected:
             keep = index_table.read_files(spark, affected).join(
-                F.broadcast(keys_df), "doc_id", "left_anti"
+                keys_side, "doc_id", "left_anti"
             )
             new_entries += write_datafiles(
                 spark, index_table, keep, sort_within_by=["doc_id"]
