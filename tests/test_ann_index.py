@@ -168,3 +168,28 @@ def test_ann_search_finds_exact_duplicate(spark, emb_table):
     assert hits and hits[0]["q_id"] == dup_of
     assert hits[0]["n_id"] == 9042 and hits[0]["rank"] == 1
     assert hits[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_incremental_refresh_unhinted_join_path(spark, emb_table):
+    """Above max_broadcast_keys the refresh must not hint a broadcast —
+    the unhinted (AQE-chosen) join path has to produce the identical
+    index state.  Forced here with a zero threshold."""
+    t, idx, rows = emb_table
+    refresh_ivf_index(spark, t, idx)
+
+    from canal_spark.merge import merge_into
+
+    changes = [
+        (1, "U", 3, _vec(9003), "s1"),
+        (2, "D", 17, None, None),
+        (3, "I", 6000, _vec(6000), "s0"),
+    ]
+    cl = spark.createDataFrame(changes, CL_SCHEMA)
+    assert merge_into(spark, t, cl).applied
+    res = refresh_ivf_index(
+        spark, t, idx, keys=cl.select("vec_id"), max_broadcast_keys=0
+    )
+    assert res.applied and not res.full_rebuild
+    got = _index_dict(spark, idx)
+    assert 17 not in got and 6000 in got
+    assert got == _expected_cells(spark, t, idx)

@@ -250,3 +250,26 @@ def test_lineage_metrics_column_evolves_in_place(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         record(spark, lineage, "j1", "band_index", files_rewriten=1)
+
+
+def test_refresh_unhinted_join_path(spark, indexed_table, tmp_path):
+    """With max_broadcast_keys=0 every keys_df join runs unhinted (the
+    huge-backfill path); the resulting index state must equal a fresh
+    full rebuild, same as the broadcast path."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+    from canal_spark.merge import merge_into
+
+    t, base, index = indexed_table
+    rows = synth_changelog_rows(base, 150, seed=47)
+    changes = changelog_df(spark, rows)
+    assert merge_into(spark, t, changes).applied
+
+    res = refresh_band_index(
+        spark, t, index, keys=changes.select("doc_id"), max_broadcast_keys=0
+    )
+    assert res.applied and not res.full_rebuild
+
+    fresh = create_band_index(str(tmp_path / "bands_unhinted"))
+    refresh_band_index(spark, t, fresh)
+    assert _index_state(spark, index) == _index_state(spark, fresh)
