@@ -21,6 +21,17 @@ def main() -> None:
     p.add_argument("--stream", action="store_true", help="use Structured Streaming")
     p.add_argument("--stream-checkpoint", default=None)
     p.add_argument("--continuous", action="store_true")
+    p.add_argument(
+        "--merge-mode", choices=("cow", "mor"), default="cow",
+        help="cow rewrites affected files per batch; mor commits "
+        "O(batch) equality-delete + upsert files (low-latency apply)",
+    )
+    p.add_argument(
+        "--max-pending-delete-files", type=int, default=None,
+        help="with --merge-mode mor: fold delete debt inline once this "
+        "many delete files accumulate (default: defer to the next "
+        "maintenance pass)",
+    )
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -37,6 +48,8 @@ def main() -> None:
             args.stream_checkpoint or f"{args.table}/_stream_ckpt",
             target_file_rows=args.target_file_rows,
             available_now=not args.continuous,
+            merge_mode=args.merge_mode,
+            max_pending_delete_files=args.max_pending_delete_files,
         )
         emit({"job": "apply_changelog", "mode": "stream",
               "batches_seen": res.batches_seen,
@@ -47,7 +60,8 @@ def main() -> None:
 
     changes = spark.read.parquet(args.changelog)
     m = merge_into(spark, table, changes,
-                   target_file_rows=args.target_file_rows, job_id=args.job_id)
+                   target_file_rows=args.target_file_rows,
+                   mode=args.merge_mode, job_id=args.job_id)
     if args.lineage and m.applied:
         record(spark, ensure_lineage(args.lineage), m.job_id, "merge",
                ordinal=m.high_water_mark, snapshot_id=m.snapshot_id,

@@ -315,3 +315,42 @@ def test_ann_index_cli_full_then_incremental(tmp_path):
     idx = load_table(idx_root)
     ids = {r["vec_id"] for r in idx.scan(spark).collect()}
     assert 3 not in ids and 999 in ids and len(ids) == 200
+
+
+def test_apply_changelog_cli_mor_mode(tmp_path):
+    """--merge-mode mor through the CLI: the batch commits as
+    equality-delete + upsert files with ZERO base rewrites, the live
+    scan matches the replay oracle, and a replay is a no-op."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import (base_table_df, changelog_df,
+                                       python_oracle_apply,
+                                       synth_changelog_rows,
+                                       synth_token_rows)
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("cli-mor", master="local[4]", shuffle_partitions=4)
+    root = str(tmp_path / "tbl_mor")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(600)
+    append(spark, t, base_table_df(spark, 600).repartition(4))
+    rows = synth_changelog_rows(base, 150, seed=31)
+    cl_dir = str(tmp_path / "cl_mor")
+    changelog_df(spark, rows).write.parquet(cl_dir)
+
+    m = run_job("canal_spark.jobs.apply_changelog", root,
+                "--changelog", cl_dir, "--merge-mode", "mor")
+    assert m["applied"] is True
+    assert m["files_rewritten"] == 0  # zero base rewrites is the point
+    t = load_table(root)
+    assert len(t.delete_files()) == 1
+
+    oracle = python_oracle_apply({r[0]: (r[1], r[2], r[3]) for r in base}, rows)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+           for r in t.scan(spark).collect()}
+    assert got == {k: (list(v[0]), v[1], v[2]) for k, v in oracle.items()}
+
+    m2 = run_job("canal_spark.jobs.apply_changelog", root,
+                 "--changelog", cl_dir, "--merge-mode", "mor")
+    assert m2["applied"] is False
+    assert len(load_table(root).delete_files()) == 1
