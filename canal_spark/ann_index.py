@@ -35,6 +35,7 @@ never shuffles and never cross-joins.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -85,6 +86,33 @@ def create_ivf_index(root: str) -> Table:
     return create_table(root, IVF_INDEX_SCHEMA, properties={"key-cols": "vec_id"})
 
 
+def expire_codebooks(index_table: Table) -> list[str]:
+    """Reclaim superseded codebook artifacts: every ``codebook/cb-*``
+    directory except the currently pinned one and the single most
+    recent superseded one (kept as a grace generation for readers that
+    loaded the pin just before the rebuild committed).  Without this,
+    each full retrain leaks one O(K×dims) parquet directory forever —
+    `remove_orphan_files` only sweeps `data/`.  Returns deleted paths."""
+    cur = index_table.refresh().properties.get(CODEBOOK_PATH_PROP)
+    cb_dir = os.path.join(index_table.root, "codebook")
+    if not os.path.isdir(cb_dir):
+        return []
+    stale = sorted(
+        (
+            os.path.join(cb_dir, name)
+            for name in os.listdir(cb_dir)
+            if name.startswith("cb-")
+            and (cur is None or os.path.join("codebook", name) != cur)
+        ),
+        key=os.path.getmtime,
+    )
+    removed = []
+    for path in stale[:-1]:  # keep the newest superseded generation
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
+
+
 def _emb_frame(emb_table: Table, spark: SparkSession, emb_col: str) -> DataFrame:
     """(vec_id, v, norm) from the embedding table's live scan."""
     key = emb_table.key_cols[0]
@@ -92,8 +120,14 @@ def _emb_frame(emb_table: Table, spark: SparkSession, emb_col: str) -> DataFrame
     dot = F.aggregate(
         F.zip_with(vec, vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
+    # cast to the index schema's LongType here so BOTH write paths
+    # (full rebuild selects this frame's vec_id directly, incremental
+    # casts explicitly) put the same parquet type in index files even
+    # when the embedding table's key column is a narrower int type
     return emb_table.scan(spark).select(
-        F.col(key).alias("vec_id"), vec.alias("v"), F.sqrt(dot).alias("norm")
+        F.col(key).cast("long").alias("vec_id"),
+        vec.alias("v"),
+        F.sqrt(dot).alias("norm"),
     )
 
 
@@ -195,6 +229,9 @@ def refresh_ivf_index(
                 CODEBOOK_VERSION_PROP: str(version),
             },
         )
+        # commit succeeded: the previous codebook is unpinned — reclaim
+        # all but the newest superseded generation (retrain hygiene)
+        expire_codebooks(index_table)
         return IvfIndexResult(
             applied=True,
             full_rebuild=True,

@@ -116,6 +116,7 @@ def delta_dup_candidates(
     index_bands: DataFrame,
     delta_bands: DataFrame,
     max_bucket: int = MAX_BUCKET,
+    hint_broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(candidates, capped_buckets, hits): near-dup candidates of a
     delta vs the maintained index — O(delta) work.
@@ -128,7 +129,17 @@ def delta_dup_candidates(
 
     ``hits`` is the PERSISTED restriction frame both outputs derive
     from; the caller must ``hits.unpersist()`` once its actions on
-    `candidates`/`capped_buckets` are done."""
+    `candidates`/`capped_buckets` are done.
+
+    ``hint_broadcast=False`` drops every broadcast hint on the
+    delta-derived frames (they are N_MINHASH× the delta's doc count):
+    callers pass it when the delta is a huge backfill, the same
+    max_broadcast_keys gate the refresh joins use — AQE then picks the
+    strategy instead of being forced into a multi-GB broadcast."""
+
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if hint_broadcast else df
+
     delta_buckets = delta_bands.select("band", "bucket").distinct()
     # persisted: the restriction is the only index-scanning subplan, and
     # both consumers (`sizes`/`capped` and the candidate join) would
@@ -136,7 +147,7 @@ def delta_dup_candidates(
     # consumer = two passes over the 10^12-doc index.  Row count is
     # linear in the delta's bucket membership, never squared.
     hits = index_bands.join(
-        F.broadcast(delta_buckets), ["band", "bucket"]
+        hint(delta_buckets), ["band", "bucket"]
     ).persist()
     sizes = hits.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bucket_size")
@@ -144,9 +155,11 @@ def delta_dup_candidates(
     capped = sizes.where(F.col("bucket_size") > max_bucket)
     ok = sizes.where(F.col("bucket_size") <= max_bucket).select("band", "bucket")
     cands = (
-        hits.join(F.broadcast(ok), ["band", "bucket"])
+        # `ok` is bucket-count-sized (bounded by the delta's bucket
+        # membership), but a huge delta inflates it too — same gate
+        hits.join(hint(ok), ["band", "bucket"])
         .join(
-            F.broadcast(
+            hint(
                 delta_bands.select(
                     F.col("doc_id").alias("new_id"), "band", "bucket"
                 )
@@ -248,6 +261,7 @@ def refresh_band_index(
                 index_bands.join(keys_side, "doc_id", "left_anti"),
                 delta_bands,
                 max_bucket=max_bucket,
+                hint_broadcast=n_keys <= max_broadcast_keys,
             )
             try:
                 agg = cands.agg(

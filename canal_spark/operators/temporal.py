@@ -62,15 +62,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "_side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pv = F.when(F.col("_side") == 0, F.col("value"))
-    pt = F.when(F.col("_side") == 0, F.col("ts"))
+    # ONE running last() over a struct of the whole purchase row — two
+    # independent last(value)/last(ts) windows would disagree when the
+    # most recent purchase has a NULL value (ignorenulls skips it for
+    # value but not for ts), stitching a chimera row from two different
+    # purchases; the struct is non-null per purchase row, so both
+    # columns always come from the SAME (latest) purchase
+    pr = F.when(
+        F.col("_side") == 0, F.struct(F.col("value"), F.col("ts"))
+    )
     out = (
-        u.withColumn("last_purchase_value", F.last(pv, ignorenulls=True).over(w))
-        .withColumn("last_purchase_ts", F.last(pt, ignorenulls=True).over(w))
+        u.withColumn("_lp", F.last(pr, ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
         .select(
             "event_id", "user_id", "ts",
-            "last_purchase_value", "last_purchase_ts",
+            F.col("_lp.value").alias("last_purchase_value"),
+            F.col("_lp.ts").alias("last_purchase_ts"),
         )
     )
     return out

@@ -135,15 +135,34 @@ def kafka_changelog_frame(raw: DataFrame) -> DataFrame:
             ).alias("ordinal"),
             F.col("_op").alias("op"),
             doc_id.alias("doc_id"),
-            F.from_json(cells["tokens"], "array<int>").alias("tokens"),
-            cells["n_tok"].cast("int").alias("n_tok"),
+            # D rows carry NO after-image by changelog contract; Canal's
+            # DELETE convention puts the deleted row's image in data[]
+            # (RdbSyncService.delete builds from `data`), so those cells
+            # are the BEFORE image — normalized below, never left here
+            F.when(
+                F.col("_op") != "D", F.from_json(cells["tokens"], "array<int>")
+            ).alias("tokens"),
+            F.when(F.col("_op") != "D", cells["n_tok"].cast("int")).alias("n_tok"),
             # D rows carry source=null by changelog contract; doc_id
             # embeds the source prefix for I/U (deliver routes on it)
             F.when(F.col("_op") != "D", F.split(doc_id, ":")[0]).alias("source"),
             F.timestamp_millis(F.col("_es")).alias("es"),
             F.lit(None).cast("long").alias("batch_id"),
-            F.from_json(old["tokens"], "array<int>").alias("before_tokens"),
-            old["n_tok"].cast("int").alias("before_n_tok"),
+            # before-image: `old[i]` when the producer sent one (this
+            # engine's deliver always does for U/D); a Canal-convention
+            # DELETE (old=null, image in data[]) falls back to the data
+            # cells — either way the prior image lands in before_*
+            F.coalesce(
+                F.from_json(old["tokens"], "array<int>"),
+                F.when(
+                    F.col("_op") == "D",
+                    F.from_json(cells["tokens"], "array<int>"),
+                ),
+            ).alias("before_tokens"),
+            F.coalesce(
+                old["n_tok"].cast("int"),
+                F.when(F.col("_op") == "D", cells["n_tok"].cast("int")),
+            ).alias("before_n_tok"),
             F.concat_ws("-", "topic", F.col("partition").cast("string")).alias(
                 "stream_id"
             ),

@@ -193,3 +193,28 @@ def test_incremental_refresh_unhinted_join_path(spark, emb_table):
     got = _index_dict(spark, idx)
     assert 17 not in got and 6000 in got
     assert got == _expected_cells(spark, t, idx)
+
+
+def test_full_rebuild_expires_superseded_codebooks(spark, emb_table, tmp_path):
+    """Each retrain pins a fresh codebook artifact; superseded ones are
+    reclaimed down to ONE grace generation — no unbounded codebook/
+    accumulation across retrains (remove_orphan_files never sweeps it)."""
+    import os
+
+    t, idx, rows = emb_table
+
+    def cb_dirs():
+        d = os.path.join(idx.root, "codebook")
+        return sorted(n for n in os.listdir(d) if n.startswith("cb-"))
+
+    refresh_ivf_index(spark, t, idx)          # v1
+    assert len(cb_dirs()) == 1
+    refresh_ivf_index(spark, t, idx)          # v2: v1 kept as grace
+    assert len(cb_dirs()) == 2
+    refresh_ivf_index(spark, t, idx)          # v3: v1 reclaimed
+    assert len(cb_dirs()) == 2
+    cur = idx.refresh().properties[CODEBOOK_PATH_PROP]
+    assert os.path.basename(cur) in cb_dirs()  # pinned one survives
+    # the index still searches through the current codebook
+    q = spark.createDataFrame([(7, _vec(7))], "q_id long, qv array<float>")
+    assert ann_search(spark, t, idx, q, k=1).count() == 1

@@ -385,3 +385,45 @@ def test_sink_profile_rocketmq_placement_modes(spark, token_table):
         legacy.exceptAll(via_profile).count() == 0
         and via_profile.exceptAll(legacy).count() == 0
     )
+
+
+def test_kafka_ingest_canal_convention_delete_normalizes_before_image(spark):
+    """Canal's DELETE convention carries the deleted row's image in
+    data[] with old=null (RdbSyncService builds the delete from data);
+    this engine's deliver sends old=[prior image] instead.  BOTH must
+    decode to the changelog contract: op=D, NO after-image
+    (tokens/n_tok null), prior image in before_*."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.streaming.apply import kafka_changelog_frame
+
+    canal_style = json.dumps({
+        "database": "lakehouse", "table": "tokens", "type": "DELETE",
+        "es": 1704067200000, "ts": 0, "pkNames": ["doc_id"],
+        "data": [{"doc_id": "web:9", "n_tok": "2", "tokens": "[7,8]"}],
+        "old": None,
+    })
+    engine_style = json.dumps({
+        "database": "lakehouse", "table": "tokens", "type": "DELETE",
+        "es": 1704067200000, "ts": 0, "pkNames": ["doc_id"],
+        "data": [{"doc_id": "web:10", "n_tok": None, "tokens": None}],
+        "old": [{"tokens": "[4]", "n_tok": "1"}],
+    })
+    records = spark.createDataFrame(
+        [(b"k", canal_style.encode(), "tokens.web", 0, 1),
+         (b"k", engine_style.encode(), "tokens.web", 0, 2)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+
+    got = {r["doc_id"]: r for r in kafka_changelog_frame(records).collect()}
+    assert set(got) == {"web:9", "web:10"}
+    for r in got.values():
+        assert r["op"] == "D"
+        assert r["tokens"] is None and r["n_tok"] is None  # no after-image
+        assert r["source"] is None
+    assert list(got["web:9"]["before_tokens"]) == [7, 8]
+    assert got["web:9"]["before_n_tok"] == 2
+    assert list(got["web:10"]["before_tokens"]) == [4]
+    assert got["web:10"]["before_n_tok"] == 1

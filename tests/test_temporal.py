@@ -82,3 +82,30 @@ def test_range_join_plan_is_bucketed_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # interval explode is bounded: window width == bucket width -> <= 2
     assert RANGE_US == BUCKET_US
+
+
+def test_asof_join_null_value_purchase_is_not_a_chimera(spark, tmp_path):
+    """The matched purchase must be ONE row: when the most recent
+    purchase has a NULL value, the result carries (NULL value, its ts)
+    — not the previous purchase's value stitched to the latest ts
+    (which two independent last(ignorenulls) windows would produce)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "purchase", 10.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 7, "purchase", None, None),
+        (3, t0 + dt.timedelta(minutes=2), 7, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sfnull")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = q_asof_join(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["last_purchase_value"] is None  # latest purchase's value
+    assert r["last_purchase_ts"] == t0 + dt.timedelta(minutes=1)
