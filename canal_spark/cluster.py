@@ -271,13 +271,22 @@ def cluster(
     b_hash = F.shiftrightunsigned(F.xxhash64(*[F.col(c) for c in key_cols]), 33)
     if dim_col is not None:
         strat = F.coalesce(F.col(dim_col).cast("string"), F.lit("\x00null"))
-        counts = {
-            r["_s"]: r["count"]
-            for r in raw.groupBy(strat.alias("_s")).count().collect()
-        }
     else:
-        counts = {"": sum(e.rows for e in victims)}
         strat = F.lit("")
+    # LIVE counts in both branches (manifest rows overcount while MoR
+    # delete debt is pending): victims whose rows are ALL covered by
+    # pending deletes yield zero live rows — rewriting would crash on
+    # the empty bin frame, so leave them for materialize_deletes
+    counts = {
+        r["_s"]: r["count"]
+        for r in raw.groupBy(strat.alias("_s")).count().collect()
+    }
+    if not counts:
+        return ClusterResult(
+            snapshot_id=table.current_snapshot_id, curve=curve,
+            files_before=len(victims), files_after=len(victims),
+            tightness_before=before, tightness_after=before, job_id=job_id,
+        )
     offsets, off = [], 0
     for s in sorted(counts):
         n_s = max(1, -(-counts[s] // target_file_rows))

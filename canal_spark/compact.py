@@ -245,7 +245,15 @@ def _rewrite_chunk(
     # upper bound (the exact check resumes once materialize_deletes
     # repays the debt)
     expected_rows = sum(e.rows for m in chunk for e in m)
-    deletes_pending = bool(table.delete_files())
+    # a delete is RELEVANT to this chunk only if its sequence exceeds
+    # some member file's (the strict inequality read_files_live applies)
+    # — deletes that cannot touch the chunk must not disable the guard,
+    # or any path-join miss would silently commit data loss while
+    # unrelated delete debt merely exists
+    min_member_seq = min(int(e.seq or 0) for m in chunk for e in m)
+    deletes_pending = any(
+        int(d.seq or 0) > min_member_seq for d in table.delete_files()
+    )
     new_entries = write_datafiles(
         spark,
         table,

@@ -200,7 +200,7 @@ def run_pass(
     if lineage and e.get("expired"):
         _ckpt.record(spark, lineage, job_id, "expire",
                      snapshot_id=table.current_snapshot_id)
-    # The derived band index is a table like any other: without its own
+    # The derived stores are tables like any other: without their own
     # expiry every per-batch COW refresh retains all historical index
     # files forever (unbounded disk + metadata growth at one snapshot
     # per changelog batch).
@@ -208,6 +208,11 @@ def run_pass(
         rep.band_index = {
             **rep.band_index,
             "expire": band_index.expire_snapshots(keep_last=keep_snapshots),
+        }
+    if ivf_index is not None:
+        rep.ivf_index = {
+            **rep.ivf_index,
+            "expire": ivf_index.expire_snapshots(keep_last=keep_snapshots),
         }
     return rep
 

@@ -341,6 +341,17 @@ def merge_into(
     else:
         evt_noop = F.lit(False)
     slice_df = slice_df.withColumn("_evt_noop", evt_noop)
+    # GTID mode reads the slice TWICE (per-key dedupe + per-stream ack
+    # marks): persist it so both aggregations see ONE materialization —
+    # marks must cover exactly the events the dedupe saw, never a
+    # re-executed scan of a source that may have grown in between (a
+    # mark covering an unseen event would permanently skip it).  The
+    # mark aggregation cannot run on `final` instead: a per-key-deduped
+    # loser event would replay next batch, win against nothing, and
+    # overwrite the newer applied row with stale data.
+    _slice_persisted = None
+    if has_streams:
+        slice_df = _slice_persisted = slice_df.persist()
 
     # ONE shuffle produces per-key last-wins rows AND the key-frequency
     # stats: max_by collapses duplicates in the map-side partial
@@ -588,6 +599,8 @@ def merge_into(
         n_up = sum(e.rows for e in upsert_entries)
     finally:
         _persisted.unpersist()
+        if _slice_persisted is not None:
+            _slice_persisted.unpersist()
 
     summary = {
         CKPT_KEY: int(new_hwm),
@@ -704,7 +717,17 @@ def materialize_deletes(
     new_entries: list[DataFile] = []
     if affected:
         keep_tags = {e.sort_order for e in affected}
-        keep_tag = keep_tags.pop() if len(keep_tags) == 1 else None
+        # per-file survivor writes stay task-local ONLY while the delete
+        # anti-join inside read_files_live broadcasts (same
+        # max_broadcast_delete_rows gate); a shuffled anti-join sprays
+        # each source file's rows across tasks, and group-local writes
+        # would then emit up to n_tasks small files PER rewritten file —
+        # the exact small-file explosion the COW keep-side gates against
+        keep_tag = (
+            keep_tags.pop()
+            if len(keep_tags) == 1 and n_del_keys <= 5_000_000
+            else None
+        )
         if keep_tag and keep_tag.rsplit("-", 1)[0] not in ("zorder", "hilbert"):
             keep_tag = None
         if keep_tag:

@@ -754,8 +754,9 @@ class Table:
           on-disk name to the new one;
         * ``retype``: widening casts only (int->long, float->double, …)
           — era reads cast old files up.
-        Partition and key columns cannot be dropped or renamed (their
-        names key manifest partition values and pruning stats).
+        Partition and key columns cannot be dropped, renamed, or
+        retyped (their names AND types key manifest partition values,
+        pruning stats, and equality-delete file reads).
         """
         from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
@@ -807,6 +808,14 @@ class Table:
         for name, ddl_type in retype or []:
             if name not in names:
                 raise ValueError(f"column {name!r} does not exist")
+            if name in protected:
+                # key columns: equality-delete files and manifest min/max
+                # pruning stats are read/compared with the CURRENT key
+                # schema (read_files_live, _affected_files) — a widened
+                # key would make pending MoR delete files unreadable and
+                # stats incomparable.  Partition columns: manifest
+                # partition values are keyed by the spec's column type.
+                raise ValueError(f"cannot retype partition/key column {name!r}")
             new_t = _parse_datatype_string(ddl_type)
             old_t = next(f.dataType for f in schema.fields if f.name == name)
             if (old_t.typeName(), new_t.typeName()) not in self._WIDENINGS:

@@ -218,3 +218,21 @@ def test_full_rebuild_expires_superseded_codebooks(spark, emb_table, tmp_path):
     # the index still searches through the current codebook
     q = spark.createDataFrame([(7, _vec(7))], "q_id long, qv array<float>")
     assert ann_search(spark, t, idx, q, k=1).count() == 1
+
+
+def test_run_pass_expires_ivf_index_snapshots(spark, emb_table):
+    """Every batch refresh commits a COW overwrite snapshot on the IVF
+    table; run_pass must expire them like the band index, or the ANN
+    store grows one snapshot (and its file generation) per batch
+    forever."""
+    from canal_spark.maintenance import run_pass
+
+    t, idx, rows = emb_table
+    refresh_ivf_index(spark, t, idx)
+    for i in range(3):
+        cl = spark.createDataFrame(
+            [(1 + i, "U", (11 * i + 3) % 300, _vec(8000 + i), "s0")], CL_SCHEMA
+        )
+        run_pass(spark, t, cl, ivf_index=idx, keep_snapshots=1,
+                 do_cluster=False, do_compact=False)
+    assert len(idx.refresh().snapshots) <= 2  # bounded, not one per batch

@@ -155,3 +155,78 @@ def test_run_pass_materializes_past_threshold(spark, token_table):
     assert rep.materialize.get("applied")
     assert t.refresh().delete_files() == []
     assert scan_dict(spark, t) == oracle_dict(base, all_rows)
+
+
+def test_cluster_skips_fully_deleted_victims(spark, token_table):
+    """Victims whose live rows are ALL covered by pending equality
+    deletes must be skipped gracefully (left for materialize_deletes),
+    not crash the pass on an empty bin frame."""
+    from canal_spark.cluster import cluster
+
+    t, base = token_table
+    # MoR-delete every base row: the untagged base files stay live in
+    # the manifest but their live read is empty
+    dels = [
+        (i + 1, "D", doc_id, None, None, None, None, None)
+        for i, (doc_id, _tok, _n, _src) in enumerate(base)
+    ]
+    _mor(spark, t, dels)
+    n_files = len(t.files())
+    res = cluster(spark, t, curve="zorder", target_file_rows=400)
+    assert res.files_after == res.files_before  # nothing rewritten
+    assert len(t.refresh().files()) == n_files
+    assert scan_dict(spark, t) == {}  # everything really is deleted
+    # the debt is still repayable afterwards
+    m = materialize_deletes(spark, t)
+    assert m.applied and t.refresh().delete_files() == []
+    assert scan_dict(spark, t) == {}
+
+
+def test_compact_guard_stays_exact_under_irrelevant_delete_debt(
+    spark, token_table, monkeypatch
+):
+    """A pending delete file whose sequence is BELOW every member
+    file's cannot touch the chunk — it must NOT disable the compaction
+    row-count guard.  Proven by monkeypatching the writer to drop one
+    row: with only irrelevant debt the guard must still RAISE."""
+    import canal_spark.compact as compact_mod
+    from canal_spark.compact import compact
+
+    t, base = token_table
+    # MoR batch -> pending delete file at seq S
+    rows = synth_changelog_rows(base, 60, seed=73, zipf_a=1.5)
+    _mor(spark, t, rows)
+    assert t.delete_files()
+    del_seq = max(int(d.seq or 0) for d in t.delete_files())
+    # COW batch updating EVERY live key rewrites every data file at
+    # seq > S (folding the pending deletes into the survivors), so the
+    # delete file is still pending but can no longer touch any file
+    live = scan_dict(spark, t)
+    upd = [
+        (20_000 + i, "U", doc_id, list(tok) + [1], len(tok) + 1, src, None, None)
+        for i, (doc_id, (tok, _n, src)) in enumerate(sorted(live.items()))
+    ]
+    assert merge_into(
+        spark, t, changelog_df(spark, upd), target_file_rows=100
+    ).applied
+    assert t.delete_files(), "debt should remain pending after COW"
+    assert all(int(e.seq or 0) > del_seq for e in t.files())
+    assert len(t.files()) > 1, "need a compactable multi-file chunk"
+
+    real_write = compact_mod.write_datafiles
+    a_doc = next(iter(scan_dict(spark, t)))
+
+    def lossy_write(spark_, table_, df, **kw):
+        from pyspark.sql import functions as F
+        return real_write(spark_, table_, df.where(F.col("doc_id") != a_doc), **kw)
+
+    monkeypatch.setattr(compact_mod, "write_datafiles", lossy_write)
+    with pytest.raises(RuntimeError, match="row mismatch"):
+        compact(spark, t, target_bytes=1 << 20, pack_by="bytes")
+
+    # guard released the plan un-committed: the honest writer succeeds
+    # and the scan is unchanged
+    monkeypatch.setattr(compact_mod, "write_datafiles", real_write)
+    before = scan_dict(spark, t.refresh())
+    compact(spark, t, target_bytes=1 << 20, pack_by="bytes")
+    assert scan_dict(spark, t) == before

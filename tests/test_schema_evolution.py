@@ -207,3 +207,32 @@ def test_schema_change_is_metadata_only_commit(spark, token_table):
     assert {e.path for e in table.files()} == files_before
     after = {r["doc_id"] for r in table.scan(spark).select("doc_id").collect()}
     assert after == before
+
+
+def test_retype_of_key_and_partition_columns_rejected(spark, token_table):
+    """Key and partition columns cannot retype even to a wider type:
+    equality-delete files and manifest pruning stats are read/compared
+    with the CURRENT key schema, and manifest partition values are
+    keyed by the spec's column type — a widened key would strand
+    pending MoR delete debt unreadably."""
+    table, _ = token_table
+    # doc_id is the key column (string -> no legal widening anyway, so
+    # use a table whose key is an int to prove the protection fires
+    # BEFORE the widening check)
+    from canal_spark import create_table
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    t2 = create_table(
+        str(table.root) + "_intkey",
+        StructType([
+            StructField("k", IntegerType(), False),
+            StructField("src", StringType(), True),
+        ]),
+        partition_by=["src"],
+        properties={"key-cols": "k"},
+    )
+    with pytest.raises(ValueError, match="key"):
+        t2.evolve_schema(retype=[("k", "bigint")])  # legal widening, protected col
+    with pytest.raises(ValueError, match="partition"):
+        table.evolve_schema(retype=[("source", "string")])  # partition col
