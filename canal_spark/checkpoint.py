@@ -34,7 +34,19 @@ def ensure_lineage(root: str) -> Table:
     import time as _time
 
     if os.path.exists(os.path.join(root, "metadata")):
-        t = load_table(root)
+        # the exists-then-load path races the same create window the
+        # except-branch below handles: a concurrent creator has made
+        # metadata/ but not yet linked v0.metadata.json — poll for it
+        # instead of crashing the maintenance job
+        t = None
+        for _ in range(50):
+            try:
+                t = load_table(root)
+                break
+            except FileNotFoundError:
+                _time.sleep(0.1)
+        if t is None:
+            t = load_table(root)  # raise the real error after the grace
         # round-3 lineage tables predate the metrics column: evolve in
         # place (metadata-only; old rows read null) so record() can
         # always write the full row shape
@@ -107,9 +119,13 @@ def read_lineage(spark: SparkSession, lineage: Table) -> DataFrame:
 
 
 def last_checkpoint(spark: SparkSession, lineage: Table, phase: str) -> dict | None:
+    from pyspark.sql import functions as F
+
     rows = (
         lineage.scan(spark)
-        .where(f"phase = '{phase}'")
+        # column expression, not string interpolation: a phase value
+        # containing a quote must filter, not ParseException
+        .where(F.col("phase") == F.lit(phase))
         .orderBy("ts", ascending=False)
         .limit(1)
         .collect()

@@ -92,7 +92,11 @@ def flat_message_col(
         ).isNotNull()
         fields.append(
             F.when(
-                (F.col("op") == "U") & has_before & (F.size(changed) > 0),
+                # U AND D: the changelog contract puts the prior image in
+                # before_* for both (schema.py), and the decode side reads
+                # old[] first — emitting old only for U would strip the
+                # DELETE's before-image from every deliver->ingest trip
+                F.col("op").isin("U", "D") & has_before & (F.size(changed) > 0),
                 F.array(old_map),
             ).alias("old")
         )
@@ -163,7 +167,19 @@ def build_mq_frame(
     queue count."""
     if profile is None:
         profile = SinkProfile(queues=lanes)
-    with_old = "before_tokens" in changes.columns
+    # a frame may capture only ONE before-image column (merge supports
+    # per-column before_pairs); flat_message_col references both, so
+    # fill the absent one with a typed null instead of failing analysis
+    with_old = any(
+        c in changes.columns for c in ("before_tokens", "before_n_tok")
+    )
+    if with_old:
+        if "before_tokens" not in changes.columns:
+            changes = changes.withColumn(
+                "before_tokens", F.lit(None).cast("array<int>")
+            )
+        if "before_n_tok" not in changes.columns:
+            changes = changes.withColumn("before_n_tok", F.lit(None).cast("int"))
     return changes.select(
         F.expr(topic_expr).alias("topic"),
         profile.lane_col(table).alias("lane"),
@@ -297,6 +313,14 @@ def deliver_flat_messages(
       from their delivery sequence, exactly as a Kafka producer owns
       its offsets.
     """
+    # the default batch id needs ONE extra action over `changes`; persist
+    # so the id and the written rows come from the SAME materialization
+    # (a live/growing source re-scanned between the two actions could
+    # name the directory for a different slice than it contains) and the
+    # upstream derivation is not computed twice
+    _persisted = None
+    if batch_id is None:
+        _persisted = changes = changes.persist()
     routed = build_mq_frame(changes, lanes, topic_expr, database, table).drop("key")
     if batch_id is None:
         has_streams = "stream_id" in changes.columns
@@ -319,13 +343,17 @@ def deliver_flat_messages(
             # and keeps ids monotone within one stream subset.
             fp = zlib.crc32(",".join(sids).encode()) % 1_000_000
             batch_id = batch_id * 1_000_000 + fp
-    (
-        routed.repartition(lanes, "topic", "lane")
-        .sortWithinPartitions("topic", "lane", "ordinal")
-        .drop("ordinal")
-        .write.partitionBy("topic", "lane")
-        .mode("overwrite")  # scoped to THIS batch's subdir only
-        .format("text")
-        .save(f"{out_dir}/batch={batch_id:020d}")
-    )
+    try:
+        (
+            routed.repartition(lanes, "topic", "lane")
+            .sortWithinPartitions("topic", "lane", "ordinal")
+            .drop("ordinal")
+            .write.partitionBy("topic", "lane")
+            .mode("overwrite")  # scoped to THIS batch's subdir only
+            .format("text")
+            .save(f"{out_dir}/batch={batch_id:020d}")
+        )
+    finally:
+        if _persisted is not None:
+            _persisted.unpersist()
     return batch_id

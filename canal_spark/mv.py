@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from canal_spark.merge import MergeResult, merge_high_water_mark, merge_into
+from canal_spark.operators.common import release_cached_deps
 from canal_spark.table.format import Table
 
 
@@ -47,20 +48,25 @@ class JoinViewConfig:
     dim_cols: list[str]  # view columns taken from dim
 
 
+def _as_star(cfg: JoinViewConfig) -> "StarViewConfig":
+    """A join view IS a one-dim star view — the adapter that lets the
+    join-view API delegate to the star implementation (one code path
+    for the affected/live/ups/dels pipeline, one place to gate
+    broadcasts)."""
+    return StarViewConfig(
+        main_key=cfg.main_key,
+        main_cols=cfg.main_cols,
+        dims=[DimJoin(fk_col=cfg.fk_col, dim_pk=cfg.dim_pk, dim_cols=cfg.dim_cols)],
+    )
+
+
 def view_select(cfg: JoinViewConfig, main: DataFrame, dim: DataFrame) -> DataFrame:
     """The view definition itself (used for initial load / oracles).
 
     Sides are aliased so callers may pass change-sets DERIVED from the
     same current-state frames (the normal incremental calling pattern)
     without tripping Spark's ambiguous-self-join analysis."""
-    m, d = main.alias("__mv_m"), dim.alias("__mv_d")
-    joined = m.join(
-        d, F.col(f"__mv_m.{cfg.fk_col}") == F.col(f"__mv_d.{cfg.dim_pk}"), "left"
-    )
-    return joined.select(
-        *[F.col(f"__mv_m.{c}") for c in cfg.main_cols],
-        *[F.col(f"__mv_d.{c}") for c in cfg.dim_cols],
-    )
+    return star_view_select(_as_star(cfg), main, [dim])
 
 
 def derive_view_changelog(
@@ -78,50 +84,18 @@ def derive_view_changelog(
     keys no longer present in main.  One constant ``ordinal`` suffices:
     keys are unique within the derived batch, and merge's high-water
     mark only needs it monotone across batches.
-    """
-    mk = cfg.main_key
-    parts = []
-    if main_changes is not None:
-        parts.append(main_changes.select(*mk))
-    if dim_changes is not None:
-        dim_keys = dim_changes.select(cfg.dim_pk).distinct()
-        parts.append(
-            main_current.join(
-                F.broadcast(dim_keys),
-                main_current[cfg.fk_col] == dim_keys[cfg.dim_pk],
-                "leftsemi",
-            ).select(*mk)
-        )
-    if not parts:
-        raise ValueError("at least one of main_changes/dim_changes required")
-    affected = parts[0]
-    for p in parts[1:]:
-        affected = affected.unionByName(p)
-    affected = affected.distinct()
 
-    live = main_current.join(F.broadcast(affected), mk, "leftsemi")
-    after = view_select(cfg, live, dim_current)
-    data_cols = [c for c in after.columns if c not in mk]
-    ups = after.select(
-        F.lit(ordinal).cast("long").alias("ordinal"),
-        F.lit("U").alias("op"),
-        *mk,
-        *data_cols,
+    Delegates to :func:`derive_star_view_changelog` (a join view is a
+    one-dim star view), inheriting its counted broadcast gate.
+    """
+    return derive_star_view_changelog(
+        _as_star(cfg),
+        main_current,
+        [dim_current],
+        ordinal,
+        main_changes=main_changes,
+        dim_changes=[dim_changes],
     )
-    # deleted mains = affected keys with no live row.  Anti-join against
-    # the batch-sized LIVE key set (already computed for the re-derive),
-    # not against the full main table — both sides are batch-sized, the
-    # build side broadcasts, and main is never scanned a second time.
-    dels = (
-        affected.join(F.broadcast(live.select(*mk)), mk, "left_anti")
-        .select(
-            F.lit(ordinal).cast("long").alias("ordinal"),
-            F.lit("D").alias("op"),
-            *mk,
-            *[F.lit(None).cast(dict(after.dtypes)[c]).alias(c) for c in data_cols],
-        )
-    )
-    return ups.unionByName(dels)
 
 
 # --------------------------------------------------------------------------
@@ -218,6 +192,7 @@ def derive_star_view_changelog(
     dim_changes: list[DataFrame | None] | None = None,
     child_current: DataFrame | None = None,
     child_changes: DataFrame | None = None,
+    max_broadcast_keys: int = 5_000_000,
 ) -> DataFrame:
     """Changelog of view rows invalidated by one batch of changes across
     main, any subset of dimensions, and the child table.
@@ -265,9 +240,23 @@ def derive_star_view_changelog(
     affected = parts[0]
     for p in parts[1:]:
         affected = affected.unionByName(p)
-    affected = affected.distinct()
+    # COUNTED broadcast gate (merge_into's max_broadcast_keys rule):
+    # main_changes keys are batch-sized by CDC contract, but the dim
+    # fan-out path is NOT — one update to a popular dimension row can
+    # invalidate millions of main keys.  Persist the affected set (every
+    # downstream join reuses it), count it, and only hint the broadcast
+    # when it is genuinely batch-sized; past the gate the joins run
+    # unhinted and AQE picks the strategy.  The persisted dep is tagged
+    # on the returned frame for the caller to release after the merge.
+    from canal_spark.operators.common import attach_cached_deps
 
-    live = main_current.join(F.broadcast(affected), mk, "leftsemi")
+    affected = affected.distinct().persist()
+    n_affected = affected.count()
+
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_affected <= max_broadcast_keys else df
+
+    live = main_current.join(hint(affected), mk, "leftsemi")
     # the child subquery must also run over ONLY the affected keys — a
     # bare groupBy of child_current would aggregate the whole child
     # table every batch (O(child), not O(affected), at the 10^12-row
@@ -275,7 +264,7 @@ def derive_star_view_changelog(
     child_live = child_current
     if cfg.child is not None and child_current is not None:
         child_live = child_current.join(
-            F.broadcast(affected.select(F.col(mk[0]).alias(cfg.child.child_fk))),
+            hint(affected.select(F.col(mk[0]).alias(cfg.child.child_fk))),
             cfg.child.child_fk,
             "leftsemi",
         )
@@ -287,13 +276,14 @@ def derive_star_view_changelog(
         *mk,
         *data_cols,
     )
-    dels = affected.join(F.broadcast(live.select(*mk)), mk, "left_anti").select(
+    # live keys ⊆ affected keys, so the same gate bounds this build side
+    dels = affected.join(hint(live.select(*mk)), mk, "left_anti").select(
         F.lit(ordinal).cast("long").alias("ordinal"),
         F.lit("D").alias("op"),
         *mk,
         *[F.lit(None).cast(dict(after.dtypes)[c]).alias(c) for c in data_cols],
     )
-    return ups.unionByName(dels)
+    return attach_cached_deps(ups.unionByName(dels), [affected])
 
 
 def maintain_star_view(
@@ -323,7 +313,10 @@ def maintain_star_view(
         child_current=child_current,
         child_changes=child_changes,
     )
-    return merge_into(spark, view, cl, **merge_kw)
+    try:
+        return merge_into(spark, view, cl, **merge_kw)
+    finally:
+        release_cached_deps(cl)
 
 
 def maintain_join_view(
@@ -350,4 +343,7 @@ def maintain_join_view(
     cl = derive_view_changelog(
         cfg, main_current, dim_current, main_changes, dim_changes, ordinal
     )
-    return merge_into(spark, view, cl, **merge_kw)
+    try:
+        return merge_into(spark, view, cl, **merge_kw)
+    finally:
+        release_cached_deps(cl)

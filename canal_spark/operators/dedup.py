@@ -449,14 +449,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable) band set against the index.  Work is O(delta), never
     O(corpus).  Here docs with doc_id % 10 == 0 play the delta, the
     rest the index; emits per delta doc the number of indexed near-dups
-    and the smallest matching indexed doc id."""
+    and the smallest matching indexed doc id.
+
+    The delta side is deliberately UNHINTED: here it is a fixed
+    fraction of the corpus (a demo slicing, not the CDC-batch contract
+    `dedup_index.refresh_band_index` gets), so a forced broadcast would
+    grow with the corpus; AQE broadcasts it while it is small and
+    shuffles past that — the same de-hinting the contamination check
+    uses."""
     bands = _minhash_bands(spark, sf_dir)
     delta = bands.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_id"), "band", "bucket"
     )
     index = bands.where(F.col("doc_id") % 10 != 0)
     out = (
-        F.broadcast(delta)
+        delta
         .join(index, ["band", "bucket"])
         .groupBy("new_id")
         .agg(

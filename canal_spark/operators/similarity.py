@@ -51,7 +51,12 @@ def _cosine(a, b, na, nb):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    return dot / (na * nb)
+    # zero-norm convention: cosine(0-vector, anything) = 0, never NaN —
+    # NaN sorts ABOVE every double in Spark, so an all-zero embedding
+    # would otherwise rank as the best match of every query (and the
+    # numpy kernel's argmax over an all-NaN row silently returns 0);
+    # the Arrow kernel below applies the identical convention
+    return F.when((na * nb) == 0, F.lit(0.0)).otherwise(dot / (na * nb))
 
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +170,13 @@ def _assign_cell_udf(cent_rows: list):
             return pd.Series([], dtype="int64")
         V = np.vstack(v.to_numpy())
         vn = np.sqrt((V * V).sum(axis=1))
-        scores = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 9)
+        denom = vn[:, None] * cn[None, :]
+        # zero-norm rows score 0 against every centroid (the _cosine
+        # convention) -> argmax deterministically picks the lowest id
+        scores = np.round(
+            np.divide(V @ C.T, denom, out=np.zeros_like(denom), where=denom > 0),
+            9,
+        )
         return pd.Series(ids[scores.argmax(axis=1)], index=v.index)
 
     return assign

@@ -200,3 +200,41 @@ def test_lsh_hot_bucket_cap_bounds_pair_blowup(spark, tmp_path):
     assert dropped and all(r["bucket_size"] == n_mega for r in dropped)
     kept = [r for r in stats if not r["dropped"]]
     assert kept  # the near-dup docs' buckets are reported, not dropped
+
+
+def test_zero_norm_embedding_assigns_deterministically(spark):
+    """An all-zero embedding must score cosine 0 against every centroid
+    (never NaN — NaN sorts above every double in Spark and argmax over
+    an all-NaN numpy row silently returns 0) and assign to the LOWEST
+    centroid id in both the Arrow kernel and the expression path."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.operators.similarity import (
+        EMB_DIM,
+        _assign_cell_udf,
+        _cosine,
+        _probe_cells_expr,
+    )
+
+    cents = [(5, [1.0] * EMB_DIM, float(EMB_DIM) ** 0.5),
+             (9, [0.5] * EMB_DIM, (0.25 * EMB_DIM) ** 0.5)]
+    df = spark.createDataFrame(
+        [(1, [0.0] * EMB_DIM), (2, [1.0] * EMB_DIM)],
+        "vec_id long, v array<double>",
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)),
+    )
+    got = {r["vec_id"]: r for r in df.select(
+        "vec_id",
+        _assign_cell_udf(cents)("v").alias("cell"),
+        _probe_cells_expr(cents, 1)[0].alias("probe"),
+        F.round(_cosine(F.col("v"), F.lit([1.0] * EMB_DIM),
+                        F.col("norm"), F.lit(float(EMB_DIM) ** 0.5)), 9
+                ).alias("cos"),
+    ).collect()}
+    assert got[1]["cos"] == 0.0          # zero vector: 0, not NaN
+    assert got[1]["cell"] == 5           # lowest centroid id, kernel
+    assert got[1]["probe"] == 5          # lowest centroid id, expr path
+    assert got[2]["cos"] == 1.0          # sane vector unaffected

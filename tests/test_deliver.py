@@ -51,18 +51,24 @@ def test_delivery_lanes_and_envelope(spark, token_table, tmp_path):
                     if last_es is not None:
                         assert m["es"] >= 0
                     last_es = m["es"]
+                    toks = None
                     if m["type"] != "DELETE":
                         toks = json.loads(cell["tokens"])
                         assert len(toks) == int(cell["n_tok"])
-                    # `old` carries ONLY changed columns, ONLY on UPDATEs
-                    # that actually changed something (FlatMessage.java)
+                    # `old` carries ONLY changed columns, on UPDATEs that
+                    # actually changed something AND on DELETEs (whose
+                    # before-image would otherwise be lost on the wire —
+                    # the decode side reads old[] first for both)
                     if m.get("old"):
-                        assert m["type"] == "UPDATE"
+                        assert m["type"] in ("UPDATE", "DELETE")
                         n_old += 1
                         old = m["old"][0]
                         assert set(old) <= {"tokens", "n_tok"} and old
-                        if "tokens" in old:
+                        if m["type"] == "UPDATE" and "tokens" in old:
                             assert json.loads(old["tokens"]) != toks
+                        if m["type"] == "DELETE" and "tokens" in old:
+                            # the prior image, not the (null) after-image
+                            assert json.loads(old["tokens"]) is not None
     assert n_msgs == 400
     assert n_old > 0  # real updates deliver their before-image
     # per-key order invariant: every key maps to exactly one (topic, lane)

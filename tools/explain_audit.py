@@ -220,12 +220,17 @@ def main() -> None:
     # the broadcast build side of the candidate join — O(delta) work
     from canal_spark.operators.dedup import q_dedup_incremental
 
+    # the delta side is a corpus fraction (not a CDC batch), so the
+    # operator is de-hinted: AQE owns the strategy — the audit only
+    # requires no product and an adaptive plan (AQE broadcasts it at
+    # runtime while small; asserting the static pre-AQE join pick would
+    # pin the exact behavior de-hinting exists to avoid)
     p9 = plan_of(q_dedup_incremental(spark, sf_dir))
     sections.append((
-        "Incremental dedup: broadcast delta bands vs corpus index, no product",
+        "Incremental dedup: AQE-chosen delta-vs-index join, no product",
         p9,
-        ["BroadcastHashJoin", "BroadcastExchange"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        ["AdaptiveSparkPlan"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
     # 10. band-index incremental refresh: the batch's keys broadcast
