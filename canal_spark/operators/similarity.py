@@ -114,6 +114,13 @@ FROM ranked WHERE rank <= {TOPK}
 
 IVF_K = 16  # FIXED codebook size — the centroid collect is O(K) at any corpus size
 NPROBE = 3  # queries search their top-3 nearest cells (multi-probe IVF)
+# Bounded training sample: the Lloyd refinement runs over the TRAIN_N
+# vectors with the smallest seed hash, NOT the full corpus — FAISS's own
+# guideline (~256 training points per centroid; 39×K is its warning
+# floor), so codebook training is O(TRAIN_N·K) work and one
+# TRAIN_N-row-bounded shuffle at ANY corpus size.  At sandbox SF the
+# corpora (500-2,000 vectors) are smaller than TRAIN_N, so train = all.
+TRAIN_N = 256 * IVF_K
 # Deterministic cross-engine seed hash (an LCG both Spark and DuckDB
 # evaluate identically in int64: max value ~1.1e15, no overflow).  The
 # % SEED_DOM first keeps the product in range even for 10^12-scale ids.
@@ -200,36 +207,42 @@ def _collect_cents(cents: DataFrame) -> list:
 
 def ivf_centroids(e: DataFrame) -> DataFrame:
     """IVF coarse centroids: a FIXED-K deterministic seed pick + ONE
-    Lloyd refinement step (assign to seeds, recompute each cell's
-    centroid as the per-dimension mean of its members).  Components
-    round to 6 decimals so Spark and DuckDB agree bit-for-bit on the
-    refined codebook despite engine-specific float summation order.
+    Lloyd refinement step over a BOUNDED training sample (assign the
+    TRAIN_N sampled vectors to seeds, recompute each cell's centroid as
+    the per-dimension mean of its sampled members).  Components round
+    to 6 decimals so Spark and DuckDB agree bit-for-bit on the refined
+    codebook despite engine-specific float summation order.
 
     Seeds are the IVF_K vectors with the smallest deterministic hash
     (an LCG over vec_id — a pseudo-random sample both engines compute
-    identically), via TakeOrderedAndProject: per-partition top-K, no
-    global sort, then an O(K) driver collect.  K is a CONSTANT, so the
-    codebook stays driver-sized whether the corpus is 500 or 10^12
-    vectors (real IVF codebooks are ~2^16-2^20 cells at that scale;
-    raise IVF_K, never let it track n).
+    identically); the training sample is the TRAIN_N smallest by the
+    SAME order (seeds ⊂ sample), both via TakeOrderedAndProject:
+    per-partition top-K, no global sort.  K and TRAIN_N are CONSTANTS,
+    so the codebook collect is O(K) and the training shuffle is
+    O(TRAIN_N) whether the corpus is 500 or 10^12 vectors (real IVF
+    codebooks are ~2^16-2^20 cells at that scale; raise IVF_K/TRAIN_N,
+    never let them track n — training on a bounded sample is exactly
+    how FAISS trains coarse quantizers).
 
-    Scale shape: seed assignment is the map-side vectorized argmax
-    (`_assign_cell_udf` — no crossJoin, no join-back); the
-    refinement is ONE groupBy(cell) with EMB_DIM per-dimension means
-    (K×64 cells — centroid-scale, not data-scale).  Empty cells simply
-    drop out of the codebook.
+    Scale shape: sample assignment is the map-side vectorized argmax
+    (`_assign_cell_udf` — no crossJoin, no join-back) over TRAIN_N
+    rows; the refinement is ONE groupBy(cell) with EMB_DIM
+    per-dimension means (K×64 cells — centroid-scale, not data-scale).
+    Empty cells simply drop out of the codebook.
     """
-    seed_rows = _collect_cents(
+    train = (
         e.select("vec_id", "v", "norm", _seed_hash().alias("_h"))
         .orderBy("_h", "vec_id")
-        .limit(IVF_K)
-        .select(
+        .limit(TRAIN_N)
+    )
+    seed_rows = _collect_cents(
+        train.limit(IVF_K).select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
             F.col("norm").alias("cn"),
         )
     )
-    assigned = e.select("v", _assign_cell_udf(seed_rows)("v").alias("cell"))
+    assigned = train.select("v", _assign_cell_udf(seed_rows)("v").alias("cell"))
     cents = (
         assigned.groupBy("cell")
         .agg(
@@ -311,20 +324,22 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBED_IVF_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (SELECT vec_id, v FROM e
+          ORDER BY {SEED_HASH_SQL}, vec_id LIMIT {TRAIN_N}),
 seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e
           ORDER BY {SEED_HASH_SQL}, vec_id LIMIT {IVF_K}),
 a0 AS (
-  SELECT e.vec_id, s.cent_id,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round(list_cosine_similarity(e.v, s.cv), 9) DESC,
+  SELECT t.vec_id, s.cent_id,
+         row_number() OVER (PARTITION BY t.vec_id
+                            ORDER BY round(list_cosine_similarity(t.v, s.cv), 9) DESC,
                                      s.cent_id ASC) AS rn
-  FROM e, seeds s),
+  FROM train t, seeds s),
 assign0 AS (SELECT vec_id, cent_id AS cell FROM a0 WHERE rn = 1),
 dim_means AS (
   SELECT a.cell, u.pos, round(avg(u.x), 6) AS m
-  FROM assign0 a JOIN e ON e.vec_id = a.vec_id,
-       LATERAL (SELECT unnest(e.v) AS x,
-                       generate_subscripts(e.v, 1) AS pos) u
+  FROM assign0 a JOIN train t ON t.vec_id = a.vec_id,
+       LATERAL (SELECT unnest(t.v) AS x,
+                       generate_subscripts(t.v, 1) AS pos) u
   GROUP BY a.cell, u.pos),
 c AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
       FROM dim_means GROUP BY cell),

@@ -94,6 +94,7 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
         SEED_DOM,
         SEED_MOD,
         SEED_MUL,
+        TRAIN_N,
         _with_norm,
         ivf_cells,
         ivf_centroids,
@@ -119,8 +120,11 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
         }
         return max(scores.items(), key=lambda kv: (kv[1], -kv[0]))[0]
 
-    # numpy replication of the one-step Lloyd update
-    assign0 = {vid: argmax(v, seeds) for vid, v in vecs.items()}
+    # numpy replication of the one-step Lloyd update over the bounded
+    # training sample (TRAIN_N smallest by the same hash order; at this
+    # 500-vector fixture the sample IS the full corpus)
+    train_ids = sorted(vecs, key=lambda i: (seed_hash(i), i))[:TRAIN_N]
+    assign0 = {vid: argmax(vecs[vid], seeds) for vid in train_ids}
     refined = {}
     for cell in set(assign0.values()):
         members = np.array([vecs[vid] for vid, c in assign0.items() if c == cell])
