@@ -243,6 +243,91 @@ FROM pg GROUP BY doc_id
 """
 
 
+SEQ_LEN = 2048  # packed training-sequence length (tokens per chunk)
+PACK_CHUNK = 4096  # doc_ids per two-phase-cumsum chunk (see chunked_cumsum)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate the corpus in
+    doc_id order into one token stream and cut it into fixed SEQ_LEN
+    training chunks; emit per doc its stream offset and the first/last
+    chunk it lands in (n_chunks > 1 = the doc straddles a boundary).
+    This is the packing manifest a pretraining dataloader consumes —
+    deciding which docs each training sequence pulls from without
+    materializing the packed sequences.
+
+    Scale shape: the global running token offset is the two-phase
+    chunked cumsum (`operators.common.chunked_cumsum` — per-chunk
+    window + driver-side prefix of O(n/PACK_CHUNK) totals), never a
+    single-partition global window; everything after is map-side
+    integer arithmetic.  Chunk ids use integer DIV, exact at any
+    stream length (a double division would lose exactness past 2^53
+    total tokens — a 10^12-sequence corpus crosses that)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    from canal_spark.operators.common import chunked_cumsum
+
+    c = chunked_cumsum(d, "doc_id", "n_tok", "cum_end", PACK_CHUNK)
+    return c.withColumn("start_off", F.col("cum_end") - F.col("n_tok")).selectExpr(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        f"CAST(start_off DIV {SEQ_LEN} AS BIGINT) AS first_chunk",
+        f"CAST((cum_end - 1) DIV {SEQ_LEN} AS BIGINT) AS last_chunk",
+        f"CAST((cum_end - 1) DIV {SEQ_LEN}"
+        f" - start_off DIV {SEQ_LEN} + 1 AS BIGINT) AS n_chunks",
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+      FROM d)
+SELECT doc_id, n_tok,
+       cum_end - n_tok AS start_off,
+       (cum_end - n_tok) // {SEQ_LEN} AS first_chunk,
+       (cum_end - 1) // {SEQ_LEN} AS last_chunk,
+       (cum_end - 1) // {SEQ_LEN} - (cum_end - n_tok) // {SEQ_LEN} + 1 AS n_chunks
+FROM c
+"""
+
+
+TOP_WORDS = 25
+
+
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the TOP_WORDS most frequent whitespace
+    tokens — the frequency sweep behind stopword lists, vocab builds,
+    and boilerplate detection.  Deterministic total order (count desc,
+    word asc) so the top-k set is engine-independent.
+
+    Scale shape: explode is map-side, the count is one partial-agg
+    shuffle keyed by word (hot words collapse in the map-side combine),
+    and orderBy().limit() compiles to TakeOrderedAndProject — per-
+    partition top-k then a driver merge of O(partitions × k) rows,
+    never a global sort."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(TOP_WORDS)
+    )
+
+
+SQL_WORD_TOPK = f"""
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, w ASC LIMIT {TOP_WORDS}
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -250,6 +335,8 @@ QUERIES = {
     "sample_mix": q_sample_mix,
     "column_profile": q_column_profile,
     "repetition_filter": q_repetition_filter,
+    "sequence_pack": q_sequence_pack,
+    "word_topk": q_word_topk,
 }
 
 ORACLES = {
@@ -259,4 +346,6 @@ ORACLES = {
     "sample_mix": SQL_SAMPLE_MIX,
     "column_profile": SQL_COLUMN_PROFILE,
     "repetition_filter": SQL_REPETITION,
+    "sequence_pack": SQL_SEQUENCE_PACK,
+    "word_topk": SQL_WORD_TOPK,
 }

@@ -48,3 +48,35 @@ def test_chunked_row_number_with_null_chunk_keeps_rows_first(spark):
     }
     assert by_id == want
     assert {by_id["a"], by_id["d"]} == {1, 2}
+
+
+def test_sequence_pack_invariants_and_plan_shape(spark):
+    """Packing layout over the fixture corpus: offsets are contiguous
+    in doc_id order (stream concatenation), chunk spans follow from
+    integer division, straddling docs report n_chunks >= 2, and the
+    physical plan has NO single-partition window (the global cumsum is
+    the two-phase chunked kernel)."""
+    import contextlib
+    import io
+
+    from canal_spark.operators.text import SEQ_LEN, q_sequence_pack
+
+    df = q_sequence_pack(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "No Partition Defined" not in plan  # the 1-task window smell
+    rows = sorted((r["doc_id"], r) for r in df.collect())
+    off = 0
+    saw_straddle = False
+    for _, r in rows:
+        assert r["start_off"] == off  # contiguous stream
+        end = off + r["n_tok"]
+        assert r["first_chunk"] == off // SEQ_LEN
+        assert r["last_chunk"] == (end - 1) // SEQ_LEN
+        assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+        saw_straddle = saw_straddle or r["n_chunks"] >= 2
+        off = end
+    assert off > SEQ_LEN  # corpus spans multiple chunks
+    assert saw_straddle  # at least one doc crosses a boundary
