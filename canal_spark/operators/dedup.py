@@ -671,6 +671,92 @@ GROUP BY t.doc_id
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the step a dedup pipeline runs
+    LAST — for every near-dup group (connected component of the LSH
+    candidate graph, `q_dedup_groups`), keep exactly one document: the
+    highest `quality_milli` scorer (`text.q_quality_score`), ties
+    broken by smallest doc_id.  Docs in no candidate pair form their
+    own singleton group, so the output is the kept-set manifest of the
+    whole corpus: one row per group with the survivor and group size.
+
+    Scale shape: labels are candidate-pair scale (not corpus scale);
+    corpus docs pick up their group via a LEFT equi-join on doc_id
+    (AQE-chosen strategy, no hint); survivor selection is a window
+    partitioned by group_id — bounded per-group work, hot groups are
+    exactly the near-dup blobs that the upstream LSH hot-bucket cap
+    (`_minhash_bands` MAX_BUCKET) already bounds."""
+    from pyspark.sql import Window
+
+    from canal_spark.operators.text import q_quality_score
+
+    labels = q_dedup_groups(spark, sf_dir)
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_milli")
+    scored = quality.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+        "quality_milli",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_milli"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("group_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality_milli").alias("keep_quality_milli"),
+        )
+    )
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+sigs AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_capped_bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a, doc_b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT doc_a AS doc FROM edges),
+reach(src, dst) AS (
+    SELECT doc, doc FROM nodes
+  UNION
+    SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+),
+labels AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+         CAST(least(CAST(len(string_split(text, ' ')) AS BIGINT), 100) * 4
+              + floor((len(string_split(text, ' '))
+                       - len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('the', 'a'))))
+                      * 400 / len(string_split(text, ' ')))
+              + least(floor((n_chars - (len(string_split(text, ' ')) - 1))
+                            * 25 / len(string_split(text, ' '))), 200)
+              AS BIGINT) AS quality_milli
+  FROM documents),
+scored AS (
+  SELECT q.doc_id, coalesce(l.group_id, q.doc_id) AS group_id, q.quality_milli
+  FROM q LEFT JOIN labels l USING (doc_id)),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY group_id
+                           ORDER BY quality_milli DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY group_id) AS n_members
+      FROM scored)
+SELECT group_id, doc_id AS keep_doc_id, CAST(n_members AS BIGINT) AS n_members,
+       quality_milli AS keep_quality_milli
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -681,6 +767,7 @@ QUERIES = {
     "dedup_groups": q_dedup_groups,
     "contamination_check": q_contamination_check,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_canonical": q_dedup_canonical,
 }
 
 ORACLES = {
@@ -693,4 +780,5 @@ ORACLES = {
     "dedup_groups": SQL_DEDUP_GROUPS,
     "contamination_check": SQL_CONTAMINATION,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
 }

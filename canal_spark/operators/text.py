@@ -328,6 +328,73 @@ GROUP BY w ORDER BY n DESC, w ASC LIMIT {TOP_WORDS}
 """
 
 
+SPAN_W = 8  # words per pseudo-line (the fixture text has no newlines)
+SPAN_DUP_T = 2  # corpus-wide occurrences at/above this mark a span duplicated
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level dedup: cut every document into
+    fixed word-window spans (the fixture's stand-in for lines — the
+    text has no newlines), count each span's occurrences across the
+    WHOLE corpus, and drop spans that appear >= SPAN_DUP_T times
+    anywhere — the "remove boilerplate lines repeated across pages"
+    step of a web-scale training-data pipeline.  Emits per doc the
+    span count, how many were corpus-duplicated, and the reassembled
+    clean text (== the original text whenever nothing was dropped).
+
+    Scale shape: span extraction is a map-side higher-order-function
+    transform + posexplode (no Python); the corpus-wide span count is
+    ONE partial-agg shuffle keyed by span (hot boilerplate spans
+    collapse in the map-side combine); the dup flag comes back via an
+    equi-join on span against only the >=T subset (AQE picks
+    broadcast when that subset is small — the common case: boilerplate
+    is rare relative to the corpus); reassembly is a per-doc groupBy
+    with an array_sort over (span_id, span) structs — never a window,
+    never a global sort."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    span_arr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' '))/{SPAN_W}.0) as int) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i*{SPAN_W}+1, {SPAN_W}), ' '))"
+    )
+    spans = docs.select("doc_id", F.posexplode(span_arr).alias("span_id", "span"))
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= SPAN_DUP_T)
+        .select("span", F.lit(True).alias("is_dup"))
+    )
+    flagged = spans.join(dup, "span", "left")
+    kept = F.when(
+        F.col("is_dup").isNull(), F.struct(F.col("span_id"), F.col("span"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_spans"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["span"]),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+spans AS (
+  SELECT doc_id, u.i AS span_id,
+         array_to_string(ws[u.i*{SPAN_W}+1 : u.i*{SPAN_W}+{SPAN_W}], ' ') AS span
+  FROM w, UNNEST(range(0, CAST(ceil(len(ws)/{SPAN_W}.0) AS BIGINT))) AS u(i)),
+cnt AS (SELECT span, count(*) AS c FROM spans GROUP BY span),
+f AS (SELECT s.doc_id, s.span_id, s.span, (c.c >= {SPAN_DUP_T}) AS is_dup
+      FROM spans s JOIN cnt c USING (span))
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  coalesce(string_agg(CASE WHEN NOT is_dup THEN span END, ' ' ORDER BY span_id),
+           '') AS clean_text
+FROM f GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -337,6 +404,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "sequence_pack": q_sequence_pack,
     "word_topk": q_word_topk,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLES = {
@@ -348,4 +416,5 @@ ORACLES = {
     "repetition_filter": SQL_REPETITION,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "word_topk": SQL_WORD_TOPK,
+    "line_dedup": SQL_LINE_DEDUP,
 }

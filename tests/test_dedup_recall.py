@@ -242,3 +242,74 @@ def test_zero_norm_embedding_assigns_deterministically(spark):
     assert got[1]["cell"] == 5           # lowest centroid id, kernel
     assert got[1]["probe"] == 5          # lowest centroid id, expr path
     assert got[2]["cos"] == 1.0          # sane vector unaffected
+
+
+def test_line_dedup_reassembly_and_flag_invariants(spark):
+    """A doc with zero corpus-duplicated spans reassembles to its
+    original text verbatim; flagged counts are consistent (0 <=
+    n_dup_spans <= n_spans, n_spans == ceil(words/SPAN_W)); and every
+    span the operator dropped really does occur >= SPAN_DUP_T times in
+    the corpus-wide span multiset (no over-dropping)."""
+    from canal_spark.operators.text import SPAN_DUP_T, SPAN_W, q_line_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    got = {r["doc_id"]: r for r in q_line_dedup(spark, sf).collect()}
+    assert set(got) == set(docs)
+
+    from collections import Counter
+
+    corpus_spans = Counter()
+    per_doc_spans = {}
+    for did, text in docs.items():
+        ws = text.split(" ")
+        spans = [
+            " ".join(ws[i : i + SPAN_W]) for i in range(0, len(ws), SPAN_W)
+        ]
+        per_doc_spans[did] = spans
+        corpus_spans.update(spans)
+
+    for did, r in got.items():
+        spans = per_doc_spans[did]
+        assert r["n_spans"] == len(spans)
+        expect_dup = sum(1 for s in spans if corpus_spans[s] >= SPAN_DUP_T)
+        assert r["n_dup_spans"] == expect_dup
+        kept = [s for s in spans if corpus_spans[s] < SPAN_DUP_T]
+        assert r["clean_text"] == " ".join(kept)
+        if r["n_dup_spans"] == 0:
+            assert r["clean_text"] == docs[did]
+
+
+def test_dedup_canonical_keeps_best_per_group_and_partitions_corpus(spark):
+    """Canonical selection: one survivor per group; group sizes sum to
+    the corpus size; the survivor is the argmax (quality, -doc_id) of
+    its group's members; singleton docs keep themselves."""
+    from canal_spark.operators.dedup import q_dedup_canonical, q_dedup_groups
+    from canal_spark.operators.text import q_quality_score
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    labels = {
+        r["doc_id"]: r["group_id"] for r in q_dedup_groups(spark, sf).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_milli"]
+        for r in q_quality_score(spark, sf).collect()
+    }
+    kept = q_dedup_canonical(spark, sf).collect()
+
+    groups = {}
+    for did in quality:
+        groups.setdefault(labels.get(did, did), []).append(did)
+
+    assert {r["group_id"] for r in kept} == set(groups)
+    assert sum(r["n_members"] for r in kept) == n_docs
+    for r in kept:
+        members = groups[r["group_id"]]
+        assert r["n_members"] == len(members)
+        best = min(members, key=lambda d: (-quality[d], d))
+        assert r["keep_doc_id"] == best
+        assert r["keep_quality_milli"] == quality[best]
