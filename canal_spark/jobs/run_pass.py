@@ -31,6 +31,16 @@ def main() -> None:
     p.add_argument("--max-pending-delete-files", type=int, default=8,
                    help="materialize merge-on-read delete debt once this "
                         "many delete files accumulate")
+    p.add_argument("--wap", action="store_true",
+                   help="write-audit-publish: stage the merge, audit "
+                        "structural invariants (key uniqueness, token-array "
+                        "equality, optional delete bound), publish only if "
+                        "clean — an aborted stage leaves the batch "
+                        "unapplied for retry and the job exits nonzero")
+    p.add_argument("--wap-max-delete-fraction", type=float, default=None,
+                   help="abort the staged merge if it would shrink the "
+                        "table by more than this fraction (runaway-delete "
+                        "guard); only with --wap")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -61,12 +71,17 @@ def main() -> None:
         ivf_index=load_table(args.ivf_index) if args.ivf_index else None,
         merge_mode=args.merge_mode,
         max_pending_delete_files=args.max_pending_delete_files,
+        wap=args.wap,
+        wap_max_delete_fraction=args.wap_max_delete_fraction,
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
+          "wap": rep.wap,
           "materialize": rep.materialize, "ivf_index": rep.ivf_index,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,
           "metrics": prometheus_metrics(rep, destination=args.table)})
+    if args.wap and rep.wap and not rep.wap.get("published", True):
+        raise SystemExit(3)  # staged merge failed audit and was aborted
 
 
 if __name__ == "__main__":

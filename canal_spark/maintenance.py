@@ -29,6 +29,7 @@ from canal_spark.table.format import Table
 class MaintenanceReport:
     job_id: str
     merge: dict = field(default_factory=dict)
+    wap: dict = field(default_factory=dict)
     ivf_index: dict = field(default_factory=dict)
     materialize: dict = field(default_factory=dict)
     compact: dict = field(default_factory=dict)
@@ -38,6 +39,59 @@ class MaintenanceReport:
     # wall seconds per phase — the per-pass cost breakdown an operator
     # reads first when a pass regresses (which phase grew?)
     timings: dict = field(default_factory=dict)
+
+
+def audit_snapshot(
+    spark: SparkSession,
+    table: Table,
+    snapshot_id: int,
+    parent_rows: int | None = None,
+    max_delete_fraction: float | None = None,
+) -> dict:
+    """The audit half of write-audit-publish: structural invariants of
+    a staged snapshot, computed in ONE aggregation over its scan.
+
+    Checks (each a named count, 0 = pass):
+
+    * ``null_keys`` — no key column is null (a null key can never be
+      matched by a later changelog event: the row would be unreachable).
+    * ``dup_keys`` — MERGE output is key-unique (last-wins applied).
+    * ``bad_token_arrays`` — the north-rule per-row invariant on token
+      tables: ``n_tok == size(tokens)`` and ``tokens`` non-null
+      (skipped when the schema has no tokens column).
+    * ``delete_bound`` — optional runaway-delete guard: the staged row
+      count must be >= ``parent_rows * (1 - max_delete_fraction)``
+      (the classic WAP use: a bug that deletes half the table must not
+      publish).
+    """
+    from pyspark.sql import functions as F
+
+    df = table.scan(spark, snapshot_id=snapshot_id)
+    cols = set(df.columns)
+    key_cols = [k for k in table.key_cols if k in cols]
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if key_cols:
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        aggs.append(F.sum(F.when(null_key, 1).otherwise(0)).alias("null_keys"))
+        aggs.append(F.count_distinct(F.struct(*key_cols)).alias("distinct_keys"))
+    if {"tokens", "n_tok"} <= cols:
+        bad = F.col("tokens").isNull() | (F.size("tokens") != F.col("n_tok"))
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias("bad_token_arrays"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    rows = int(row["rows"] or 0)
+    checks = {
+        "null_keys": int(row.get("null_keys") or 0),
+        "dup_keys": (rows - int(row["distinct_keys"])) if key_cols else 0,
+        "bad_token_arrays": int(row.get("bad_token_arrays") or 0),
+    }
+    if max_delete_fraction is not None and parent_rows:
+        floor_rows = int(parent_rows * (1.0 - max_delete_fraction))
+        checks["delete_bound"] = max(0, floor_rows - rows)
+    ok = all(v == 0 for v in checks.values())
+    return {"ok": ok, "rows": rows, "checks": checks}
 
 
 def run_pass(
@@ -59,6 +113,8 @@ def run_pass(
     ivf_index: Table | None = None,
     merge_mode: str = "cow",
     max_pending_delete_files: int = 8,
+    wap: bool = False,
+    wap_max_delete_fraction: float | None = None,
 ) -> MaintenanceReport:
     """One maintenance pass.  ``merge_mode="mor"`` applies the changelog
     as merge-on-read equality deletes (O(batch) write, zero base-table
@@ -71,15 +127,39 @@ def run_pass(
     lineage = _ckpt.ensure_lineage(lineage_root) if lineage_root else None
     rep = MaintenanceReport(job_id=job_id)
 
+    merge_live = False
     if changes is not None:
         _t0 = time.perf_counter()
+        # write-audit-publish: merge into a STAGED snapshot (readers keep
+        # the pre-batch table; hwm/GTID marks defer with it), audit its
+        # structural invariants, then publish — or abort, leaving the
+        # batch unapplied so the next pass retries it after the upstream
+        # bug is fixed.  Exactly Iceberg's spark.wap.id flow, run by the
+        # pass itself.
+        parent_rows = table.row_count() if wap else None
         m = _merge.merge_into(
             spark, table, changes, target_file_rows=target_file_rows, job_id=job_id,
-            mode=merge_mode,
+            mode=merge_mode, stage_only=wap,
         )
-        rep.merge = m.__dict__
+        merge_live = m.applied
+        if wap and m.applied:
+            audit = audit_snapshot(
+                spark, table, m.snapshot_id,
+                parent_rows=parent_rows,
+                max_delete_fraction=wap_max_delete_fraction,
+            )
+            rep.wap = {"staged_snapshot_id": m.snapshot_id, **audit}
+            if audit["ok"]:
+                table.publish(m.snapshot_id)
+                rep.wap["published"] = True
+            else:
+                table.abort_staged(m.snapshot_id)
+                rep.wap["published"] = False
+                merge_live = False  # batch stays unapplied; indexes skip
+        # an aborted stage reports applied=False: nothing reached readers
+        rep.merge = {**m.__dict__, "applied": merge_live}
         rep.timings["merge"] = round(time.perf_counter() - _t0, 3)
-        if lineage and m.applied:
+        if lineage and merge_live:
             _ckpt.record(
                 spark, lineage, job_id, "merge",
                 ordinal=m.high_water_mark, snapshot_id=m.snapshot_id,
@@ -90,7 +170,7 @@ def run_pass(
         # merge so the index reads the post-merge row states.  Keys come
         # from the changelog (a superset of applied keys is fine — the
         # refresh is idempotent per key).
-        if band_index is not None and m.applied:
+        if band_index is not None and merge_live:
             from canal_spark.dedup_index import refresh_band_index
 
             _t0 = time.perf_counter()
@@ -114,7 +194,7 @@ def run_pass(
                 )
         # Second derived store: the IVF (ANN) cell index — changed keys
         # re-assign under the FROZEN codebook, deletes fall out.
-        if ivf_index is not None and m.applied:
+        if ivf_index is not None and merge_live:
             from canal_spark.ann_index import refresh_ivf_index
 
             _t0 = time.perf_counter()

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from canal_spark.table.format import DataFile, Table, prune_files
+from canal_spark.table.format import WAP_STAGED_KEY, DataFile, Table, prune_files
 from canal_spark.table.writer import write_datafiles
 
 CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
@@ -74,6 +74,11 @@ def merge_high_water_mark(table: Table) -> int:
     """
     hwm = int(table.properties.get(CKPT_KEY, 0))
     for s in table.snapshots:
+        if s.summary.get(WAP_STAGED_KEY):
+            # an unpublished (WAP-staged) merge must NOT advance the
+            # effective mark: if its audit aborts, the batch has to
+            # re-apply — its summary only counts after publish
+            continue
         v = s.summary.get(CKPT_KEY)
         if v is not None:
             hwm = max(hwm, int(v))
@@ -105,6 +110,8 @@ def merge_gtid_set(table: Table) -> dict[str, int]:
         k = norm(k)
         out[k] = max(int(out.get(k, 0)), int(v))
     for s in table.snapshots:
+        if s.summary.get(WAP_STAGED_KEY):
+            continue  # unpublished stage: marks count only after publish
         for k, v in (s.summary.get(GTID_KEY) or {}).items():
             k = norm(k)
             out[k] = max(int(out.get(k, 0)), int(v))
@@ -257,6 +264,7 @@ def merge_into(
     max_broadcast_keys: int = 5_000_000,
     job_id: str | None = None,
     mode: str = "cow",
+    stage_only: bool = False,
 ) -> MergeResult:
     """Apply a changelog DataFrame (CHANGELOG_SCHEMA shape) to ``table``.
 
@@ -627,6 +635,7 @@ def merge_into(
         operation="overwrite",
         summary=summary,
         new_properties=props,
+        stage_only=stage_only,
     )
     return MergeResult(
         applied=True,

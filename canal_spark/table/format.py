@@ -165,6 +165,15 @@ class CommitConflict(Exception):
     """Another writer committed the same metadata version first."""
 
 
+# write-audit-publish (WAP) summary keys: a staged snapshot is in the
+# snapshot list (addressable by id for auditing) but current never
+# points at it until publish; its property updates are deferred in the
+# summary so an aborted stage leaves checkpoints (merge hwm, GTID set)
+# untouched and the batch re-applies cleanly.
+WAP_STAGED_KEY = "wap-staged"
+WAP_PROPS_KEY = "wap-staged-properties"
+
+
 # --------------------------------------------------------------------------
 # table
 # --------------------------------------------------------------------------
@@ -609,6 +618,7 @@ class Table:
         new_properties: dict | None = None,
         new_partition_spec: list[str] | None = None,
         max_retries: int = 5,
+        stage_only: bool = False,
     ) -> Snapshot:
         """Atomically commit a new snapshot (optimistic concurrency).
 
@@ -616,7 +626,21 @@ class Table:
         no removed file are *reused* by reference; manifests that do are
         rewritten minus the removed entries; added files land in one new
         manifest.  So commit cost is O(delta), not O(table).
+
+        ``stage_only=True`` is the write half of write-audit-publish
+        (Iceberg's ``spark.wap.id`` flow): the snapshot lands in the
+        snapshot list — auditable via ``scan(snapshot_id=...)`` — but
+        ``current_snapshot_id`` does NOT advance and ``new_properties``
+        are deferred inside the snapshot summary; readers keep seeing
+        the pre-stage table until :meth:`publish`, and
+        :meth:`abort_staged` discards the stage without a trace in the
+        checkpoint properties.  DDL (schema / partition-spec changes)
+        cannot be staged — those stay isolation barriers (B3).
         """
+        if stage_only and (
+            new_schema_json is not None or new_partition_spec is not None
+        ):
+            raise ValueError("stage_only commits cannot carry DDL changes")
         removed = set(removed_paths)
         # entries arriving without a commit sequence get stamped with the
         # committing snapshot id (re-stamped per attempt: a lost race
@@ -626,7 +650,13 @@ class Table:
         for _ in range(max_retries):
             self.refresh()
             parent = self.current_snapshot()
-            next_id = (parent.snapshot_id + 1) if parent else 1
+            # max over ALL snapshots, not parent+1: a staged (WAP)
+            # snapshot holds an id off the current line, and the next
+            # mainline commit must not collide with it — ids are the
+            # address auditors/publish use, so they stay globally unique
+            next_id = max(
+                (s.snapshot_id for s in self.snapshots), default=0
+            ) + 1
             for e in unstamped:
                 e.seq = next_id
             manifests: list[str] = []
@@ -677,8 +707,13 @@ class Table:
                             cur[f["name"]] = next_id
                             next_id += 1
                     fid_hist.append(cur)
+            wap_summary = {}
+            if stage_only:
+                wap_summary[WAP_STAGED_KEY] = True
+                if new_properties is not None:
+                    wap_summary[WAP_PROPS_KEY] = dict(new_properties)
             snap = Snapshot(
-                snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+                snapshot_id=next_id,
                 parent_id=parent.snapshot_id if parent else None,
                 timestamp_ms=now_ms,
                 operation=operation,
@@ -689,19 +724,21 @@ class Table:
                     "added-rows": sum(f.rows for f in added),
                     "added-bytes": sum(f.bytes for f in added),
                     **(summary or {}),
+                    **wap_summary,
                 },
                 schema_id=schema_id,
             )
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["snapshots"] = self.metadata["snapshots"] + [snap.to_json()]
-            meta["current_snapshot_id"] = snap.snapshot_id
+            if not stage_only:
+                meta["current_snapshot_id"] = snap.snapshot_id
             meta["schemas"] = schemas
             meta["current_schema_id"] = schema_id
             meta["field_ids"] = fid_hist
             if new_schema_json is not None:
                 meta["schema"] = new_schema_json
-            if new_properties is not None:
+            if new_properties is not None and not stage_only:
                 meta["properties"] = {**self.properties, **new_properties}
             if new_partition_spec is not None:
                 specs = [list(s) for s in self.partition_specs]
@@ -900,6 +937,13 @@ class Table:
                 )
             if keep_last is None and older_than_ms is None:
                 keep.update(s.snapshot_id for s in snaps)  # nothing to expire
+            # staged (WAP) snapshots are never expired implicitly: they
+            # are off the current line by design, so position/age rules
+            # would sweep an audit-in-flight stage; their lifecycle ends
+            # only via publish or abort_staged
+            keep.update(
+                s.snapshot_id for s in snaps if s.summary.get(WAP_STAGED_KEY)
+            )
 
             retained = [s for s in snaps if s.snapshot_id in keep]
             expired = [s for s in snaps if s.snapshot_id not in keep]
@@ -1071,7 +1115,10 @@ class Table:
                 ) from None
             parent = self.current_snapshot()
             snap = Snapshot(
-                snapshot_id=(parent.snapshot_id + 1) if parent else 1,
+                # max over all snapshots: staged (WAP) ids must not collide
+                snapshot_id=max(
+                    (s.snapshot_id for s in self.snapshots), default=0
+                ) + 1,
                 parent_id=parent.snapshot_id if parent else None,
                 timestamp_ms=int(time.time() * 1000),
                 operation="rollback",
@@ -1093,6 +1140,141 @@ class Table:
             except FileExistsError:
                 continue
         raise CommitConflict("rollback gave up after 5 retries")
+
+    # ---- write-audit-publish (WAP) ------------------------------------
+
+    def staged_snapshots(self) -> list[Snapshot]:
+        """Snapshots committed with ``stage_only=True`` and not yet
+        published or aborted."""
+        return [s for s in self.snapshots if s.summary.get(WAP_STAGED_KEY)]
+
+    def publish(self, snapshot_id: int) -> Snapshot:
+        """Publish half of write-audit-publish: atomically point
+        ``current`` at a previously staged snapshot and apply its
+        deferred property updates (merge hwm, GTID set).  Fails with
+        :class:`CommitConflict` if the mainline advanced past the
+        stage's parent — the stage was computed against a base that no
+        longer exists, so the caller must re-run it (auditing caught a
+        would-be lost update, which is the point of the flow)."""
+        for _ in range(5):
+            self.refresh()
+            try:
+                snap = self.snapshot_by_id(snapshot_id)
+            except KeyError:
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} no longer exists "
+                    "(aborted or expired concurrently)"
+                ) from None
+            if not snap.summary.get(WAP_STAGED_KEY):
+                raise ValueError(f"snapshot {snapshot_id} is not staged")
+            if snap.parent_id != self.current_snapshot_id:
+                raise CommitConflict(
+                    f"cannot publish snapshot {snapshot_id}: table "
+                    f"advanced past its parent {snap.parent_id} "
+                    f"(current {self.current_snapshot_id}) — re-stage"
+                )
+            staged_props = snap.summary.get(WAP_PROPS_KEY) or {}
+            new_summary = {
+                k: v
+                for k, v in snap.summary.items()
+                if k not in (WAP_STAGED_KEY, WAP_PROPS_KEY)
+            }
+            new_summary["wap-published-at-ms"] = int(time.time() * 1000)
+            published = Snapshot(
+                snapshot_id=snap.snapshot_id,
+                parent_id=snap.parent_id,
+                timestamp_ms=snap.timestamp_ms,
+                operation=snap.operation,
+                manifests=snap.manifests,
+                summary=new_summary,
+                schema_id=snap.schema_id,
+            )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = [
+                published.to_json() if s.snapshot_id == snapshot_id else s.to_json()
+                for s in self.snapshots
+            ]
+            meta["current_snapshot_id"] = snapshot_id
+            if staged_props:
+                meta["properties"] = {**self.properties, **staged_props}
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return published
+            except FileExistsError:
+                continue
+        raise CommitConflict("publish gave up after 5 retries")
+
+    def abort_staged(self, snapshot_id: int) -> dict:
+        """Discard a staged snapshot: remove it from the snapshot list
+        and delete the files only it references (its own added data
+        files and rewritten manifests — anything shared with a retained
+        snapshot survives).  Deferred properties die with it, so an
+        aborted merge batch stays below the hwm and re-applies on the
+        next pass."""
+        for _ in range(5):
+            self.refresh()
+            try:
+                snap = self.snapshot_by_id(snapshot_id)
+            except KeyError:
+                return {"aborted": False, "data_files_deleted": 0}
+            if not snap.summary.get(WAP_STAGED_KEY):
+                raise ValueError(f"snapshot {snapshot_id} is not staged")
+            retained = [s for s in self.snapshots if s.snapshot_id != snapshot_id]
+            live_manifests: set[str] = set()
+            for s in retained:
+                live_manifests.update(s.manifests)
+            live_files: set[str] = set()
+            for m in live_manifests:
+                live_files.update(e.path for e in self._read_manifest(m))
+            dead_manifests = [m for m in snap.manifests if m not in live_manifests]
+            dead_files: set[str] = set()
+            for m in dead_manifests:
+                dead_files.update(
+                    e.path
+                    for e in self._read_manifest(m)
+                    if e.path not in live_files
+                )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = [s.to_json() for s in retained]
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+            except FileExistsError:
+                continue
+            deleted = 0
+            dirs: set[str] = set()
+            for p in dead_files:
+                full = os.path.join(self.root, p)
+                dirs.add(os.path.dirname(full))
+                try:
+                    os.remove(full)
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+            # the stage's per-commit staging dirs are empty now (Spark
+            # side files included in the manifestless sweep below)
+            for d in sorted(dirs, reverse=True):
+                try:
+                    for side in os.listdir(d):
+                        if side.startswith(("_", ".")):
+                            os.remove(os.path.join(d, side))
+                    os.rmdir(d)
+                except OSError:
+                    pass  # shared with a retained commit — leave it
+            for m in dead_manifests:
+                try:
+                    os.remove(os.path.join(self._meta_dir(), m))
+                except FileNotFoundError:
+                    pass
+            return {
+                "aborted": True,
+                "data_files_deleted": deleted,
+                "manifests_deleted": len(dead_manifests),
+            }
+        raise CommitConflict("abort_staged gave up after 5 retries")
 
     def rewrite_manifests(self, target_entries_per_manifest: int = 10_000) -> dict:
         """Consolidate the current snapshot's manifests.
@@ -1123,7 +1305,10 @@ class Table:
             if parent is None or parent.snapshot_id != snap.snapshot_id:
                 raise CommitConflict("table changed during manifest rewrite")
             new_snap = Snapshot(
-                snapshot_id=parent.snapshot_id + 1,
+                # max over all snapshots: staged (WAP) ids must not collide
+                snapshot_id=max(
+                    (s.snapshot_id for s in self.snapshots), default=0
+                ) + 1,
                 parent_id=parent.snapshot_id,
                 timestamp_ms=int(time.time() * 1000),
                 operation="replace",

@@ -354,3 +354,54 @@ def test_apply_changelog_cli_mor_mode(tmp_path):
                  "--changelog", cl_dir, "--merge-mode", "mor")
     assert m2["applied"] is False
     assert len(load_table(root).delete_files()) == 1
+
+
+def test_run_pass_cli_wap_abort_exits_nonzero(tmp_path):
+    """--wap quarantines a corrupt batch: the subprocess exits 3, the
+    emitted report shows the failed audit, readers never saw the rows,
+    and a clean batch then publishes with exit 0."""
+    import datetime as dt
+    import shutil
+
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import base_table_df, changelog_df, synth_token_rows
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("run-pass-wap-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(300)
+    append(spark, t, base_table_df(spark, 300).repartition(4))
+    rows_before = t.row_count()
+
+    E = dt.datetime(2026, 1, 1)
+    bad_dir = str(tmp_path / "cl_bad")
+    changelog_df(spark, [
+        (1, "I", "web:9999999001", [1, 2, 3], 99, "web", E, 1),
+    ]).write.parquet(bad_dir)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark.jobs.run_pass", root,
+         "--changelog", bad_dir, "--wap"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 3, out.stderr[-2000:]
+    rep = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["wap"]["published"] is False
+    assert rep["wap"]["checks"]["bad_token_arrays"] == 1
+    t = load_table(root)
+    assert t.row_count() == rows_before
+    assert t.staged_snapshots() == []
+
+    good_dir = str(tmp_path / "cl_good")
+    changelog_df(spark, [
+        (1, "I", "web:9999999001", [1, 2, 3], 3, "web", E, 1),
+    ]).write.parquet(good_dir)
+    rep2 = run_job("canal_spark.jobs.run_pass", root,
+                   "--changelog", good_dir, "--wap")
+    assert rep2["wap"]["published"] is True
+    assert load_table(root).row_count() == rows_before + 1
+    shutil.rmtree(bad_dir, ignore_errors=True)
