@@ -349,6 +349,36 @@ def main() -> None:
     shutil.rmtree(emb_root, ignore_errors=True)
     shutil.rmtree(emb_root + "_ivf", ignore_errors=True)
 
+    # 15. line-level dedup: span extraction is a map-side Generate
+    # (posexplode of the higher-order-function transform — no Python),
+    # the corpus-wide span count is a partial-agg HashAggregate, and
+    # the dup-flag comes back through an equi-join — never a
+    # cartesian / nested-loop product of the span table with itself.
+    from canal_spark.operators.text import q_line_dedup
+
+    p15 = plan_of(q_line_dedup(spark, sf_dir))
+    sections.append((
+        "Line dedup: map-side span Generate, partial-agg span count, equi-join flag",
+        p15,
+        ["Generate", "HashAggregate", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "ArrowEvalPython",
+         "BatchEvalPython"],
+    ))
+
+    # 16. canonical-doc selection: corpus docs pick up their group via
+    # an equi-join against the (pair-scale) label frame; survivor
+    # choice is a window PARTITIONED BY group_id — no unpartitioned
+    # window (no single-task global sort), no product.
+    from canal_spark.operators.dedup import q_dedup_canonical
+
+    p16 = plan_of(q_dedup_canonical(spark, sf_dir))
+    sections.append((
+        "Canonical docs: label equi-join + group-partitioned window, no global window",
+        p16,
+        ["Window", "hashpartitioning(group_id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
