@@ -341,3 +341,158 @@ def refresh_band_index(
         except NameError:
             pass
         keys_df.unpersist()
+
+
+# --------------------------------------------------------------------------
+# corpus self-dedup: the index turned back on the table that feeds it
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CorpusDedupResult:
+    """Outcome of one corpus self-dedup pass."""
+
+    applied: bool
+    dry_run: bool = False
+    docs_in_groups: int = 0
+    groups: int = 0
+    losers_removed: int = 0
+    snapshot_id: int | None = None
+    hot_buckets_capped: int = 0
+    wap: dict = field(default_factory=dict)
+    index_refresh: dict = field(default_factory=dict)
+    job_id: str = ""
+
+
+def corpus_dedup_pass(
+    spark: SparkSession,
+    table: Table,
+    index: Table,
+    max_bucket: int = MAX_BUCKET,
+    max_rounds: int = 50,
+    dry_run: bool = False,
+    wap: bool = False,
+    max_delete_fraction: float = 0.5,
+    job_id: str | None = None,
+) -> CorpusDedupResult:
+    """Deduplicate the token table AGAINST ITSELF using its maintained
+    band index: LSH candidate pairs -> connected components -> keep the
+    longest doc per near-dup group (ties: smallest doc_id) -> apply the
+    losers as a DELETE changelog through the normal MERGE path -> drop
+    their band rows from the index.  The corpus curates itself as a
+    maintenance phase; afterwards the per-batch `delta_dup_candidates`
+    reporting keeps it clean in O(delta).
+
+    Scale shape: pair generation is the capped within-bucket equi-join
+    (a hot boilerplate bucket costs one linear count, never O(b²)
+    pairs); components run on the shared `propagate_min_labels` kernel
+    (pair-scale frames, checkpointed rounds); survivor choice is a
+    window partitioned by group label; the deletes flow through
+    `merge_into`'s manifest-pruned COW — every step is the shape its
+    10^12-sequence version needs.
+
+    Safety: the delete changelog consumes ONE ordinal slot just above
+    the current high-water mark (replay-idempotent: a crash before the
+    index refresh re-runs to a no-op merge).  ``wap=True`` stages the
+    merge and audits it — including the runaway-delete bound
+    ``max_delete_fraction`` (default 0.5: a degenerate LSH config that
+    would delete more than half the corpus aborts instead of
+    publishing).  ``dry_run=True`` reports the would-be removals and
+    touches nothing.
+    """
+    from pyspark.sql import Window
+
+    from canal_spark.merge import merge_high_water_mark, merge_into
+    from canal_spark.operators.common import propagate_min_labels
+
+    job_id = job_id or uuid.uuid4().hex[:12]
+    bands = index.scan(spark)
+
+    sizes = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    n_capped = sizes.where(F.col("bucket_size") > max_bucket).count()
+    ok = sizes.where(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket)
+    ).select("band", "bucket")
+    hits = bands.join(ok, ["band", "bucket"]).persist()
+    try:
+        a = hits.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        b = hits.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        labels = propagate_min_labels(spark, pairs, max_rounds=max_rounds)
+    finally:
+        hits.unpersist()
+
+    # survivors: longest doc wins (dedup keeps the most content), ties
+    # break to the smallest doc_id — deterministic at any parallelism
+    scored = table.scan(spark).select("doc_id", "n_tok").join(
+        labels.select(F.col("doc").alias("doc_id"), F.col("lbl")), "doc_id"
+    )
+    w = Window.partitionBy("lbl").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("lbl").alias("groups"),
+    ).collect()[0]
+    docs_in_groups, groups = int(stats["docs"]), int(stats["groups"])
+    losers = ranked.where(F.col("_rn") > 1).select("doc_id")
+    n_losers = docs_in_groups - groups
+
+    rep = CorpusDedupResult(
+        applied=False, dry_run=dry_run, docs_in_groups=docs_in_groups,
+        groups=groups, losers_removed=n_losers,
+        hot_buckets_capped=n_capped, job_id=job_id,
+    )
+    if dry_run or n_losers == 0:
+        return rep
+
+    hwm = merge_high_water_mark(table)
+    changelog = losers.select(
+        F.lit(hwm + 1).cast("long").alias("ordinal"),
+        F.lit("D").alias("op"),
+        "doc_id",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("timestamp").alias("es"),
+        F.lit(None).cast("long").alias("batch_id"),
+        F.lit(None).cast("array<int>").alias("before_tokens"),
+        F.lit(None).cast("int").alias("before_n_tok"),
+    )
+    m = merge_into(spark, table, changelog, job_id=job_id, stage_only=wap)
+    rep.applied = m.applied
+    rep.snapshot_id = m.snapshot_id
+    if wap and m.applied:
+        from canal_spark.maintenance import audit_snapshot
+
+        parent_rows = table.row_count()  # staged: current is pre-merge
+        audit = audit_snapshot(
+            spark, table, m.snapshot_id,
+            parent_rows=parent_rows, max_delete_fraction=max_delete_fraction,
+        )
+        rep.wap = {"staged_snapshot_id": m.snapshot_id, **audit}
+        if audit["ok"]:
+            table.publish(m.snapshot_id)
+            rep.wap["published"] = True
+        else:
+            table.abort_staged(m.snapshot_id)
+            rep.wap["published"] = False
+            rep.applied = False
+            return rep
+
+    # the removed docs' band rows drop out of the index (recompute from
+    # the post-merge table: deleted keys have no rows -> they vanish)
+    r = refresh_band_index(
+        spark, table, index, keys=losers, job_id=job_id, max_bucket=max_bucket
+    )
+    rep.index_refresh = {
+        "applied": r.applied, "docs_changed": r.docs_changed,
+        "files_rewritten": r.files_rewritten, "snapshot_id": r.snapshot_id,
+    }
+    return rep

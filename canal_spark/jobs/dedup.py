@@ -31,12 +31,25 @@ def main() -> None:
                    help="hot-bucket cap for candidate reporting")
     p.add_argument("--keep-snapshots", type=int, default=5,
                    help="index snapshots to retain after the refresh")
+    p.add_argument("--self-dedup", action="store_true",
+                   help="corpus self-dedup: LSH groups from the index, "
+                        "keep the longest doc per group, DELETE the rest "
+                        "through MERGE, drop their index rows")
+    p.add_argument("--dry-run", action="store_true",
+                   help="with --self-dedup: report would-be removals only")
+    p.add_argument("--wap", action="store_true",
+                   help="with --self-dedup: stage + audit the delete merge "
+                        "(runaway-delete bound) before publishing")
+    p.add_argument("--max-delete-fraction", type=float, default=0.5,
+                   help="with --self-dedup --wap: abort if the dedup would "
+                        "shrink the corpus by more than this fraction")
     args = p.parse_args()
 
     from canal_spark import load_table
     from canal_spark.checkpoint import ensure_lineage, record
     from canal_spark.dedup_index import (
         MAX_BUCKET,
+        corpus_dedup_pass,
         create_band_index,
         refresh_band_index,
     )
@@ -47,6 +60,33 @@ def main() -> None:
         index = load_table(args.index)
     else:
         index = create_band_index(args.index)
+
+    if args.self_dedup:
+        res = corpus_dedup_pass(
+            spark, table, index,
+            max_bucket=args.max_bucket or MAX_BUCKET,
+            dry_run=args.dry_run,
+            wap=args.wap,
+            max_delete_fraction=args.max_delete_fraction,
+            job_id=args.job_id,
+        )
+        if args.lineage and res.applied:
+            lineage = ensure_lineage(args.lineage)
+            record(
+                spark, lineage, res.job_id, "self_dedup",
+                snapshot_id=res.snapshot_id,
+                metrics={
+                    "groups": res.groups,
+                    "losers_removed": res.losers_removed,
+                    "hot_buckets_capped": res.hot_buckets_capped,
+                },
+            )
+        emit({"job": "self_dedup", **{
+            k: v for k, v in res.__dict__.items()
+        }})
+        if args.wap and res.wap and not res.wap.get("published", True):
+            raise SystemExit(3)
+        return
 
     keys = None
     if not args.full and args.changelog:

@@ -171,3 +171,82 @@ def chunked_row_number(
         .withColumn(out_col, F.col("_loc") + F.col("_off"))
         .drop("_chunk", "_loc", "_off")
     )
+
+
+def propagate_min_labels(
+    spark: SparkSession,
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected candidate-pair graph:
+    every node gets its component's MIN member as label — iterative
+    min-label propagation, the DataFrame restatement of GraphX
+    connected components; works for numeric AND string node ids.
+
+    Distributed shape: edges persist HASH-PARTITIONED ON THE JOIN KEY
+    (every round joins on it, so the pair-scale reused frame shuffles
+    once, not once per round); rounds checkpoint to truncate the
+    multiplicatively-growing iterative lineage (reliable checkpoint
+    when a dir is configured — executor loss at 10^9-edge scale
+    recovers from the last round); convergence is witnessed by a
+    per-round hash-sum fingerprint of the (node, label) assignment —
+    one cheap agg that also materializes the lazy checkpoint, no
+    join-and-count.  Raises (never silently wrong) if the graph's
+    diameter exceeds ``max_rounds``.
+    """
+    edges = (
+        pairs.select(F.col(doc_a).alias("doc_a"), F.col(doc_b).alias("doc_b"))
+        .unionByName(
+            pairs.select(
+                F.col(doc_b).alias("doc_a"), F.col(doc_a).alias("doc_b")
+            )
+        )
+        .repartition("doc_a")
+        .persist()
+    )
+    sc = spark.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
+
+    labels = _ckpt(
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+    )
+    prev_fp, converged = None, False
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels, edges["doc_a"] == labels["doc"])
+            .select(F.col("doc_b").alias("doc"), "lbl")
+        )
+        new_labels = _ckpt(
+            labels.unionByName(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+        )
+        # assignment fingerprint: unchanged labels -> identical sum; a
+        # changed round colliding back to the same sum is ~2^-64 per
+        # round and bounded by max_rounds + the raise below.  The sum
+        # runs in decimal(38,0): full-range int64 hashes overflow a
+        # long accumulator under ANSI mode.
+        cur_fp = new_labels.agg(
+            F.sum(
+                F.xxhash64(
+                    F.col("doc").cast("string"), F.col("lbl").cast("string")
+                ).cast("decimal(38,0)")
+            )
+        ).collect()[0][0]
+        labels = new_labels
+        if cur_fp == prev_fp:
+            converged = True
+            break
+        prev_fp = cur_fp
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds — "
+            "raise max_rounds for this graph"
+        )
+    return labels

@@ -507,75 +507,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels are candidate-pair sized, never corpus sized.  The DuckDB
     oracle computes the same labels via recursive transitive closure.
     """
+    from canal_spark.operators.common import propagate_min_labels
+
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    # Edges persisted HASH-PARTITIONED ON THE JOIN KEY: every
-    # propagation round joins on doc_a, so the (pair-scale, reused
-    # N-round) edge frame shuffles once here instead of once per round
-    # — at 10^9-edge scale that's the difference between one and
-    # diameter-many full-edge exchanges.
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .repartition("doc_a")
-        .persist()
-    )
-
-    # Plan truncation per round: the iterative lineage grows
-    # multiplicatively and the driver dies building the plan, not
-    # running it.  With a RELIABLE checkpoint dir configured
-    # (sc.setCheckpointDir) the rounds checkpoint to durable storage —
-    # executor loss at 10^9-edge scale recovers from the last round;
-    # localCheckpoint (the local[?] default) truncates the plan but
-    # blocks lineage recovery, fine in-sandbox only.
-    sc = spark.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-
-    # LAZY checkpoint: the round's convergence agg below is the first
-    # action on the frame, so it both materializes the checkpoint and
-    # reads the witness — ONE job per round, not one to checkpoint plus
-    # one to aggregate.
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
-
-    labels = _ckpt(
-        edges.select(F.col("doc_a").alias("doc"))
-        .distinct()
-        .withColumn("lbl", F.col("doc"))
-    )
-    prev_sum, converged = None, False
-    for _ in range(MAX_CC_ROUNDS):
-        prop = (
-            edges.join(labels, edges["doc_a"] == labels["doc"])
-            .select(F.col("doc_b").alias("doc"), "lbl")
-        )
-        new_labels = _ckpt(
-            labels.unionByName(prop)
-            .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        # labels only ever decrease, so sum(lbl) is a monotone
-        # convergence witness — one cheap agg (which also materializes
-        # the lazy checkpoint) instead of a join-and-count per round
-        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
-    # edges (checkpointed) now carry the pair graph; the band frame
-    # q_dedup_minhash_lsh persisted underneath is no longer reachable
-    release_cached_deps(pairs)
-    if not converged:
-        # a component with diameter > MAX_CC_ROUNDS (chained templated
-        # near-dups) would otherwise return silently WRONG group labels
-        raise RuntimeError(
-            f"dedup_groups label propagation did not converge in "
-            f"{MAX_CC_ROUNDS} rounds — raise MAX_CC_ROUNDS for this graph"
-        )
+    try:
+        # shared component kernel (operators.common.propagate_min_labels):
+        # edges persisted hash-partitioned on the join key, lazy
+        # checkpoints truncating the iterative lineage, fingerprint
+        # convergence witness, raise on non-convergence — the same code
+        # the engine's corpus self-dedup pass runs over token tables
+        labels = propagate_min_labels(spark, pairs, max_rounds=MAX_CC_ROUNDS)
+    finally:
+        # the band frame q_dedup_minhash_lsh persisted underneath is no
+        # longer reachable once the labels are checkpointed
+        release_cached_deps(pairs)
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("lbl").alias("group_id")
     )

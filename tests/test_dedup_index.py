@@ -273,3 +273,104 @@ def test_refresh_unhinted_join_path(spark, indexed_table, tmp_path):
     fresh = create_band_index(str(tmp_path / "bands_unhinted"))
     refresh_band_index(spark, t, fresh)
     assert _index_state(spark, index) == _index_state(spark, fresh)
+
+
+def _mk_dup_table(spark, tmp_path, name="seldedup"):
+    """A token table with controlled near-dup clusters: two exact-copy
+    clusters (sizes 3 and 2, one with unequal lengths so the longest
+    survives), plus unique docs."""
+    from canal_spark import create_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    long_toks = list(range(1000, 1040))
+    rows = [
+        # cluster A: a0/a1 identical, a2 a longer superset -> a2 survives
+        ("web:a0", long_toks, len(long_toks), "web"),
+        ("web:a1", long_toks, len(long_toks), "web"),
+        ("web:a2", long_toks + [7, 8, 9], len(long_toks) + 3, "web"),
+        # cluster B: equal lengths -> smallest doc_id survives
+        ("web:b0", list(range(2000, 2030)), 30, "web"),
+        ("web:b1", list(range(2000, 2030)), 30, "web"),
+    ] + [
+        (f"web:u{i:03d}", [10_000 + 97 * i + j for j in range(25)], 25, "web")
+        for i in range(40)
+    ]
+    t = create_table(str(tmp_path / name), TOKEN_TABLE_SCHEMA,
+                     partition_by=["source"])
+    append(spark, t,
+           spark.createDataFrame(rows, TOKEN_TABLE_SCHEMA).repartition(4))
+    return t
+
+
+def test_corpus_self_dedup_removes_losers_and_index_rows(spark, tmp_path):
+    from canal_spark.dedup_index import (
+        corpus_dedup_pass,
+        create_band_index,
+        refresh_band_index,
+    )
+
+    t = _mk_dup_table(spark, tmp_path)
+    index = create_band_index(str(tmp_path / "sd_bands"))
+    refresh_band_index(spark, t, index)
+    rows_before = t.row_count()
+
+    dry = corpus_dedup_pass(spark, t, index, dry_run=True)
+    assert dry.dry_run and not dry.applied
+    assert dry.losers_removed == 3  # a0, a1, b1
+    assert t.row_count() == rows_before  # untouched
+
+    res = corpus_dedup_pass(spark, t, index)
+    assert res.applied
+    assert res.groups == 2 and res.docs_in_groups == 5
+    assert res.losers_removed == 3
+    assert res.index_refresh["applied"]
+
+    ids = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    assert {"web:a2", "web:b0"} <= ids  # survivors: longest / smallest id
+    assert not {"web:a0", "web:a1", "web:b1"} & ids
+    assert t.row_count() == rows_before - 3
+    # losers' band rows fell out of the index
+    idx_ids = {r["doc_id"] for r in index.scan(spark).select("doc_id").collect()}
+    assert not {"web:a0", "web:a1", "web:b1"} & idx_ids
+    assert "web:a2" in idx_ids
+
+    # idempotent: nothing left to remove
+    again = corpus_dedup_pass(spark, t, index)
+    assert not again.applied and again.losers_removed == 0
+
+
+def test_corpus_self_dedup_wap_guards_runaway_delete(spark, tmp_path):
+    from canal_spark import create_table
+    from canal_spark.dedup_index import (
+        corpus_dedup_pass,
+        create_band_index,
+        refresh_band_index,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    # degenerate corpus: 10 of 12 docs are the same document
+    toks = list(range(5000, 5035))
+    rows = [(f"web:c{i}", toks, len(toks), "web") for i in range(10)] + [
+        ("web:x0", list(range(6000, 6025)), 25, "web"),
+        ("web:x1", list(range(7000, 7025)), 25, "web"),
+    ]
+    t = create_table(str(tmp_path / "runaway"), TOKEN_TABLE_SCHEMA,
+                     partition_by=["source"])
+    append(spark, t, spark.createDataFrame(rows, TOKEN_TABLE_SCHEMA))
+    index = create_band_index(str(tmp_path / "runaway_bands"))
+    refresh_band_index(spark, t, index)
+    rows_before = t.row_count()
+
+    res = corpus_dedup_pass(spark, t, index, wap=True, max_delete_fraction=0.2)
+    assert not res.applied
+    assert res.wap["published"] is False
+    assert res.wap["checks"]["delete_bound"] > 0
+    assert t.row_count() == rows_before
+    assert t.staged_snapshots() == []
+
+    # the operator reviews and allows it -> same pass publishes
+    res2 = corpus_dedup_pass(spark, t, index, wap=True, max_delete_fraction=0.9)
+    assert res2.applied and res2.wap["published"]
+    assert t.row_count() == rows_before - 9

@@ -405,3 +405,42 @@ def test_run_pass_cli_wap_abort_exits_nonzero(tmp_path):
     assert rep2["wap"]["published"] is True
     assert load_table(root).row_count() == rows_before + 1
     shutil.rmtree(bad_dir, ignore_errors=True)
+
+
+def test_dedup_cli_self_dedup(tmp_path):
+    """--self-dedup end-to-end: full index build, dry-run reports
+    without touching, real run removes losers and exits 0."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("self-dedup-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    idx = str(tmp_path / "bands")
+    toks = list(range(3000, 3040))
+    rows = [
+        ("web:d0", toks, len(toks), "web"),
+        ("web:d1", toks, len(toks), "web"),
+    ] + [
+        (f"web:u{i:03d}", [40_000 + 89 * i + j for j in range(25)], 25, "web")
+        for i in range(30)
+    ]
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, spark.createDataFrame(rows, TOKEN_TABLE_SCHEMA))
+
+    run_job("canal_spark.jobs.dedup", root, "--index", idx, "--full")
+
+    dry = run_job("canal_spark.jobs.dedup", root, "--index", idx,
+                  "--self-dedup", "--dry-run")
+    assert dry["dry_run"] and dry["losers_removed"] == 1
+    assert load_table(root).row_count() == len(rows)
+
+    res = run_job("canal_spark.jobs.dedup", root, "--index", idx,
+                  "--self-dedup", "--wap")
+    assert res["applied"] and res["losers_removed"] == 1
+    assert res["wap"]["published"] is True
+    t = load_table(root)
+    assert t.row_count() == len(rows) - 1
+    ids = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    assert "web:d0" in ids and "web:d1" not in ids
