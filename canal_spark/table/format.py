@@ -360,7 +360,13 @@ class Table:
         snapshot_id: int | None = None,
         as_of_version: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        tag: str | None = None,
     ) -> Snapshot | None:
+        if tag is not None:
+            refs = self.refs
+            if tag not in refs:
+                raise KeyError(f"unknown tag {tag!r}")
+            return self.snapshot_by_id(refs[tag]["snapshot_id"])
         if snapshot_id is not None:
             return self.snapshot_by_id(snapshot_id)
         if as_of_version is not None:
@@ -375,6 +381,57 @@ class Table:
                 raise KeyError("no snapshot at or before timestamp")
             return max(cands, key=lambda s: s.timestamp_ms)
         return self.current_snapshot()
+
+    # ---- named refs (Iceberg-style tags) -----------------------------------
+
+    @property
+    def refs(self) -> dict:
+        """Named snapshot refs: {name: {"snapshot_id": N, "type": "tag"}}.
+        The training-set pinning primitive — tag the snapshot a run
+        trained on ("train-v1") and every re-read of that tag is the
+        byte-identical corpus, immune to later merges, compaction,
+        clustering AND snapshot expiry (tagged snapshots never expire)."""
+        return self.metadata.get("refs", {})
+
+    def set_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Create or move a tag (optimistic CAS like every commit).
+        Defaults to the current snapshot.  Staged (WAP) snapshots are
+        not taggable: their lifecycle ends in publish-or-abort and a
+        tag would dangle on abort."""
+        for _ in range(5):
+            self.refresh()
+            sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+            if sid is None:
+                raise ValueError("cannot tag an empty table")
+            snap = self.snapshot_by_id(sid)  # raises on unknown id
+            if snap.summary.get(WAP_STAGED_KEY):
+                raise ValueError(f"snapshot {sid} is staged — publish first")
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["refs"] = {**self.refs, name: {"snapshot_id": sid, "type": "tag"}}
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return meta["refs"][name]
+            except FileExistsError:
+                continue
+        raise CommitConflict("set_tag gave up after 5 retries")
+
+    def delete_tag(self, name: str) -> None:
+        for _ in range(5):
+            self.refresh()
+            if name not in self.refs:
+                raise KeyError(f"unknown tag {name!r}")
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["refs"] = {k: v for k, v in self.refs.items() if k != name}
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict("delete_tag gave up after 5 retries")
 
     # ---- era-aware reads --------------------------------------------------
 
@@ -561,6 +618,7 @@ class Table:
         as_of_timestamp_ms: int | None = None,
         partition_filter: dict[str, Any] | None = None,
         range_filter: dict[str, tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read of the table as a DataFrame.
 
@@ -570,7 +628,9 @@ class Table:
         lookups on a 100 TB table touch only a handful of files.  Spark
         then applies row-group pushdown inside surviving files.
         """
-        snap = self.resolve_snapshot(snapshot_id, as_of_version, as_of_timestamp_ms)
+        snap = self.resolve_snapshot(
+            snapshot_id, as_of_version, as_of_timestamp_ms, tag=tag
+        )
         all_entries = self.all_entries(snap.snapshot_id) if snap is not None else []
         entries = [e for e in all_entries if e.content == "data"]
         dels = [e for e in all_entries if e.content == "eq-deletes"]
@@ -944,6 +1004,10 @@ class Table:
             keep.update(
                 s.snapshot_id for s in snaps if s.summary.get(WAP_STAGED_KEY)
             )
+            # tagged snapshots are pinned by name (training-set refs):
+            # a tag's whole purpose is surviving retention policy, so
+            # only delete_tag releases them to expiry
+            keep.update(r["snapshot_id"] for r in self.refs.values())
 
             retained = [s for s in snaps if s.snapshot_id in keep]
             expired = [s for s in snaps if s.snapshot_id not in keep]
