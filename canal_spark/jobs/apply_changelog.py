@@ -32,6 +32,15 @@ def main() -> None:
         "many delete files accumulate (default: defer to the next "
         "maintenance pass)",
     )
+    p.add_argument(
+        "--wap", action="store_true",
+        help="with --stream: write-audit-publish each micro-batch "
+        "(corrupt batches quarantine, stream continues)",
+    )
+    p.add_argument(
+        "--wap-max-delete-fraction", type=float, default=None,
+        help="with --wap: per-batch runaway-delete audit bound",
+    )
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -50,10 +59,13 @@ def main() -> None:
             available_now=not args.continuous,
             merge_mode=args.merge_mode,
             max_pending_delete_files=args.max_pending_delete_files,
+            wap=args.wap,
+            wap_max_delete_fraction=args.wap_max_delete_fraction,
         )
         emit({"job": "apply_changelog", "mode": "stream",
               "batches_seen": res.batches_seen,
-              "batches_applied": res.batches_applied, "merges": res.merges})
+              "batches_applied": res.batches_applied, "merges": res.merges,
+              "quarantined": res.quarantined})
         return
 
     from canal_spark.merge import merge_into

@@ -222,6 +222,9 @@ class StreamApplyResult:
     batches_seen: int = 0
     batches_applied: int = 0
     merges: list = field(default_factory=list)
+    # WAP mode: micro-batches whose staged merge failed the audit and
+    # was aborted — {epoch, checks}; their ordinals stay above the hwm
+    quarantined: list = field(default_factory=list)
 
 
 def stream_apply(
@@ -238,6 +241,8 @@ def stream_apply(
     kafka_subscribe_mode: str = "subscribe",
     merge_mode: str = "cow",
     max_pending_delete_files: int | None = None,
+    wap: bool = False,
+    wap_max_delete_fraction: float | None = None,
 ) -> StreamApplyResult:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
@@ -249,7 +254,16 @@ def stream_apply(
     rewrites, keeping trigger latency flat no matter how wide the
     batch's keys spray; set ``max_pending_delete_files`` to fold the
     accumulated delete debt inline once that many pile up (leave None to
-    defer repayment entirely to the next maintenance pass)."""
+    defer repayment entirely to the next maintenance pass).
+
+    ``wap=True`` write-audit-publishes EVERY micro-batch: the merge is
+    staged, audited (key uniqueness, token-array invariant, optional
+    ``wap_max_delete_fraction`` runaway-delete bound) and published —
+    or aborted, in which case the batch is QUARANTINED in
+    ``result.quarantined`` and the stream keeps going: the hwm never
+    advanced, so after the upstream fix a replay of the quarantined
+    ordinals applies cleanly while already-published batches replay to
+    no-ops.  Readers of the table only ever see audited snapshots."""
     result = StreamApplyResult()
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -257,10 +271,27 @@ def stream_apply(
         # refresh: another writer (compaction) may have committed between
         # micro-batches; merge must see the latest snapshot + hwm
         t = table.refresh()
+        parent_rows = t.row_count() if wap else None
         m = merge_into(
             spark, t, batch_df, target_file_rows=target_file_rows,
-            mode=merge_mode,
+            mode=merge_mode, stage_only=wap,
         )
+        if wap and m.applied:
+            from canal_spark.maintenance import audit_snapshot
+
+            audit = audit_snapshot(
+                spark, t, m.snapshot_id,
+                parent_rows=parent_rows,
+                max_delete_fraction=wap_max_delete_fraction,
+            )
+            if audit["ok"]:
+                t.publish(m.snapshot_id)
+            else:
+                t.abort_staged(m.snapshot_id)
+                result.quarantined.append(
+                    {"epoch": epoch_id, "checks": audit["checks"]}
+                )
+                return
         if (
             max_pending_delete_files is not None
             and len(t.delete_files()) >= max_pending_delete_files

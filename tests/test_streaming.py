@@ -158,3 +158,52 @@ def test_stream_apply_mor_mode(spark, token_table, tmp_path):
     # threshold 2 hit after the second batch -> debt repaid inline
     assert table.delete_files() == []
     assert scan_dict(spark, table) == oracle_dict(base, rows1 + rows2)
+
+
+def test_stream_apply_wap_quarantines_corrupt_batch(spark, token_table, tmp_path):
+    """WAP streaming: every micro-batch is staged + audited before
+    readers see it.  A corrupt batch (n_tok disagreeing with the token
+    array) is quarantined — aborted, hwm unmoved, stream continues —
+    while clean batches publish; the fixed replay then applies the
+    quarantined ordinals and already-published ones are no-ops."""
+    import datetime as dt
+
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.streaming import stream_apply
+
+    table, base = token_table
+    cl_dir = str(tmp_path / "changelog")
+    ck_dir = str(tmp_path / "ck")
+    E = dt.datetime(2026, 1, 1)
+
+    good = synth_changelog_rows(base, 120, seed=81)
+    bad = [(10_001, "I", "web:9999999001", [1, 2, 3], 99, "web", E, 1)]
+    _write_slice(spark, good, cl_dir)
+    _write_slice(spark, bad, cl_dir)
+
+    res = stream_apply(
+        spark, table, cl_dir, ck_dir, max_files_per_trigger=1, wap=True,
+    )
+    table = table.refresh()
+    assert res.batches_seen == 2
+    assert res.batches_applied == 1
+    assert len(res.quarantined) == 1
+    assert res.quarantined[0]["checks"]["bad_token_arrays"] == 1
+    assert table.staged_snapshots() == []
+    ids = {r["doc_id"] for r in table.scan(spark).select("doc_id").collect()}
+    assert "web:9999999001" not in ids
+    assert scan_dict(spark, table) == oracle_dict(base, good)
+
+    # upstream fixed: replay BOTH slices into a fresh stream dir — the
+    # published batch replays to a no-op, the fixed batch applies
+    cl2 = str(tmp_path / "changelog2")
+    fixed = [(10_001, "I", "web:9999999001", [1, 2, 3], 3, "web", E, 1)]
+    _write_slice(spark, good, cl2)
+    _write_slice(spark, fixed, cl2)
+    res2 = stream_apply(
+        spark, table, cl2, str(tmp_path / "ck2"),
+        max_files_per_trigger=1, wap=True,
+    )
+    table = table.refresh()
+    assert res2.batches_applied == 1 and not res2.quarantined
+    assert scan_dict(spark, table) == oracle_dict(base, good + fixed)
