@@ -21,10 +21,13 @@ Usage:
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
 from canal_spark.table.format import Table
+
+STALE_STAGE_HOURS = 24.0  # unpublished WAP stage older than this -> flag
 
 
 def _safe_footer_rows(spark: SparkSession, paths: list[str]) -> dict[str, int | None]:
@@ -132,5 +135,27 @@ def check_table(
                      "detail": f"{col}={val!r} outside stats "
                                f"[{st['min']!r}, {st['max']!r}]"}
                 )
+
+    # metadata hygiene (current metadata, not per-snapshot): dangling
+    # refs would make scan(tag=...) raise; forgotten WAP stages pin
+    # files forever (staged snapshots are expire-proof by design, so
+    # the only GC path is a human noticing — this is the notice)
+    snap_ids = {s.snapshot_id for s in table.snapshots}
+    for name, ref in table.refs.items():
+        if ref["snapshot_id"] not in snap_ids:
+            violations.append(
+                {"file": name, "kind": "dangling-ref",
+                 "detail": f"tag {name!r} -> missing snapshot "
+                           f"{ref['snapshot_id']}"}
+            )
+    now_ms = int(time.time() * 1000)
+    for s in table.staged_snapshots():
+        age_h = (now_ms - s.timestamp_ms) / 3_600_000
+        if age_h > STALE_STAGE_HOURS:
+            violations.append(
+                {"file": str(s.snapshot_id), "kind": "stale-stage",
+                 "detail": f"WAP stage {s.snapshot_id} unpublished for "
+                           f"{age_h:.1f} h — publish or abort_staged"}
+            )
 
     return {"ok": not violations, "files": len(entries), "violations": violations}

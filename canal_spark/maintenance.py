@@ -284,14 +284,27 @@ def run_pass(
     # expiry every per-batch COW refresh retains all historical index
     # files forever (unbounded disk + metadata growth at one snapshot
     # per changelog batch).
+    # Derived stores get the SAME small-file hygiene as the primary:
+    # every per-batch COW refresh adds O(batch) files, and without
+    # compaction a year of hourly batches leaves the index scan opening
+    # ~10^4 tiny files.  They're engine tables, so the ordinary
+    # bin-packing compactor applies (by bytes — no n_tok column).
     if band_index is not None:
         rep.band_index = {
             **rep.band_index,
+            "compact": _compact.compact(
+                spark, band_index, target_bytes=target_file_bytes,
+                pack_by="bytes", job_id=job_id,
+            ).__dict__,
             "expire": band_index.expire_snapshots(keep_last=keep_snapshots),
         }
     if ivf_index is not None:
         rep.ivf_index = {
             **rep.ivf_index,
+            "compact": _compact.compact(
+                spark, ivf_index, target_bytes=target_file_bytes,
+                pack_by="bytes", job_id=job_id,
+            ).__dict__,
             "expire": ivf_index.expire_snapshots(keep_last=keep_snapshots),
         }
     return rep

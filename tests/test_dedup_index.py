@@ -374,3 +374,33 @@ def test_corpus_self_dedup_wap_guards_runaway_delete(spark, tmp_path):
     res2 = corpus_dedup_pass(spark, t, index, wap=True, max_delete_fraction=0.9)
     assert res2.applied and res2.wap["published"]
     assert t.row_count() == rows_before - 9
+
+
+def test_run_pass_compacts_derived_index_files(spark, indexed_table, tmp_path):
+    """Per-batch index refreshes leave O(batch) small files; the pass
+    bin-packs the index like any other table — file count drops, scan
+    state is unchanged (equals a fresh full rebuild)."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+    from canal_spark.maintenance import run_pass
+    from canal_spark.merge import merge_into
+
+    t, base, index = indexed_table
+    # fragment the index: several small incremental refreshes
+    for seed in (61, 62, 63):
+        rows = synth_changelog_rows(base, 120, seed=seed,
+                                    start_ordinal=seed * 10_000)
+        changes = changelog_df(spark, rows)
+        merge_into(spark, t, changes)
+        refresh_band_index(spark, t, index, keys=changes.select("doc_id"))
+    files_before = len(index.files())
+
+    rows = synth_changelog_rows(base, 60, seed=64, start_ordinal=900_000)
+    rep = run_pass(spark, t, changelog_df(spark, rows), band_index=index)
+    assert rep.band_index["compact"]["files_removed"] > 0
+    index = index.refresh()
+    assert len(index.files()) < files_before
+
+    fresh = create_band_index(str(tmp_path / "bands_verify"))
+    refresh_band_index(spark, t, fresh)
+    assert _index_state(spark, index) == _index_state(spark, fresh)

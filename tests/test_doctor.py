@@ -111,3 +111,46 @@ def test_doctor_validates_pending_delete_files(spark, tmp_table_root):
     rep = check_table(spark, t)
     assert not rep["ok"]
     assert any(v["file"] == dels[0].path for v in rep["violations"])
+
+
+def test_doctor_flags_dangling_ref_and_stale_stage(spark, tmp_table_root):
+    from canal_spark import create_table
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark.doctor import check_table
+    from canal_spark.merge import merge_into
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(200)
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    assert check_table(spark, t)["ok"]
+
+    # a fresh staged snapshot is healthy (audit-in-flight is normal)...
+    staged = merge_into(
+        spark, t, changelog_df(spark, synth_changelog_rows(base, 40)),
+        stage_only=True,
+    )
+    assert check_table(spark, t)["ok"]
+
+    # ...but one forgotten past the threshold is flagged (age it by
+    # rewinding its commit timestamp in the in-memory metadata, the
+    # same view check_table reads)
+    for s in t.metadata["snapshots"]:
+        if s["snapshot_id"] == staged.snapshot_id:
+            s["timestamp_ms"] -= 48 * 3_600_000
+    rep = check_table(spark, t)
+    assert not rep["ok"]
+    assert any(v["kind"] == "stale-stage" for v in rep["violations"])
+    t.refresh()
+    t.abort_staged(staged.snapshot_id)
+
+    # a ref pointing at a snapshot that no longer exists is a violation
+    t.metadata["refs"] = {"train-v0": {"snapshot_id": 999_999, "type": "tag"}}
+    rep = check_table(spark, t)
+    assert any(v["kind"] == "dangling-ref" for v in rep["violations"])

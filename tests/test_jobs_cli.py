@@ -444,3 +444,14 @@ def test_dedup_cli_self_dedup(tmp_path):
     assert t.row_count() == len(rows) - 1
     ids = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
     assert "web:d0" in ids and "web:d1" not in ids
+
+
+def test_tag_cli_set_list_delete(cli_table):
+    root, _, _, _ = cli_table
+    res = run_job("canal_spark.jobs.tag", root, "--set", "train-v1")
+    assert "train-v1" in res["refs"]
+    sid = res["refs"]["train-v1"]["snapshot_id"]
+    res = run_job("canal_spark.jobs.tag", root, "--list")
+    assert res["refs"]["train-v1"]["snapshot_id"] == sid
+    res = run_job("canal_spark.jobs.tag", root, "--delete", "train-v1")
+    assert res["refs"] == {} and res["deleted"] == "train-v1"
