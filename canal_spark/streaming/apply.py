@@ -243,6 +243,7 @@ def stream_apply(
     max_pending_delete_files: int | None = None,
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
+    quarantine_dir: str | None = None,
 ) -> StreamApplyResult:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
@@ -288,9 +289,15 @@ def stream_apply(
                 t.publish(m.snapshot_id)
             else:
                 t.abort_staged(m.snapshot_id)
-                result.quarantined.append(
-                    {"epoch": epoch_id, "checks": audit["checks"]}
-                )
+                entry = {"epoch": epoch_id, "checks": audit["checks"]}
+                if quarantine_dir is not None:
+                    # dead-letter the batch for offline triage/replay —
+                    # epoch-keyed dir so a retried epoch overwrites its
+                    # own quarantine rather than duplicating it
+                    dest = f"{quarantine_dir}/epoch={epoch_id:020d}"
+                    batch_df.write.mode("overwrite").parquet(dest)
+                    entry["quarantine_path"] = dest
+                result.quarantined.append(entry)
                 return
         if (
             max_pending_delete_files is not None

@@ -181,14 +181,21 @@ def test_stream_apply_wap_quarantines_corrupt_batch(spark, token_table, tmp_path
     _write_slice(spark, good, cl_dir)
     _write_slice(spark, bad, cl_dir)
 
+    q_dir = str(tmp_path / "quarantine")
     res = stream_apply(
         spark, table, cl_dir, ck_dir, max_files_per_trigger=1, wap=True,
+        quarantine_dir=q_dir,
     )
     table = table.refresh()
     assert res.batches_seen == 2
     assert res.batches_applied == 1
     assert len(res.quarantined) == 1
     assert res.quarantined[0]["checks"]["bad_token_arrays"] == 1
+    # the dead-lettered batch is on disk for triage, byte-exact
+    q = spark.read.parquet(res.quarantined[0]["quarantine_path"]).collect()
+    assert [(r["ordinal"], r["doc_id"], r["n_tok"]) for r in q] == [
+        (10_001, "web:9999999001", 99)
+    ]
     assert table.staged_snapshots() == []
     ids = {r["doc_id"] for r in table.scan(spark).select("doc_id").collect()}
     assert "web:9999999001" not in ids
