@@ -328,6 +328,74 @@ GROUP BY w ORDER BY n DESC, w ASC LIMIT {TOP_WORDS}
 """
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training sequences `sequence_pack` only
+    lays out: tokenize every document (the shared cross-engine md5
+    word hash mod 50257), concatenate the corpus in doc_id order into
+    one token stream, and emit actual fixed-SEQ_LEN chunks — (chunk_id,
+    n_tok, tokens) rows a pretraining dataloader reads directly; the
+    final partial chunk keeps its true length.
+
+    Scale shape: global offsets come from the two-phase chunked cumsum
+    (no single-partition window); the token stream then explodes
+    map-side WITH its global position (posexplode + start_off — no
+    second pass, no join), and chunk assembly is ONE shuffle keyed by
+    chunk_id (integer DIV — exact past 2^53 total tokens where a double
+    would drift) with the per-chunk array built by array_sort over
+    (slot, token) structs, never a window.  Chunks are ~SEQ_LEN tokens
+    by construction, so groups are constant-bounded at any corpus size.
+    """
+    from canal_spark.operators.common import chunked_cumsum
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = F.expr(
+        "transform(split(text, ' '), w -> CAST(CAST(conv(substring(md5(w)"
+        ", 1, 15), 16, 10) AS BIGINT) % 50257 AS INT))"
+    )
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tok", F.size("toks").cast("long")
+    )
+    c = chunked_cumsum(d, "doc_id", "n_tok", "cum_end", PACK_CHUNK)
+    ex = c.select(
+        (F.col("cum_end") - F.col("n_tok")).alias("start_off"),
+        F.posexplode("toks").alias("pos", "tok"),
+    ).select((F.col("start_off") + F.col("pos")).alias("gpos"), "tok")
+    return (
+        ex.groupBy(F.expr(f"CAST(gpos DIV {SEQ_LEN} AS BIGINT)").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.expr(f"gpos % {SEQ_LEN}").alias("slot"),
+                            F.col("tok").alias("tok"),
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ).alias("tokens"),
+        )
+    )
+
+
+SQL_PACK_MATERIALIZE = f"""
+WITH d AS (SELECT doc_id,
+             list_transform(string_split(text,' '),
+                            w -> CAST({duck_md5int('w')} % 50257 AS INT)) AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n_tok,
+             CAST(sum(len(toks)) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+      FROM d),
+ex AS (SELECT c.cum_end - c.n_tok + u.i - 1 AS gpos, c.toks[u.i] AS tok
+       FROM c, UNNEST(range(1, c.n_tok + 1)) AS u(i))
+SELECT CAST(gpos // {SEQ_LEN} AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       list(tok ORDER BY gpos) AS tokens
+FROM ex GROUP BY 1
+"""
+
+
 SPAN_W = 8  # words per pseudo-line (the fixture text has no newlines)
 SPAN_DUP_T = 2  # corpus-wide occurrences at/above this mark a span duplicated
 
@@ -405,6 +473,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "word_topk": q_word_topk,
     "line_dedup": q_line_dedup,
+    "pack_materialize": q_pack_materialize,
 }
 
 ORACLES = {
@@ -417,4 +486,5 @@ ORACLES = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "word_topk": SQL_WORD_TOPK,
     "line_dedup": SQL_LINE_DEDUP,
+    "pack_materialize": SQL_PACK_MATERIALIZE,
 }

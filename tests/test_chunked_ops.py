@@ -80,3 +80,33 @@ def test_sequence_pack_invariants_and_plan_shape(spark):
         off = end
     assert off > SEQ_LEN  # corpus spans multiple chunks
     assert saw_straddle  # at least one doc crosses a boundary
+
+
+def test_pack_materialize_reassembles_the_exact_token_stream(spark):
+    """Packed chunks ARE the corpus: all chunks full except the last,
+    ids dense from 0, and the chunk-order concatenation equals the
+    doc_id-order concatenation of every doc's tokens."""
+    from canal_spark.operators.text import SEQ_LEN, q_pack_materialize
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (r["chunk_id"], r["n_tok"], list(r["tokens"]))
+        for r in q_pack_materialize(spark, sf).collect()
+    )
+    assert [c for c, _, _ in rows] == list(range(len(rows)))
+    assert all(n == SEQ_LEN for _, n, _ in rows[:-1])
+    assert all(n == len(t) for _, n, t in rows)
+    got_stream = [tok for _, _, t in rows for tok in t]
+
+    import hashlib
+
+    def tok(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 50257
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    want_stream = [
+        tok(w)
+        for r in sorted(docs, key=lambda r: r["doc_id"])
+        for w in r["text"].split(" ")
+    ]
+    assert got_stream == want_stream
