@@ -379,6 +379,26 @@ def main() -> None:
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
+    # 17. packed-sequence materialization: token explosion is a
+    # map-side Generate carrying its global position (no join back),
+    # chunk assembly is ONE partial-agg shuffle keyed by chunk_id; the
+    # only window is chunked_cumsum's CHUNK-partitioned one (audited in
+    # its own section) — never a window over the exploded token stream
+    # (the plan's Generate feeds an aggregate, not a Window), and no
+    # product / per-row Python anywhere.
+    from canal_spark.operators.text import q_pack_materialize
+
+    p17 = plan_of(q_pack_materialize(spark, sf_dir))
+    sections.append((
+        "Pack materialize: positioned Generate + one chunk-keyed aggregate",
+        p17,
+        # the chunk-keyed shuffle shows as the grouping-expression
+        # exchange feeding the ObjectHashAggregate pair (partial+final)
+        ["Generate", "ObjectHashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
