@@ -196,3 +196,37 @@ def test_run_pass_wap_delete_bound_guards_runaway_delete(spark, token_table):
     )
     assert rep2.wap["published"]
     assert len(scan_dict(spark, t)) == len(before) - len(victims)
+
+
+def test_wap_with_merge_on_read_mode(spark, token_table, tmp_path):
+    """WAP composes with MoR: the staged snapshot carries equality-
+    delete files, the audit scan folds them (sequence-aware anti-join),
+    publish exposes them atomically; an aborted MoR stage leaves ZERO
+    pending delete files behind."""
+    from canal_spark.maintenance import run_pass
+
+    t, base = token_table
+    rows = synth_changelog_rows(base, 150)
+    rep = run_pass(
+        spark, t, changelog_df(spark, rows), wap=True, merge_mode="mor",
+        do_cluster=False, do_compact=False,
+        max_pending_delete_files=10_000,  # keep the debt pending
+    )
+    assert rep.wap["published"]
+    t.refresh()
+    assert len(t.delete_files()) == 1  # the staged delete file went live
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+    # corrupt MoR batch: aborted stage leaves no delete-file residue
+    before = scan_dict(spark, t)
+    n_dels = len(t.delete_files())
+    bad = [(900_001, "I", "web:9999999009", [1, 2], 77, "web", E, 1)]
+    rep2 = run_pass(
+        spark, t, changelog_df(spark, bad), wap=True, merge_mode="mor",
+        do_cluster=False, do_compact=False,
+        max_pending_delete_files=10_000,
+    )
+    assert not rep2.wap["published"]
+    t.refresh()
+    assert len(t.delete_files()) == n_dels
+    assert scan_dict(spark, t) == before
