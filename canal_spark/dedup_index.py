@@ -391,26 +391,33 @@ def corpus_dedup_pass(
     `merge_into`'s manifest-pruned COW — every step is the shape its
     10^12-sequence version needs.
 
-    Safety: the delete changelog consumes ONE ordinal slot just above
-    the current high-water mark (replay-idempotent: a crash before the
-    index refresh re-runs to a no-op merge).  ``wap=True`` stages the
-    merge and audits it — including the runaway-delete bound
-    ``max_delete_fraction`` (default 0.5: a degenerate LSH config that
-    would delete more than half the corpus aborts instead of
-    publishing).  ``dry_run=True`` reports the would-be removals and
-    touches nothing.
+    Safety: the delete merge is OUT-OF-BAND (`advance_checkpoint=False`)
+    — engine-generated deletes neither filter against nor advance the
+    hwm/GTID marks, so they can never shadow a not-yet-applied upstream
+    changelog event; idempotence comes from the planner (a re-run finds
+    no losers), the same contract as compaction.  A crash between the
+    delete merge and the index refresh self-heals: the next pass folds
+    index doc_ids missing from the table into the refresh key set.
+    ``wap=True`` stages the merge and audits it — including the
+    runaway-delete bound ``max_delete_fraction`` (default 0.5: a
+    degenerate LSH config that would delete more than half the corpus
+    aborts instead of publishing).  ``dry_run=True`` reports the
+    would-be removals and touches nothing.
     """
     from pyspark.sql import Window
 
-    from canal_spark.merge import merge_high_water_mark, merge_into
+    from canal_spark.merge import merge_into
     from canal_spark.operators.common import propagate_min_labels
 
     job_id = job_id or uuid.uuid4().hex[:12]
     bands = index.scan(spark)
 
+    # persisted: both the cap count and the ok-bucket join consume it —
+    # without the persist the bucket-size aggregation scans the full
+    # index twice (bucket-count-scale rows, bounded)
     sizes = bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bucket_size")
-    )
+    ).persist()
     n_capped = sizes.where(F.col("bucket_size") > max_bucket).count()
     ok = sizes.where(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket)
@@ -428,69 +435,92 @@ def corpus_dedup_pass(
         labels = propagate_min_labels(spark, pairs, max_rounds=max_rounds)
     finally:
         hits.unpersist()
+        sizes.unpersist()
 
     # survivors: longest doc wins (dedup keeps the most content), ties
-    # break to the smallest doc_id — deterministic at any parallelism
+    # break to the smallest doc_id — deterministic at any parallelism.
+    # `ranked` persists: the stats agg, the loser changelog and the
+    # index-refresh key set all consume it, and re-deriving it is a
+    # full table scan + join + window each time.
     scored = table.scan(spark).select("doc_id", "n_tok").join(
         labels.select(F.col("doc").alias("doc_id"), F.col("lbl")), "doc_id"
     )
     w = Window.partitionBy("lbl").orderBy(F.desc("n_tok"), F.asc("doc_id"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w))
-    stats = ranked.agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.count_distinct("lbl").alias("groups"),
-    ).collect()[0]
-    docs_in_groups, groups = int(stats["docs"]), int(stats["groups"])
-    losers = ranked.where(F.col("_rn") > 1).select("doc_id")
-    n_losers = docs_in_groups - groups
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).persist()
+    try:
+        stats = ranked.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_distinct("lbl").alias("groups"),
+        ).collect()[0]
+        docs_in_groups, groups = int(stats["docs"]), int(stats["groups"])
+        losers = ranked.where(F.col("_rn") > 1).select("doc_id")
+        n_losers = docs_in_groups - groups
 
-    rep = CorpusDedupResult(
-        applied=False, dry_run=dry_run, docs_in_groups=docs_in_groups,
-        groups=groups, losers_removed=n_losers,
-        hot_buckets_capped=n_capped, job_id=job_id,
-    )
-    if dry_run or n_losers == 0:
-        return rep
-
-    hwm = merge_high_water_mark(table)
-    changelog = losers.select(
-        F.lit(hwm + 1).cast("long").alias("ordinal"),
-        F.lit("D").alias("op"),
-        "doc_id",
-        F.lit(None).cast("array<int>").alias("tokens"),
-        F.lit(None).cast("int").alias("n_tok"),
-        F.lit(None).cast("string").alias("source"),
-        F.lit(None).cast("timestamp").alias("es"),
-        F.lit(None).cast("long").alias("batch_id"),
-        F.lit(None).cast("array<int>").alias("before_tokens"),
-        F.lit(None).cast("int").alias("before_n_tok"),
-    )
-    m = merge_into(spark, table, changelog, job_id=job_id, stage_only=wap)
-    rep.applied = m.applied
-    rep.snapshot_id = m.snapshot_id
-    if wap and m.applied:
-        from canal_spark.maintenance import audit_snapshot
-
-        parent_rows = table.row_count()  # staged: current is pre-merge
-        audit = audit_snapshot(
-            spark, table, m.snapshot_id,
-            parent_rows=parent_rows, max_delete_fraction=max_delete_fraction,
+        rep = CorpusDedupResult(
+            applied=False, dry_run=dry_run, docs_in_groups=docs_in_groups,
+            groups=groups, losers_removed=n_losers,
+            hot_buckets_capped=n_capped, job_id=job_id,
         )
-        rep.wap = {"staged_snapshot_id": m.snapshot_id, **audit}
-        if audit["ok"]:
-            table.publish(m.snapshot_id)
-            rep.wap["published"] = True
-        else:
-            table.abort_staged(m.snapshot_id)
-            rep.wap["published"] = False
-            rep.applied = False
+        if dry_run:
             return rep
 
-    # the removed docs' band rows drop out of the index (recompute from
-    # the post-merge table: deleted keys have no rows -> they vanish)
-    r = refresh_band_index(
-        spark, table, index, keys=losers, job_id=job_id, max_bucket=max_bucket
-    )
+        # Self-heal index drift FIRST (doc_ids in the index but not in
+        # the table — e.g. a prior pass that crashed between publishing
+        # its delete merge and refreshing the index): fold them into
+        # the refresh key set so the interrupted repair completes on
+        # re-run instead of leaving phantom band rows forever.
+        stale = bands.select("doc_id").distinct().join(
+            table.scan(spark).select("doc_id"), "doc_id", "left_anti"
+        )
+        refresh_keys = losers.unionByName(stale).distinct()
+
+        if n_losers > 0:
+            # OUT-OF-BAND merge: these are engine-generated deletes,
+            # not changelog events — the constant ordinal is
+            # positionless by contract (advance_checkpoint=False skips
+            # both the hwm slice and the mark advance, so a real
+            # upstream event can never be shadowed by this batch).
+            changelog = losers.select(
+                F.lit(1).cast("long").alias("ordinal"),
+                F.lit("D").alias("op"),
+                "doc_id",
+                F.lit(None).cast("array<int>").alias("tokens"),
+                F.lit(None).cast("int").alias("n_tok"),
+                F.lit(None).cast("string").alias("source"),
+                F.lit(None).cast("timestamp").alias("es"),
+                F.lit(None).cast("long").alias("batch_id"),
+                F.lit(None).cast("array<int>").alias("before_tokens"),
+                F.lit(None).cast("int").alias("before_n_tok"),
+            )
+            m = merge_into(
+                spark, table, changelog, job_id=job_id, stage_only=wap,
+                advance_checkpoint=False,
+            )
+            rep.applied = m.applied
+            rep.snapshot_id = m.snapshot_id
+            if wap and m.applied:
+                from canal_spark.maintenance import wap_finalize, wap_parent_rows
+
+                rep.wap = wap_finalize(
+                    spark, table, m,
+                    parent_rows=wap_parent_rows(spark, table),
+                    max_delete_fraction=max_delete_fraction,
+                )
+                if not rep.wap["published"]:
+                    rep.applied = False
+                    return rep
+        elif stale.isEmpty():
+            return rep  # nothing to remove, nothing to repair
+
+        # the removed docs' band rows drop out of the index (recompute
+        # from the post-merge table: deleted keys have no rows -> they
+        # vanish); stale keys from an interrupted prior pass repair too
+        r = refresh_band_index(
+            spark, table, index, keys=refresh_keys, job_id=job_id,
+            max_bucket=max_bucket,
+        )
+    finally:
+        ranked.unpersist()
     rep.index_refresh = {
         "applied": r.applied, "docs_changed": r.docs_changed,
         "files_rewritten": r.files_rewritten, "snapshot_id": r.snapshot_id,

@@ -34,8 +34,9 @@ def main() -> None:
     )
     p.add_argument(
         "--wap", action="store_true",
-        help="with --stream: write-audit-publish each micro-batch "
-        "(corrupt batches quarantine, stream continues)",
+        help="write-audit-publish the merge: batch mode stages, audits "
+        "and publishes (exit 3 on abort); stream mode audits each "
+        "micro-batch (corrupt batches quarantine, stream continues)",
     )
     p.add_argument(
         "--wap-max-delete-fraction", type=float, default=None,
@@ -71,14 +72,31 @@ def main() -> None:
     from canal_spark.merge import merge_into
 
     changes = spark.read.parquet(args.changelog)
+    wap_rep = {}
+    parent_rows = None
+    if args.wap:
+        from canal_spark.maintenance import wap_finalize, wap_parent_rows
+
+        parent_rows = wap_parent_rows(spark, table)
     m = merge_into(spark, table, changes,
                    target_file_rows=args.target_file_rows,
-                   mode=args.merge_mode, job_id=args.job_id)
-    if args.lineage and m.applied:
+                   mode=args.merge_mode, job_id=args.job_id,
+                   stage_only=args.wap)
+    applied = m.applied
+    if args.wap and m.applied:
+        wap_rep = wap_finalize(
+            spark, table, m, parent_rows=parent_rows,
+            max_delete_fraction=args.wap_max_delete_fraction,
+        )
+        applied = wap_rep["published"]
+    if args.lineage and applied:
         record(spark, ensure_lineage(args.lineage), m.job_id, "merge",
                ordinal=m.high_water_mark, snapshot_id=m.snapshot_id,
                files_rewritten=m.files_rewritten, bytes_shuffled=m.bytes_rewritten)
-    emit({"job": "apply_changelog", "mode": "batch", **m.__dict__})
+    emit({"job": "apply_changelog", "mode": "batch",
+          **{**m.__dict__, "applied": applied}, "wap": wap_rep})
+    if args.wap and wap_rep and not wap_rep.get("published", True):
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":

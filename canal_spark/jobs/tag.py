@@ -14,7 +14,7 @@ until the tag is deleted.  Roll a table back to a tag with
 
 from __future__ import annotations
 
-from canal_spark.jobs.common import base_parser, emit, session
+from canal_spark.jobs.common import base_parser, emit
 
 
 def main() -> None:
@@ -33,7 +33,8 @@ def main() -> None:
 
     from canal_spark import load_table
 
-    session(args, "canal-tag")  # session kept for API symmetry
+    # no SparkSession: tags are pure metadata CAS writes — the job is
+    # instant instead of paying a JVM spin-up for zero Spark work
     table = load_table(args.table)
     out = {"job": "tag"}
     if args.set_name:

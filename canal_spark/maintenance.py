@@ -94,6 +94,59 @@ def audit_snapshot(
     return {"ok": ok, "rows": rows, "checks": checks}
 
 
+def wap_parent_rows(spark: SparkSession, table: Table) -> int:
+    """Live row count of the CURRENT snapshot for the delete-bound
+    audit.  The manifest sum (`row_count`) is an upper bound that
+    ignores pending merge-on-read delete debt — comparing it against
+    the staged scan's LIVE count would falsely quarantine healthy
+    batches on a debt-carrying table — so fall to an actual scan count
+    only when delete files are pending (the uncommon window)."""
+    if table.delete_files():
+        return table.scan(spark).count()
+    return table.row_count()
+
+
+def wap_finalize(
+    spark: SparkSession,
+    table: Table,
+    merge_result,
+    parent_rows: int | None = None,
+    max_delete_fraction: float | None = None,
+) -> dict:
+    """Audit a staged merge and publish it — the one shared
+    publish-or-abort gate for every WAP flow (batch pass, streaming
+    micro-batch, corpus self-dedup).
+
+    The staged snapshot NEVER outlives this call on a failure path:
+    a failed audit aborts it (returned with ``published: False``); an
+    exception from the audit scan or from publish (e.g.
+    :class:`CommitConflict` because the mainline advanced past the
+    stage's parent — expected under concurrent compaction) aborts it
+    and re-raises, so the caller's retry re-stages against the new
+    base instead of leaking an expire-proof snapshot."""
+    try:
+        audit = audit_snapshot(
+            spark, table, merge_result.snapshot_id,
+            parent_rows=parent_rows,
+            max_delete_fraction=max_delete_fraction,
+        )
+    except BaseException:
+        table.abort_staged(merge_result.snapshot_id)
+        raise
+    rep = {"staged_snapshot_id": merge_result.snapshot_id, **audit}
+    if not audit["ok"]:
+        table.abort_staged(merge_result.snapshot_id)
+        rep["published"] = False
+        return rep
+    try:
+        table.publish(merge_result.snapshot_id)
+    except BaseException:
+        table.abort_staged(merge_result.snapshot_id)
+        raise
+    rep["published"] = True
+    return rep
+
+
 def run_pass(
     spark: SparkSession,
     table: Table,
@@ -136,25 +189,19 @@ def run_pass(
         # batch unapplied so the next pass retries it after the upstream
         # bug is fixed.  Exactly Iceberg's spark.wap.id flow, run by the
         # pass itself.
-        parent_rows = table.row_count() if wap else None
+        parent_rows = wap_parent_rows(spark, table) if wap else None
         m = _merge.merge_into(
             spark, table, changes, target_file_rows=target_file_rows, job_id=job_id,
             mode=merge_mode, stage_only=wap,
         )
         merge_live = m.applied
         if wap and m.applied:
-            audit = audit_snapshot(
-                spark, table, m.snapshot_id,
+            rep.wap = wap_finalize(
+                spark, table, m,
                 parent_rows=parent_rows,
                 max_delete_fraction=wap_max_delete_fraction,
             )
-            rep.wap = {"staged_snapshot_id": m.snapshot_id, **audit}
-            if audit["ok"]:
-                table.publish(m.snapshot_id)
-                rep.wap["published"] = True
-            else:
-                table.abort_staged(m.snapshot_id)
-                rep.wap["published"] = False
+            if not rep.wap["published"]:
                 merge_live = False  # batch stays unapplied; indexes skip
         # an aborted stage reports applied=False: nothing reached readers
         rep.merge = {**m.__dict__, "applied": merge_live}

@@ -265,6 +265,7 @@ def merge_into(
     job_id: str | None = None,
     mode: str = "cow",
     stage_only: bool = False,
+    advance_checkpoint: bool = True,
 ) -> MergeResult:
     """Apply a changelog DataFrame (CHANGELOG_SCHEMA shape) to ``table``.
 
@@ -325,6 +326,16 @@ def merge_into(
         slice_df = changes.where(F.col("ordinal") > stream_hwm)
     else:
         slice_df = changes.where(F.col("ordinal") > F.lit(hwm))
+    if not advance_checkpoint:
+        # out-of-band maintenance batch (e.g. corpus self-dedup): the
+        # rows are ENGINE-GENERATED, not changelog events — their
+        # ordinals carry no position meaning, so they neither filter
+        # against nor advance the hwm/GTID marks (a synthetic ordinal
+        # above the mark would collide with a not-yet-applied upstream
+        # event and silently swallow it).  Idempotence comes from the
+        # caller's planner (re-runs find nothing to change), the same
+        # contract as compaction.
+        slice_df = changes
 
     # Per-EVENT no-op detection, before the dedupe: a U row whose
     # captured before-images all equal its after-images changes nothing
@@ -629,6 +640,13 @@ def merge_into(
     if new_gset is not None:
         summary[GTID_KEY] = new_gset
         props[GTID_KEY] = new_gset
+    if not advance_checkpoint:
+        # out-of-band batch: record the phase, never the position marks
+        summary.pop(CKPT_KEY, None)
+        summary.pop(GTID_KEY, None)
+        summary["out-of-band"] = True
+        props = None
+        new_hwm = hwm
     snap = table.commit(
         added=new_entries,
         removed_paths=[e.path for e in affected],

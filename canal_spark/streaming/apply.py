@@ -272,24 +272,27 @@ def stream_apply(
         # refresh: another writer (compaction) may have committed between
         # micro-batches; merge must see the latest snapshot + hwm
         t = table.refresh()
-        parent_rows = t.row_count() if wap else None
+        if wap:
+            from canal_spark.maintenance import wap_finalize, wap_parent_rows
+
+            parent_rows = wap_parent_rows(spark, t)
         m = merge_into(
             spark, t, batch_df, target_file_rows=target_file_rows,
             mode=merge_mode, stage_only=wap,
         )
         if wap and m.applied:
-            from canal_spark.maintenance import audit_snapshot
-
-            audit = audit_snapshot(
-                spark, t, m.snapshot_id,
+            # the shared gate: publishes, or aborts the stage on EVERY
+            # failure path — an exception (e.g. publish CommitConflict
+            # under concurrent compaction) propagates, failing the
+            # query so Structured Streaming re-runs the epoch against
+            # the new base; nothing staged ever leaks
+            fin = wap_finalize(
+                spark, t, m,
                 parent_rows=parent_rows,
                 max_delete_fraction=wap_max_delete_fraction,
             )
-            if audit["ok"]:
-                t.publish(m.snapshot_id)
-            else:
-                t.abort_staged(m.snapshot_id)
-                entry = {"epoch": epoch_id, "checks": audit["checks"]}
+            if not fin["published"]:
+                entry = {"epoch": epoch_id, "checks": fin["checks"]}
                 if quarantine_dir is not None:
                     # dead-letter the batch for offline triage/replay —
                     # epoch-keyed dir so a retried epoch overwrites its

@@ -754,9 +754,12 @@ class Table:
                     fid_hist.append(dict(new_field_ids))
                 else:
                     # name-based fallback: reuse ids of still-present
-                    # names, mint fresh ids for new ones
+                    # names, mint fresh ids for new ones.  NOT named
+                    # next_id — that is the pending SNAPSHOT id; reusing
+                    # it here would commit a snapshot under a recycled
+                    # field-id number, colliding with an existing one.
                     prev = fid_hist[-1]
-                    next_id = max(
+                    next_fid = max(
                         [i for h in fid_hist for i in h.values()], default=-1
                     ) + 1
                     cur = {}
@@ -764,8 +767,8 @@ class Table:
                         if f["name"] in prev:
                             cur[f["name"]] = prev[f["name"]]
                         else:
-                            cur[f["name"]] = next_id
-                            next_id += 1
+                            cur[f["name"]] = next_fid
+                            next_fid += 1
                     fid_hist.append(cur)
             wap_summary = {}
             if stage_only:

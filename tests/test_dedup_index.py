@@ -404,3 +404,50 @@ def test_run_pass_compacts_derived_index_files(spark, indexed_table, tmp_path):
     fresh = create_band_index(str(tmp_path / "bands_verify"))
     refresh_band_index(spark, t, fresh)
     assert _index_state(spark, index) == _index_state(spark, fresh)
+
+
+def test_self_dedup_is_out_of_band_and_self_heals(spark, tmp_path):
+    """The dedup delete merge must not advance the hwm (an upstream
+    event with a small ordinal still applies afterwards), and a crash
+    between the delete merge and the index refresh self-heals on the
+    next pass (stale index rows for deleted docs are repaired)."""
+    from canal_spark.changelog import changelog_df
+    from canal_spark.dedup_index import (
+        corpus_dedup_pass,
+        create_band_index,
+        refresh_band_index,
+    )
+    from canal_spark.merge import merge_high_water_mark, merge_into
+
+    t = _mk_dup_table(spark, tmp_path, name="oob")
+    index = create_band_index(str(tmp_path / "oob_bands"))
+    refresh_band_index(spark, t, index)
+
+    res = corpus_dedup_pass(spark, t, index)
+    assert res.applied and res.losers_removed == 3
+    # OUT-OF-BAND: position marks untouched by the engine's own deletes
+    assert merge_high_water_mark(t) == 0
+
+    # an upstream event with ordinal 1 (would be shadowed if the dedup
+    # batch had consumed hwm+1) still applies
+    import datetime as dt
+
+    E = dt.datetime(2026, 1, 1)
+    m = merge_into(spark, t, changelog_df(
+        spark, [(1, "I", "web:new01", [5, 6, 7], 3, "web", E, 1)]))
+    assert m.applied
+    ids = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    assert "web:new01" in ids
+
+    # simulate a crash between delete-merge and index refresh: delete a
+    # doc through the normal path WITHOUT updating the index
+    m2 = merge_into(spark, t, changelog_df(
+        spark, [(2, "D", "web:u000", None, None, None, E, 1)]))
+    assert m2.applied
+    stale = {r["doc_id"] for r in index.scan(spark).select("doc_id").collect()}
+    assert "web:u000" in stale  # index is now stale
+
+    again = corpus_dedup_pass(spark, t, index)  # nothing to dedup...
+    idx_ids = {r["doc_id"] for r in index.scan(spark).select("doc_id").collect()}
+    assert "web:u000" not in idx_ids  # ...but the drift was repaired
+    assert again.index_refresh.get("applied")

@@ -455,3 +455,48 @@ def test_tag_cli_set_list_delete(cli_table):
     assert res["refs"]["train-v1"]["snapshot_id"] == sid
     res = run_job("canal_spark.jobs.tag", root, "--delete", "train-v1")
     assert res["refs"] == {} and res["deleted"] == "train-v1"
+
+
+def test_apply_changelog_cli_batch_wap(tmp_path):
+    """--wap on the BATCH path: a corrupt changelog stages, fails the
+    audit, aborts (exit 3, table untouched); the fixed one publishes."""
+    import datetime as dt
+
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import base_table_df, changelog_df, synth_token_rows
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("apply-wap-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(200)
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    rows_before = t.row_count()
+    E = dt.datetime(2026, 1, 1)
+
+    bad_dir = str(tmp_path / "bad")
+    changelog_df(spark, [
+        (1, "I", "web:9999999031", [1, 2], 9, "web", E, 1),
+    ]).write.parquet(bad_dir)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark.jobs.apply_changelog", root,
+         "--changelog", bad_dir, "--wap"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 3, out.stderr[-2000:]
+    rep = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["applied"] is False and rep["wap"]["published"] is False
+    t = load_table(root)
+    assert t.row_count() == rows_before and t.staged_snapshots() == []
+
+    good_dir = str(tmp_path / "good")
+    changelog_df(spark, [
+        (1, "I", "web:9999999031", [1, 2], 2, "web", E, 1),
+    ]).write.parquet(good_dir)
+    rep2 = run_job("canal_spark.jobs.apply_changelog", root,
+                   "--changelog", good_dir, "--wap")
+    assert rep2["applied"] is True and rep2["wap"]["published"] is True
+    assert load_table(root).row_count() == rows_before + 1

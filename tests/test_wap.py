@@ -230,3 +230,79 @@ def test_wap_with_merge_on_read_mode(spark, token_table, tmp_path):
     t.refresh()
     assert len(t.delete_files()) == n_dels
     assert scan_dict(spark, t) == before
+
+
+def test_wap_finalize_aborts_stage_on_publish_conflict(spark, token_table):
+    """The shared gate never leaks a staged snapshot: when the mainline
+    advances past the stage's parent, publish raises CommitConflict and
+    wap_finalize aborts the stage before re-raising (staged snapshots
+    are expire-proof, so a leak here would pin files forever)."""
+    from canal_spark.maintenance import wap_finalize
+
+    t, base = token_table
+    staged = merge_into(
+        spark, t, changelog_df(spark, synth_changelog_rows(base, 60, seed=3)),
+        stage_only=True,
+    )
+    mainline = merge_into(
+        spark, t,
+        changelog_df(spark, synth_changelog_rows(base, 60, seed=4,
+                                                 start_ordinal=50_000)),
+    )
+    assert mainline.applied
+    with pytest.raises(CommitConflict):
+        wap_finalize(spark, t, staged)
+    t.refresh()
+    assert t.staged_snapshots() == []  # aborted, not leaked
+
+
+def test_wap_delete_bound_uses_live_rows_under_mor_debt(spark, token_table):
+    """On a table carrying pending equality-delete debt, the audit's
+    parent row count is the LIVE count, not the manifest upper bound —
+    a healthy small batch must publish even when debt makes the
+    manifest overcount by more than the delete bound."""
+    from canal_spark.maintenance import run_pass
+
+    t, base = token_table
+    # build up MoR debt: delete 30% of the table as pending deletes
+    victims = [r[0] for r in base[: int(len(base) * 0.3)]]
+    dels = [(i + 1, "D", d, None, None, None, E, 1)
+            for i, d in enumerate(victims)]
+    m = merge_into(spark, t, changelog_df(spark, dels), mode="mor")
+    assert m.applied and len(t.delete_files()) == 1
+
+    # healthy tiny batch under a tight bound: manifest rows overcount
+    # live rows by 30%, so a manifest-based floor would quarantine it
+    good = [(10_001, "I", "web:9999999021", [1, 2], 2, "web", E, 1)]
+    rep = run_pass(
+        spark, t, changelog_df(spark, good), wap=True,
+        wap_max_delete_fraction=0.05, merge_mode="mor",
+        do_cluster=False, do_compact=False,
+        max_pending_delete_files=10_000,
+    )
+    assert rep.wap["published"], rep.wap
+    assert "web:9999999021" in scan_dict(spark, t)
+
+
+def test_schema_commit_without_field_ids_keeps_snapshot_ids_unique(spark, token_table):
+    """commit(new_schema_json=..., new_field_ids=None) must not recycle
+    a field-id counter as the snapshot id (variable-shadowing
+    regression): ids stay unique and current advances monotonically."""
+    t, base = token_table
+    # several snapshots so a recycled small counter would collide
+    for seed in (21, 22, 23):
+        merge_into(
+            spark, t,
+            changelog_df(spark, synth_changelog_rows(
+                base, 20, seed=seed, start_ordinal=seed * 10_000)),
+        )
+    ids_before = [s.snapshot_id for s in t.snapshots]
+    schema = dict(t.schema_json)
+    schema["fields"] = schema["fields"] + [
+        {"name": "extra_col", "type": "string", "nullable": True}
+    ]
+    snap = t.commit(added=[], new_schema_json=schema)
+    assert snap.snapshot_id == max(ids_before) + 1
+    all_ids = [s.snapshot_id for s in t.snapshots]
+    assert len(all_ids) == len(set(all_ids))
+    assert t.current_snapshot_id == snap.snapshot_id
