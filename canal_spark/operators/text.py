@@ -463,6 +463,89 @@ FROM f GROUP BY doc_id
 """
 
 
+# PII patterns shared by both engines.  Kept to the common subset of
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \b word boundaries — no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# Deterministic PII injection: the fixture text is synthetic word-salad
+# with no PII, so the operator first appends doc_id-derived emails /
+# phones / IPv4s (0-2 / 0-1 / 0-1 per doc) and then redacts them — the
+# counts and the redacted fingerprint are nontrivial yet exactly
+# reproducible in both engines.
+_PII_INJECT_SPARK = (
+    "concat(text,"
+    " repeat(concat(' user', doc_id, '@example.com'),"
+    "        cast(doc_id % 3 as int)),"
+    " repeat(concat(' +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0')),"
+    "        cast((doc_id div 3) % 2 as int)),"
+    " repeat(concat(' 10.', doc_id % 256, '.0.', (doc_id * 7) % 256),"
+    "        cast(doc_id % 2 as int)))"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails, NANP phone numbers,
+    and IPv4 addresses, emitting per-document match counts and a
+    fingerprint of the redacted text — the compliance stage every
+    web-scale training corpus runs before tokenization.
+
+    Scale shape: pure map-side JVM ``regexp_count``/``regexp_replace``
+    column expressions inside whole-stage codegen — no shuffle, no
+    Python, embarrassingly parallel at any corpus size.  Redaction
+    order (emails, then phones, then IPs) is fixed so the composed
+    replacement is engine-deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_PII_INJECT_SPARK).alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("t", F.lit(PII_IP)).cast("long").alias("n_ips"),
+        md5int(red).alias("redacted_fp"),
+    )
+
+
+_PII_INJECT_DUCK = (
+    "text"
+    " || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',"
+    "           CAST(doc_id % 3 AS INT))"
+    " || repeat(' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    "           CAST((doc_id // 3) % 2 AS INT))"
+    " || repeat(' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    "           || CAST((doc_id * 7) % 256 AS VARCHAR),"
+    "           CAST(doc_id % 2 AS INT))"
+)
+
+_PII_RED_DUCK = (
+    f"regexp_replace(regexp_replace(regexp_replace(t,"
+    f" '{PII_EMAIL}', '<EMAIL>', 'g'),"
+    f" '{PII_PHONE}', '<PHONE>', 'g'),"
+    f" '{PII_IP}', '<IP>', 'g')"
+)
+
+SQL_PII_REDACT = f"""
+WITH e AS (SELECT doc_id, {_PII_INJECT_DUCK} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_IP}')) AS BIGINT) AS n_ips,
+       {duck_md5int(_PII_RED_DUCK)} AS redacted_fp
+FROM e
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -474,6 +557,7 @@ QUERIES = {
     "word_topk": q_word_topk,
     "line_dedup": q_line_dedup,
     "pack_materialize": q_pack_materialize,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES = {
@@ -487,4 +571,5 @@ ORACLES = {
     "word_topk": SQL_WORD_TOPK,
     "line_dedup": SQL_LINE_DEDUP,
     "pack_materialize": SQL_PACK_MATERIALIZE,
+    "pii_redact": SQL_PII_REDACT,
 }

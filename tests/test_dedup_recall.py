@@ -313,3 +313,77 @@ def test_dedup_canonical_keeps_best_per_group_and_partitions_corpus(spark):
         best = min(members, key=lambda d: (-quality[d], d))
         assert r["keep_doc_id"] == best
         assert r["keep_quality_milli"] == quality[best]
+
+
+def test_pii_redact_strips_everything_and_matches_python_re(spark):
+    """The redacted text contains zero residual pattern matches (checked
+    JVM-side), counts follow the deterministic injection formula, and
+    the fingerprint equals an independent Python ``re`` redaction of the
+    same enriched text — Spark's Java regex and the test's re module
+    agree on these patterns by construction (common subset only)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.operators.text import (
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+        _PII_INJECT_SPARK,
+        q_pii_redact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in q_pii_redact(spark, sf).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    assert set(got) == set(docs)
+
+    for did, text in docs.items():
+        r = got[did]
+        assert r["n_emails"] == did % 3
+        assert r["n_phones"] == (did // 3) % 2
+        assert r["n_ips"] == did % 2
+        enriched = (
+            text
+            + f" user{did}@example.com" * (did % 3)
+            + f" +1-555-{did % 10000:04d}" * ((did // 3) % 2)
+            + f" 10.{did % 256}.0.{did * 7 % 256}" * (did % 2)
+        )
+        red = re.sub(PII_EMAIL, "<EMAIL>", enriched)
+        red = re.sub(PII_PHONE, "<PHONE>", red)
+        red = re.sub(PII_IP, "<IP>", red)
+        for pat in (PII_EMAIL, PII_PHONE, PII_IP):
+            assert not re.search(pat, red)
+        want_fp = int(hashlib.md5(red.encode()).hexdigest()[:15], 16)
+        assert r["redacted_fp"] == want_fp
+
+    # JVM-side residual check: after redaction, zero matches remain.
+    residual = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.expr(_PII_INJECT_SPARK).alias("t"))
+        .select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("t", PII_EMAIL, "<EMAIL>"),
+                    PII_PHONE,
+                    "<PHONE>",
+                ),
+                PII_IP,
+                "<IP>",
+            ).alias("red")
+        )
+        .select(
+            (
+                F.regexp_count("red", F.lit(PII_EMAIL))
+                + F.regexp_count("red", F.lit(PII_PHONE))
+                + F.regexp_count("red", F.lit(PII_IP))
+            ).alias("n")
+        )
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert residual == 0

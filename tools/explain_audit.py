@@ -399,6 +399,20 @@ def main() -> None:
          "ArrowEvalPython", "BatchEvalPython"],
     ))
 
+    # 18. PII redaction: pure map-side regexp codegen — a Project over
+    # the scan with NO exchange (no shuffle), no Python eval, and the
+    # scan pruned to exactly (doc_id, text).
+    from canal_spark.operators.text import q_pii_redact
+
+    p18 = plan_of(q_pii_redact(spark, sf_dir))
+    sections.append((
+        "PII redact: map-side regexp Project, zero shuffles, pruned scan",
+        p18,
+        ["Project", "struct<doc_id:bigint,text:string>"],
+        ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
