@@ -500,3 +500,64 @@ def test_apply_changelog_cli_batch_wap(tmp_path):
                    "--changelog", good_dir, "--wap")
     assert rep2["applied"] is True and rep2["wap"]["published"] is True
     assert load_table(root).row_count() == rows_before + 1
+
+
+def test_spark_submit_py_files_zip_ships_the_package(tmp_path):
+    """North-rule deployment contract, end to end: the engine runs via
+    `spark-submit --py-files canal_spark.zip` with NO repo dir on
+    PYTHONPATH and the cwd OUTSIDE the repo — i.e. the package imports
+    purely from the shipped zip (no ``__file__``-relative resource
+    loads anywhere).  The probe does real maintenance work: create
+    table, append, MERGE a changelog, scan — not just an import."""
+    import shutil
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not installed")
+
+    zp = tmp_path / "canal_spark.zip"
+    pkg = os.path.join(REPO, "canal_spark")
+    with zipfile.ZipFile(zp, "w") as z:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import argparse, sys\n"
+        "from canal_spark import create_table\n"
+        "from canal_spark.jobs.common import session\n"
+        "from canal_spark.schema import TOKEN_TABLE_SCHEMA\n"
+        "from canal_spark.table.writer import append\n"
+        "from canal_spark.changelog import (base_table_df, changelog_df,\n"
+        "    synth_changelog_rows, synth_token_rows)\n"
+        "from canal_spark.merge import merge_into\n"
+        "spark = session(argparse.Namespace(app_name=None), 'zip-probe')\n"
+        "t = create_table(sys.argv[1], TOKEN_TABLE_SCHEMA,\n"
+        "                 partition_by=['source'])\n"
+        "base = synth_token_rows(300)\n"
+        "append(spark, t, base_table_df(spark, 300).repartition(4))\n"
+        "cl = synth_changelog_rows(base, 80)\n"
+        "res = merge_into(spark, t, changelog_df(spark, cl))\n"
+        "print('APPLIED=' + str(bool(res.applied)))\n"
+        "print('SCAN_ROWS=' + str(t.scan(spark).count()))\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    env.pop("PYTHONPATH", None)
+    env.pop("SPARK_GRAFT_MASTER", None)
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", str(zp),
+         str(probe), str(tmp_path / "tbl")],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.splitlines()
+    assert "APPLIED=True" in lines
+    scan = [l for l in lines if l.startswith("SCAN_ROWS=")]
+    assert scan and int(scan[0].split("=")[1]) > 0
