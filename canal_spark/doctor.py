@@ -157,5 +157,22 @@ def check_table(
                  "detail": f"WAP stage {s.snapshot_id} unpublished for "
                            f"{age_h:.1f} h — publish or abort_staged"}
             )
+    # branches share the stage lifecycle problem at chain granularity: a
+    # forgotten branch pins its whole chain (expiry-proof by design) AND
+    # holds merge batches below the mainline checkpoint forever
+    for name, ref in table.refs.items():
+        if ref.get("type") != "branch" or ref["snapshot_id"] not in snap_ids:
+            continue
+        chain = table.branch_chain(name)
+        if not chain:
+            continue
+        age_h = (now_ms - chain[0].timestamp_ms) / 3_600_000
+        if age_h > STALE_STAGE_HOURS:
+            violations.append(
+                {"file": name, "kind": "stale-branch",
+                 "detail": f"branch {name!r} ({len(chain)} commits) idle "
+                           f"for {age_h:.1f} h — fast_forward or "
+                           "delete_branch"}
+            )
 
     return {"ok": not violations, "files": len(entries), "violations": violations}

@@ -42,7 +42,16 @@ def main() -> None:
         "--wap-max-delete-fraction", type=float, default=None,
         help="with --wap: per-batch runaway-delete audit bound",
     )
+    p.add_argument(
+        "--branch", default=None,
+        help="apply ON a writable branch (multi-commit WAP): create it "
+        "with jobs/branch.py --create, chain several applies, then "
+        "--fast-forward to publish or --delete to abandon",
+    )
     args = p.parse_args()
+    if args.branch and (args.wap or args.stream):
+        p.error("--branch is batch-mode only and exclusive with --wap "
+                "(branches ARE the multi-commit WAP)")
 
     from canal_spark import load_table
     from canal_spark.checkpoint import ensure_lineage, record
@@ -81,7 +90,7 @@ def main() -> None:
     m = merge_into(spark, table, changes,
                    target_file_rows=args.target_file_rows,
                    mode=args.merge_mode, job_id=args.job_id,
-                   stage_only=args.wap)
+                   stage_only=args.wap, branch=args.branch)
     applied = m.applied
     if args.wap and m.applied:
         wap_rep = wap_finalize(

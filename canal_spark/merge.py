@@ -43,7 +43,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from canal_spark.table.format import WAP_STAGED_KEY, DataFile, Table, prune_files
+from canal_spark.table.format import (
+    BRANCH_KEY,
+    WAP_STAGED_KEY,
+    DataFile,
+    Table,
+    prune_files,
+)
 from canal_spark.table.writer import write_datafiles
 
 CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
@@ -64,13 +70,18 @@ DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
 # --------------------------------------------------------------------------
 
 
-def merge_high_water_mark(table: Table) -> int:
+def merge_high_water_mark(table: Table, branch: str | None = None) -> int:
     """Largest changelog ordinal already applied.
 
     Start-position resolution analogue of
     parse/.../MysqlEventParser.findStartPositionInternal:422-521 —
     precedence: table property (survives snapshot expiry) > any
     retained snapshot summary > 0 (beginning).
+
+    ``branch``: compute the mark AS SEEN FROM that branch — mainline
+    marks plus the branch's own (unpublished) chain summaries, so
+    chained branch merges resume from each other while staying
+    invisible to mainline resume until fast-forward.
     """
     hwm = int(table.properties.get(CKPT_KEY, 0))
     for s in table.snapshots:
@@ -79,13 +90,18 @@ def merge_high_water_mark(table: Table) -> int:
             # effective mark: if its audit aborts, the batch has to
             # re-apply — its summary only counts after publish
             continue
+        b = s.summary.get(BRANCH_KEY)
+        if b is not None and b != branch:
+            # same deferral for branch commits: their marks count on
+            # their own branch and after fast_forward, never before
+            continue
         v = s.summary.get(CKPT_KEY)
         if v is not None:
             hwm = max(hwm, int(v))
     return hwm
 
 
-def merge_gtid_set(table: Table) -> dict[str, int]:
+def merge_gtid_set(table: Table, branch: str | None = None) -> dict[str, int]:
     """Per-stream high-water marks — the GTID-set analogue.
 
     Multi-master sources carry per-stream positions (GTID mode,
@@ -112,6 +128,9 @@ def merge_gtid_set(table: Table) -> dict[str, int]:
     for s in table.snapshots:
         if s.summary.get(WAP_STAGED_KEY):
             continue  # unpublished stage: marks count only after publish
+        b = s.summary.get(BRANCH_KEY)
+        if b is not None and b != branch:
+            continue  # other/unpublished branch: same deferral rule
         for k, v in (s.summary.get(GTID_KEY) or {}).items():
             k = norm(k)
             out[k] = max(int(out.get(k, 0)), int(v))
@@ -201,6 +220,7 @@ def _refine_noops(
     final: DataFrame,
     key_cols: list[str],
     max_probe_keys: int = 2_000_000,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Clear the ``_noop`` flag on keys NOT currently present in the table.
 
@@ -229,10 +249,14 @@ def _refine_noops(
     keys = np.sort(
         np.array([r[0] for r in noops.select(key_cols[0]).collect()], dtype=object)
     )
-    candidates, _ = _affected_files(table.files(), keys, key_cols[0])
+    candidates, _ = _affected_files(
+        table.files(snapshot_id), keys, key_cols[0]
+    )
     if not candidates:
         return final.withColumn("_noop", F.lit(False))
-    live = table.read_files_live(spark, candidates).select(*key_cols)
+    live = table.read_files_live(
+        spark, candidates, delete_entries=table.delete_files(snapshot_id)
+    ).select(*key_cols)
     present_rows = [
         tuple(r)
         for r in live.join(F.broadcast(noops), key_cols, "leftsemi")
@@ -266,6 +290,7 @@ def merge_into(
     mode: str = "cow",
     stage_only: bool = False,
     advance_checkpoint: bool = True,
+    branch: str | None = None,
 ) -> MergeResult:
     """Apply a changelog DataFrame (CHANGELOG_SCHEMA shape) to ``table``.
 
@@ -288,13 +313,31 @@ def merge_into(
     anti-join pending deletes (sequence-aware, so insert-after-delete
     works) until ``materialize_deletes`` repays the debt.  Both modes
     share the checkpoint algebra, so they can interleave on one table.
+
+    ``branch="name"`` applies the batch ON a writable branch (the
+    multi-commit WAP flow): the base read, checkpoint resume marks, and
+    the commit all pin to the branch head; mainline readers and resume
+    accounting see nothing until ``table.fast_forward(name)`` publishes
+    the chain (``delete_branch`` discards it and the batch re-applies
+    on the main line later).  Mutually exclusive with ``stage_only``
+    (single-commit WAP).
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
     job_id = job_id or uuid.uuid4().hex[:12]
     key_cols = table.key_cols
     data_cols = table.spark_schema().fieldNames()
-    hwm = merge_high_water_mark(table)
+    if branch is not None:
+        if stage_only:
+            raise ValueError("stage_only and branch are mutually exclusive")
+        table.refresh()
+        table.branch_chain(branch)  # validates: exists and is a branch
+        # every base read below pins to the branch head; commit()
+        # re-validates the ref per retry attempt
+        base_sid: int | None = table.refs[branch]["snapshot_id"]
+    else:
+        base_sid = None
+    hwm = merge_high_water_mark(table, branch=branch)
 
     # C2 'get batch': only changes past the checkpoint; replay-safe.
     # GTID mode: a `stream_id` column switches to per-stream positions —
@@ -313,7 +356,7 @@ def merge_into(
         ),
     ).otherwise(F.coalesce(F.col("stream_id"), F.lit(NULL_STREAM)))
     if has_streams:
-        gset = merge_gtid_set(table)
+        gset = merge_gtid_set(table, branch=branch)
         if gset:
             gmap = F.create_map(
                 *[x for k, v in sorted(gset.items()) for x in (F.lit(k), F.lit(v))]
@@ -411,7 +454,8 @@ def merge_into(
         # (the oracle puts the after-image regardless) — reclassify
         # those here via a manifest-pruned presence probe.
         final = _refine_noops(
-            spark, table, final, key_cols, max_probe_keys=max_driver_keys
+            spark, table, final, key_cols, max_probe_keys=max_driver_keys,
+            snapshot_id=base_sid,
         )
         row = final.agg(
             F.count("*").alias("n"),
@@ -436,7 +480,7 @@ def merge_into(
         new_gset = None
         if has_streams:
             # per-stream ack points (bounded by stream count)
-            new_gset = dict(merge_gtid_set(table))
+            new_gset = dict(merge_gtid_set(table, branch=branch))
             for r in slice_df.groupBy(stream_key.alias("stream_id")).agg(
                 F.max("ordinal").alias("mo")
             ).collect():
@@ -460,12 +504,12 @@ def merge_into(
         keys_df = effective.select(*key_cols)
         upserts = effective.where(F.col("op") != "D").select(*data_cols)
 
-        entries = table.files()
+        entries = table.files(base_sid)
         # pending equality-deletes from earlier merge-on-read batches:
         # every COW read of old files must fold them in, or rewritten
         # survivors would resurrect deleted rows (their new sequence
         # stops the pending delete from applying)
-        pending_dels = table.delete_files()
+        pending_dels = table.delete_files(base_sid)
         new_entries = []
         rows_del = 0
         if mode == "mor":
@@ -654,6 +698,7 @@ def merge_into(
         summary=summary,
         new_properties=props,
         stage_only=stage_only,
+        branch=branch,
     )
     return MergeResult(
         applied=True,

@@ -172,6 +172,11 @@ class CommitConflict(Exception):
 # untouched and the batch re-applies cleanly.
 WAP_STAGED_KEY = "wap-staged"
 WAP_PROPS_KEY = "wap-staged-properties"
+# summary key marking a commit that landed on a named branch (value =
+# branch name).  Branch commits are the multi-commit generalization of
+# WAP staging: invisible to mainline readers and checkpoint accounting
+# until fast_forward publishes the whole chain atomically.
+BRANCH_KEY = "wap-branch"
 
 
 # --------------------------------------------------------------------------
@@ -363,6 +368,9 @@ class Table:
         tag: str | None = None,
     ) -> Snapshot | None:
         if tag is not None:
+            # resolves ANY named ref: a tag pin or a branch head (so
+            # scan(tag=<branch>) is the audit read of an unpublished
+            # branch chain)
             refs = self.refs
             if tag not in refs:
                 raise KeyError(f"unknown tag {tag!r}")
@@ -386,11 +394,14 @@ class Table:
 
     @property
     def refs(self) -> dict:
-        """Named snapshot refs: {name: {"snapshot_id": N, "type": "tag"}}.
-        The training-set pinning primitive — tag the snapshot a run
-        trained on ("train-v1") and every re-read of that tag is the
-        byte-identical corpus, immune to later merges, compaction,
-        clustering AND snapshot expiry (tagged snapshots never expire)."""
+        """Named snapshot refs: {name: {"snapshot_id": N, "type":
+        "tag" | "branch"}}.  Tags are the training-set pinning
+        primitive — tag the snapshot a run trained on ("train-v1") and
+        every re-read of that tag is the byte-identical corpus, immune
+        to later merges, compaction, clustering AND snapshot expiry
+        (referenced snapshots never expire).  Branches are writable
+        refs: commit chains land on them without moving ``current``
+        until :meth:`fast_forward` publishes the chain."""
         return self.metadata.get("refs", {})
 
     def set_tag(self, name: str, snapshot_id: int | None = None) -> dict:
@@ -406,6 +417,12 @@ class Table:
             snap = self.snapshot_by_id(sid)  # raises on unknown id
             if snap.summary.get(WAP_STAGED_KEY):
                 raise ValueError(f"snapshot {sid} is staged — publish first")
+            if snap.summary.get(BRANCH_KEY):
+                # a tag into a branch chain would dangle on delete_branch
+                raise ValueError(
+                    f"snapshot {sid} belongs to branch "
+                    f"{snap.summary[BRANCH_KEY]!r} — fast_forward, then tag"
+                )
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["refs"] = {**self.refs, name: {"snapshot_id": sid, "type": "tag"}}
@@ -422,6 +439,13 @@ class Table:
             self.refresh()
             if name not in self.refs:
                 raise KeyError(f"unknown tag {name!r}")
+            if self.refs[name].get("type") == "branch":
+                # dropping just the ref would orphan the chain's
+                # unpublished snapshots without GC'ing their files
+                raise ValueError(
+                    f"{name!r} is a branch — use delete_branch (GC) or "
+                    "fast_forward (publish)"
+                )
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["refs"] = {k: v for k, v in self.refs.items() if k != name}
@@ -432,6 +456,203 @@ class Table:
             except FileExistsError:
                 continue
         raise CommitConflict("delete_tag gave up after 5 retries")
+
+    # ---- writable branches (Iceberg branch refs / audit-branch WAP) -------
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Create a writable branch ref at a mainline snapshot (default:
+        current).  Branches are the multi-commit form of write-audit-
+        publish: ``commit(..., branch=name)`` chains snapshots off the
+        ref without moving ``current``; readers audit via
+        ``scan(tag=name)``; :meth:`fast_forward` publishes the whole
+        chain atomically (deferred properties applied in commit order)
+        and :meth:`delete_branch` discards it with full file GC.
+
+        Sources must be ON the main line: branching from a WAP-staged or
+        branch-marked snapshot would entangle two pending lifecycles
+        (aborting one would orphan the other's parent chain)."""
+        for _ in range(5):
+            self.refresh()
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else self.current_snapshot_id
+            )
+            if sid is None:
+                raise ValueError("cannot branch an empty table")
+            snap = self.snapshot_by_id(sid)  # raises on unknown id
+            if snap.summary.get(WAP_STAGED_KEY):
+                raise ValueError(f"snapshot {sid} is staged — publish first")
+            if snap.summary.get(BRANCH_KEY):
+                raise ValueError(
+                    f"snapshot {sid} belongs to branch "
+                    f"{snap.summary[BRANCH_KEY]!r} — fast_forward it first"
+                )
+            if name in self.refs:
+                raise ValueError(f"ref {name!r} already exists")
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["refs"] = {
+                **self.refs,
+                name: {"snapshot_id": sid, "type": "branch"},
+            }
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return meta["refs"][name]
+            except FileExistsError:
+                continue
+        raise CommitConflict("create_branch gave up after 5 retries")
+
+    def branch_chain(self, name: str) -> list["Snapshot"]:
+        """The branch-exclusive snapshots of ``name``, newest first
+        (empty if the branch has no commits yet).  The chain walks
+        parent ids from the ref head while the snapshots carry this
+        branch's marker; the first unmarked ancestor is the fork base
+        (a mainline snapshot, not part of the chain)."""
+        ref = self.refs.get(name)
+        if ref is None or ref.get("type") != "branch":
+            raise KeyError(f"unknown branch {name!r}")
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        chain: list[Snapshot] = []
+        cur = by_id.get(ref["snapshot_id"])
+        while cur is not None and cur.summary.get(BRANCH_KEY) == name:
+            chain.append(cur)
+            cur = (
+                by_id.get(cur.parent_id) if cur.parent_id is not None else None
+            )
+        return chain
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish a branch: atomically point ``current`` at the branch
+        head, strip the branch markers from every chain snapshot (their
+        summaries start counting for checkpoint accounting), apply the
+        chain's deferred property updates oldest-first, and drop the
+        ref.  Fails with :class:`CommitConflict` when the main line
+        advanced past the branch's fork base — the chain was computed
+        against a base that no longer exists, so re-branch and re-run
+        (the same lost-update protection as :meth:`publish`)."""
+        for _ in range(5):
+            self.refresh()
+            chain = self.branch_chain(name)  # raises on unknown branch
+            if not chain:
+                raise ValueError(
+                    f"branch {name!r} has no commits to publish — "
+                    "delete_branch instead"
+                )
+            if chain[-1].parent_id != self.current_snapshot_id:
+                raise CommitConflict(
+                    f"cannot fast-forward {name!r}: table advanced past "
+                    f"its fork base {chain[-1].parent_id} "
+                    f"(current {self.current_snapshot_id}) — re-branch"
+                )
+            now_ms = int(time.time() * 1000)
+            props = dict(self.properties)
+            published: dict[int, Snapshot] = {}
+            for s in reversed(chain):  # oldest first: later wins
+                props.update(s.summary.get(WAP_PROPS_KEY) or {})
+                ns = {
+                    k: v
+                    for k, v in s.summary.items()
+                    if k not in (BRANCH_KEY, WAP_PROPS_KEY)
+                }
+                ns["branch-published-at-ms"] = now_ms
+                published[s.snapshot_id] = Snapshot(
+                    snapshot_id=s.snapshot_id,
+                    parent_id=s.parent_id,
+                    timestamp_ms=s.timestamp_ms,
+                    operation=s.operation,
+                    manifests=s.manifests,
+                    summary=ns,
+                    schema_id=s.schema_id,
+                )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = [
+                published.get(s.snapshot_id, s).to_json()
+                for s in self.snapshots
+            ]
+            meta["current_snapshot_id"] = chain[0].snapshot_id
+            meta["properties"] = props
+            meta["refs"] = {k: v for k, v in self.refs.items() if k != name}
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return published[chain[0].snapshot_id]
+            except FileExistsError:
+                continue
+        raise CommitConflict("fast_forward gave up after 5 retries")
+
+    def delete_branch(self, name: str) -> dict:
+        """Abandon a branch: atomically drop the ref AND the chain's
+        snapshots, then GC the data files and manifests only the chain
+        referenced (anything shared with a retained snapshot survives —
+        the multi-commit form of :meth:`abort_staged`).  Deferred
+        properties die with the chain, so an abandoned merge batch
+        stays below the checkpoint and re-applies on the next pass."""
+        for _ in range(5):
+            self.refresh()
+            chain = self.branch_chain(name)  # raises on unknown branch
+            chain_ids = {s.snapshot_id for s in chain}
+            retained = [
+                s for s in self.snapshots if s.snapshot_id not in chain_ids
+            ]
+            live_manifests: set[str] = set()
+            for s in retained:
+                live_manifests.update(s.manifests)
+            live_files: set[str] = set()
+            for m in live_manifests:
+                live_files.update(e.path for e in self._read_manifest(m))
+            dead_manifests: set[str] = set()
+            dead_files: set[str] = set()
+            for s in chain:
+                for m in s.manifests:
+                    if m not in live_manifests:
+                        dead_manifests.add(m)
+                        dead_files.update(
+                            e.path
+                            for e in self._read_manifest(m)
+                            if e.path not in live_files
+                        )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = [s.to_json() for s in retained]
+            meta["refs"] = {k: v for k, v in self.refs.items() if k != name}
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+            except FileExistsError:
+                continue
+            deleted = 0
+            dirs: set[str] = set()
+            for p in dead_files:
+                full = os.path.join(self.root, p)
+                dirs.add(os.path.dirname(full))
+                try:
+                    os.remove(full)
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+            for d in sorted(dirs, reverse=True):
+                try:
+                    for side in os.listdir(d):
+                        if side.startswith(("_", ".")):
+                            os.remove(os.path.join(d, side))
+                    os.rmdir(d)
+                except OSError:
+                    pass  # shared with a retained commit — leave it
+            for m in dead_manifests:
+                try:
+                    os.remove(os.path.join(self._meta_dir(), m))
+                except FileNotFoundError:
+                    pass
+            return {
+                "deleted": True,
+                "snapshots_dropped": len(chain),
+                "data_files_deleted": deleted,
+                "manifests_deleted": len(dead_manifests),
+            }
+        raise CommitConflict("delete_branch gave up after 5 retries")
 
     # ---- era-aware reads --------------------------------------------------
 
@@ -679,6 +900,7 @@ class Table:
         new_partition_spec: list[str] | None = None,
         max_retries: int = 5,
         stage_only: bool = False,
+        branch: str | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot (optimistic concurrency).
 
@@ -701,6 +923,14 @@ class Table:
             new_schema_json is not None or new_partition_spec is not None
         ):
             raise ValueError("stage_only commits cannot carry DDL changes")
+        if branch is not None:
+            # branch commits share WAP's restrictions: no DDL (schema /
+            # spec changes stay isolation barriers on the main line) and
+            # no double-deferral with stage_only
+            if stage_only:
+                raise ValueError("stage_only and branch are mutually exclusive")
+            if new_schema_json is not None or new_partition_spec is not None:
+                raise ValueError("branch commits cannot carry DDL changes")
         removed = set(removed_paths)
         # entries arriving without a commit sequence get stamped with the
         # committing snapshot id (re-stamped per attempt: a lost race
@@ -709,7 +939,16 @@ class Table:
         unstamped = [e for e in added if e.seq is None]
         for _ in range(max_retries):
             self.refresh()
-            parent = self.current_snapshot()
+            if branch is not None:
+                ref = self.refs.get(branch)
+                if ref is None or ref.get("type") != "branch":
+                    raise CommitConflict(
+                        f"branch {branch!r} no longer exists "
+                        "(deleted or fast-forwarded concurrently)"
+                    )
+                parent = self.snapshot_by_id(ref["snapshot_id"])
+            else:
+                parent = self.current_snapshot()
             # max over ALL snapshots, not parent+1: a staged (WAP)
             # snapshot holds an id off the current line, and the next
             # mainline commit must not collide with it — ids are the
@@ -775,6 +1014,12 @@ class Table:
                 wap_summary[WAP_STAGED_KEY] = True
                 if new_properties is not None:
                     wap_summary[WAP_PROPS_KEY] = dict(new_properties)
+            elif branch is not None:
+                wap_summary[BRANCH_KEY] = branch
+                if new_properties is not None:
+                    # deferred like WAP: applied in chain order at
+                    # fast_forward, dying with the chain on delete_branch
+                    wap_summary[WAP_PROPS_KEY] = dict(new_properties)
             snap = Snapshot(
                 snapshot_id=next_id,
                 parent_id=parent.snapshot_id if parent else None,
@@ -794,14 +1039,20 @@ class Table:
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["snapshots"] = self.metadata["snapshots"] + [snap.to_json()]
-            if not stage_only:
+            if branch is not None:
+                # advance the branch ref, never current
+                meta["refs"] = {
+                    **self.refs,
+                    branch: {"snapshot_id": snap.snapshot_id, "type": "branch"},
+                }
+            elif not stage_only:
                 meta["current_snapshot_id"] = snap.snapshot_id
             meta["schemas"] = schemas
             meta["current_schema_id"] = schema_id
             meta["field_ids"] = fid_hist
             if new_schema_json is not None:
                 meta["schema"] = new_schema_json
-            if new_properties is not None and not stage_only:
+            if new_properties is not None and not stage_only and branch is None:
                 meta["properties"] = {**self.properties, **new_properties}
             if new_partition_spec is not None:
                 specs = [list(s) for s in self.partition_specs]
@@ -1011,6 +1262,13 @@ class Table:
             # a tag's whole purpose is surviving retention policy, so
             # only delete_tag releases them to expiry
             keep.update(r["snapshot_id"] for r in self.refs.values())
+            # branch chains are pinned whole (head AND intermediates):
+            # fast_forward needs every chain snapshot's manifests and
+            # deferred properties; only fast_forward/delete_branch ends
+            # their lifecycle
+            for nm, r in self.refs.items():
+                if r.get("type") == "branch":
+                    keep.update(s.snapshot_id for s in self.branch_chain(nm))
 
             retained = [s for s in snaps if s.snapshot_id in keep]
             expired = [s for s in snaps if s.snapshot_id not in keep]

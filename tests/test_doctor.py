@@ -150,6 +150,21 @@ def test_doctor_flags_dangling_ref_and_stale_stage(spark, tmp_table_root):
     t.refresh()
     t.abort_staged(staged.snapshot_id)
 
+    # a forgotten branch chain is the multi-commit form of a stale stage
+    t.create_branch("old")
+    r = merge_into(
+        spark, t, changelog_df(spark, synth_changelog_rows(base, 20)),
+        branch="old",
+    )
+    assert check_table(spark, t)["ok"]  # fresh chain: audit in flight
+    for s in t.metadata["snapshots"]:
+        if s["snapshot_id"] == r.snapshot_id:
+            s["timestamp_ms"] -= 48 * 3_600_000
+    rep = check_table(spark, t)
+    assert any(v["kind"] == "stale-branch" for v in rep["violations"])
+    t.refresh()
+    t.delete_branch("old")
+
     # a ref pointing at a snapshot that no longer exists is a violation
     t.metadata["refs"] = {"train-v0": {"snapshot_id": 999_999, "type": "tag"}}
     rep = check_table(spark, t)

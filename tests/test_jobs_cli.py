@@ -561,3 +561,50 @@ def test_spark_submit_py_files_zip_ships_the_package(tmp_path):
     assert "APPLIED=True" in lines
     scan = [l for l in lines if l.startswith("SCAN_ROWS=")]
     assert scan and int(scan[0].split("=")[1]) > 0
+
+
+def test_branch_cli_create_apply_fast_forward(tmp_path):
+    """Branch lifecycle across PROCESSES: create (instant metadata job),
+    apply a changelog on the branch (spark job), list, fast-forward —
+    mainline only moves at publish."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("branch-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(300)
+    append(spark, t, base_table_df(spark, 300).repartition(4))
+    cl_dir = str(tmp_path / "cl")
+    rows = synth_changelog_rows(base, 80, seed=31)
+    changelog_df(spark, rows).write.parquet(cl_dir)
+    cur_before = t.current_snapshot_id
+
+    res = run_job("canal_spark.jobs.branch", root, "--create", "audit")
+    assert res["created"]["audit"]["snapshot_id"] == cur_before
+
+    m = run_job("canal_spark.jobs.apply_changelog", root,
+                "--changelog", cl_dir, "--branch", "audit")
+    assert m["applied"] is True
+
+    t = load_table(root)
+    assert t.current_snapshot_id == cur_before  # mainline untouched
+    res = run_job("canal_spark.jobs.branch", root, "--list")
+    assert res["refs"]["audit"]["chain_len"] == 1
+
+    res = run_job("canal_spark.jobs.branch", root, "--fast-forward", "audit")
+    assert res["refs"] == {}
+    t = load_table(root)
+    assert t.current_snapshot_id == m["snapshot_id"]
+    from canal_spark.changelog import python_oracle_apply
+
+    want = python_oracle_apply({r[0]: (r[1], r[2], r[3]) for r in base}, rows)
+    assert t.row_count() == len(want)

@@ -413,6 +413,29 @@ def main() -> None:
          "ArrowEvalPython", "BatchEvalPython"],
     ))
 
+    # 19. branch-pinned read: scan(tag=<branch>) of a chain carrying its
+    # own pending MoR deletes keeps the mainline plan shape exactly —
+    # broadcast anti-join delete fold, batched parquet scan, no shuffle
+    # of the data side.  Branch pinning is metadata-only (which manifest
+    # set feeds the scan), so the audit read of an unpublished chain
+    # costs the same plan as a mainline read at 100 TB.
+    t.create_branch("audit-br")
+    merge_into(
+        spark, t,
+        changelog_df(spark, synth_changelog_rows(base, 100, seed=3,
+                                                 start_ordinal=5000)),
+        branch="audit-br", mode="mor",
+    )
+    t.refresh()
+    p19 = plan_of(t.scan(spark, tag="audit-br"))
+    sections.append((
+        "Branch-pinned read: unpublished chain scans with the mainline plan shape",
+        p19,
+        ["BroadcastHashJoin LeftAnti", "BroadcastExchange", "Batched: true"],
+        ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+    t.delete_branch("audit-br")
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
