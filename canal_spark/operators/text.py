@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canal_spark.operators.common import duck_md5int, load, md5int
+from canal_spark.operators.common import (
+    attach_cached_deps,
+    duck_md5int,
+    load,
+    md5int,
+)
 
 # marker lexicons for the n-gram/stopword language heuristic
 LEX = {
@@ -546,6 +551,133 @@ FROM e
 """
 
 
+BPE_TOP = 32
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training (Sennrich-style): the most
+    frequent adjacent character pairs across the corpus, weighted by
+    word frequency — the statistic each merge step of a byte-pair
+    tokenizer build consumes.
+
+    Scale shape: the corpus first collapses to the word-frequency
+    dictionary (one partial-agg shuffle keyed by word; hot words
+    combine map-side), then pair generation runs over DISTINCT words
+    only — O(vocab × word length), not O(corpus tokens) — and the pair
+    count is a second partial-agg shuffle over a ≤ alphabet² key space.
+    The final top-k compiles to TakeOrderedAndProject (per-partition
+    heads + an O(partitions × k) driver merge), never a global sort.
+    Real BPE iterates this with the chosen merge applied; each round is
+    the same two-shuffle job over the (tiny) updated vocab table."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)  # 1-char words carry no pair
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       FROM w WHERE len(w) >= 2 GROUP BY w),
+p AS (SELECT substring(wc.w, CAST(t.i AS INT), 2) AS pair, wc.c
+      FROM wc, UNNEST(range(1, len(wc.w))) AS t(i))
+SELECT pair, CAST(sum(c) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+"""
+
+
+RARE_BIGRAM_T = 2  # corpus occurrences at/below this mark a bigram rare
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped language-model quality filter: score every document
+    by how predictable its word bigrams are under the corpus's own
+    bigram model — P(w2|w1) = count(w1 w2) / count(w1 ·) — emitting the
+    per-doc mean conditional probability in permille plus the rare-
+    bigram count (the high-perplexity tail a quality cut drops first).
+    All arithmetic is integer DIV on integer counts (per the module's
+    exact-math convention), so the score is bit-identical across
+    engines and order-independent at any parallelism.
+
+    Scale shape: doc bigrams pre-aggregate to (doc, bigram) counts
+    map-side and PERSIST — the model tables B(bigram) and U(prefix) and
+    the scoring probe all derive from that one frame, and without the
+    persist each of the three would re-run the corpus scan + explode
+    (the plan showed 3 parquet scans).  B and U are vocab²-bounded
+    (dictionary-sized, not corpus-sized), and the scoring join is
+    equi-keyed with AQE choosing broadcast while the dictionaries stay
+    small.  Docs with fewer than two words carry no bigram and drop
+    out (same in the oracle)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    d = docs.where(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS w1, concat(ws[i], ' ', ws[i+1]) AS bg))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.bg")
+    db = (
+        bg.groupBy("doc_id", "w1", "bg")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()  # released by the caller via release_cached_deps
+    )
+    model_b = db.groupBy("bg").agg(F.sum("c").cast("long").alias("nb"))
+    model_u = db.groupBy("w1").agg(F.sum("c").cast("long").alias("nu"))
+    j = db.join(model_b, "bg").join(model_u, "w1")
+    per = j.select(
+        "doc_id", "c", "nb", F.expr("nb * 1000 DIV nu").alias("pm")
+    )
+    out = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("nb") <= RARE_BIGRAM_T, F.col("c")).otherwise(F.lit(0))
+        ).cast("long").alias("rare_bigrams"),
+        F.expr("CAST(sum(c * pm) DIV sum(c) AS BIGINT)").alias("lm_permille"),
+    )
+    return attach_cached_deps(out, [db])
+
+
+SQL_BIGRAM_LM_SCORE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+bg AS (SELECT doc_id, ws[CAST(t.i AS INT)] AS w1,
+              ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS bg
+       FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+db AS (SELECT doc_id, w1, bg, CAST(count(*) AS BIGINT) AS c
+       FROM bg GROUP BY doc_id, w1, bg),
+b AS (SELECT bg, CAST(sum(c) AS BIGINT) AS nb FROM db GROUP BY bg),
+u AS (SELECT w1, CAST(sum(c) AS BIGINT) AS nu FROM db GROUP BY w1)
+SELECT db.doc_id,
+       CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN b.nb <= {RARE_BIGRAM_T} THEN db.c ELSE 0 END)
+            AS BIGINT) AS rare_bigrams,
+       CAST(sum(db.c * (b.nb * 1000 // u.nu)) // sum(db.c) AS BIGINT)
+           AS lm_permille
+FROM db JOIN b USING (bg) JOIN u USING (w1)
+GROUP BY db.doc_id
+"""
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -558,6 +690,8 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pack_materialize": q_pack_materialize,
     "pii_redact": q_pii_redact,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 ORACLES = {
@@ -572,4 +706,6 @@ ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "pack_materialize": SQL_PACK_MATERIALIZE,
     "pii_redact": SQL_PII_REDACT,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
+    "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
 }

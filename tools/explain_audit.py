@@ -436,6 +436,40 @@ def main() -> None:
     ))
     t.delete_branch("audit-br")
 
+    # 20. BPE pair counts: pair generation runs over the DISTINCT-word
+    # dictionary (corpus collapses in the first partial-agg shuffle
+    # BEFORE the explode — the Generate's child is an aggregate, not
+    # the scan), and the top-k is TakeOrderedAndProject (per-partition
+    # heads), never a global Sort.
+    from canal_spark.operators.text import q_bpe_pair_counts
+
+    p20 = plan_of(q_bpe_pair_counts(spark, sf_dir))
+    sections.append((
+        "BPE pair counts: dictionary-side Generate, partial aggs, top-k not a sort",
+        p20,
+        ["TakeOrderedAndProject", "Generate", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
+    # 21. bigram LM score: the shared (doc, bigram) frame is persisted —
+    # the model rollups and the scoring probe read InMemoryTableScan,
+    # not three corpus re-scans; both model joins are hash equi-joins
+    # (dictionary build sides), never a product.
+    from canal_spark.operators.common import release_cached_deps
+    from canal_spark.operators.text import q_bigram_lm_score
+
+    lm = q_bigram_lm_score(spark, sf_dir)
+    p21 = plan_of(lm)
+    release_cached_deps(lm)
+    sections.append((
+        "Bigram LM score: persisted doc-bigram frame, hash joins to dictionary models",
+        p21,
+        ["InMemoryTableScan", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
