@@ -470,6 +470,26 @@ def main() -> None:
          "ArrowEvalPython", "BatchEvalPython"],
     ))
 
+    # 22. BPE encode: encoding the corpus through a trained model is a
+    # dictionary equi-join (word -> symbol count) + one doc-keyed
+    # partial agg — the corpus side takes no join-driven shuffle
+    # beyond the rollup, and no merge logic re-runs at encode time
+    # (no fold expression, no Python, no product).
+    from canal_spark.operators.common import load as _load
+    from canal_spark.tokenizer import bpe_encode, bpe_train
+
+    _docs = _load(spark, sf_dir, "documents")
+    _model = bpe_train(spark, _docs, n_merges=4)
+    p22 = plan_of(bpe_encode(_docs, _model))
+    _model.release()
+    sections.append((
+        "BPE encode: dictionary equi-join + doc-keyed rollup, no merge re-run",
+        p22,
+        ["Generate", "HashAggregate", "Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "ArrowEvalPython", "BatchEvalPython", "aggregate("],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
