@@ -185,6 +185,30 @@ def test_branch_guards_and_expiry_pinning(spark, token_table):
     t.delete_branch("b1")
 
 
+def test_two_branches_loser_conflicts_and_cleans_up(spark, token_table):
+    """Two concurrent audit branches off the same base: the first
+    publish wins; the loser's fast-forward conflicts (its fork base is
+    gone), and deleting it leaves exactly the winner's state."""
+    t, base = token_table
+    rows1, _ = _chained_batches(base)
+
+    t.create_branch("x")
+    t.create_branch("y")
+    rx = merge_into(spark, t, changelog_df(spark, rows1), branch="x")
+    ry = merge_into(spark, t, changelog_df(spark, rows1), branch="y")
+    assert rx.applied and ry.applied
+    assert rx.snapshot_id != ry.snapshot_id  # ids unique across branches
+
+    t.fast_forward("x")
+    with pytest.raises(CommitConflict):
+        t.fast_forward("y")
+    out = t.delete_branch("y")
+    assert out["snapshots_dropped"] == 1
+    assert scan_dict(spark, t) == oracle_dict(base, rows1)
+    # y's marks died with it; replay on the main line no-ops (x's won)
+    assert not merge_into(spark, t, changelog_df(spark, rows1)).applied
+
+
 def test_branch_gtid_marks_stay_on_branch(spark, token_table):
     t, base = token_table
     from pyspark.sql import functions as F

@@ -608,3 +608,22 @@ def test_branch_cli_create_apply_fast_forward(tmp_path):
 
     want = python_oracle_apply({r[0]: (r[1], r[2], r[3]) for r in base}, rows)
     assert t.row_count() == len(want)
+
+
+def test_tokenizer_cli_train_then_encode(tmp_path):
+    """BPE train + encode as spark-submit subprocesses: model round-trips
+    through disk (merges.json + vocab parquet) and encoding compresses."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "bpe")
+    enc = str(tmp_path / "enc")
+
+    res = run_job("canal_spark.jobs.tokenizer", docs,
+                  "--model", model, "--train", "--n-merges", "6")
+    assert res["train"]["n_merges"] == 6
+    assert res["train"]["vocab_words"] > 0
+    assert os.path.exists(os.path.join(model, "merges.json"))
+
+    res = run_job("canal_spark.jobs.tokenizer", docs,
+                  "--model", model, "--encode", enc)
+    assert res["encode"]["docs"] == 500
+    assert res["encode"]["compression_permille"] < 1000  # merges compress
