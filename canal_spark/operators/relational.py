@@ -107,6 +107,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    `props` payload (the FlatMessage-style stringly column every CDC
+    envelope carries — FlatMessage.java keeps row data as string maps)
+    and roll it up per event type.  `get_json_object` is a JVM
+    expression inside whole-stage codegen — the parse never leaves the
+    scan stage, no shuffle happens before the keyed partial agg, and
+    all outputs are exact integers."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", "user_id", k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 # --- 4. topic routing (F8: MQMessageUtils.messageTopics) --------------------
 
 
@@ -387,6 +419,7 @@ QUERIES = {
     "changelog_dedupe": q_changelog_dedupe,
     "merge_upsert": q_merge_upsert,
     "metrics_rollup": q_metrics_rollup,
+    "json_props_rollup": q_json_props_rollup,
     "topic_routing": q_topic_routing,
     "table_filter": q_table_filter,
     "pk_hash_partition": q_pk_hash_partition,
@@ -401,6 +434,7 @@ ORACLES = {
     "changelog_dedupe": SQL_CHANGELOG_DEDUPE,
     "merge_upsert": SQL_MERGE_UPSERT,
     "metrics_rollup": SQL_METRICS_ROLLUP,
+    "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "topic_routing": SQL_TOPIC_ROUTING,
     "table_filter": SQL_TABLE_FILTER,
     "pk_hash_partition": SQL_PK_HASH_PARTITION,

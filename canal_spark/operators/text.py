@@ -551,6 +551,139 @@ FROM e
 """
 
 
+NGRAM_D = 6      # decontamination n-gram width (words)
+EVAL_MOD, EVAL_REM = 10, 7    # docs with doc_id % 10 == 7 form the eval set
+CONTAM_MOD, CONTAM_REM = 7, 3  # train docs that get contamination injected
+CONTAM_WORDS = NGRAM_D + 2    # words of eval text appended (-> 3 hit grams)
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Llama/GPT-3-style span-level decontamination: every train-side
+    word position covered by an ``NGRAM_D``-gram that also occurs in
+    the eval set is REMOVED (not just flagged — the surgery step beyond
+    `contamination_check`'s detection).  The fixture corpus is random
+    word-salad with no natural overlap, so contamination is first
+    INJECTED deterministically (like `pii_redact`'s PII): train docs
+    with doc_id % 7 == 3 get the first 8 words of their decade's eval
+    doc appended — removal must then restore exactly the original text.
+    Emits per TRAIN doc: word count (post-injection), removed-word
+    count, and the reassembled clean text.
+
+    Scale shape: the forbidden-gram dictionary is eval-set-bounded
+    (distinct grams of the held-out set — small by definition); train
+    gram extraction is a map-side transform + posexplode; the match is
+    a leftsemi equi-join on gram (AQE broadcasts the dictionary);
+    covered positions explode O(matches × D); the final flag join is
+    keyed (doc, pos) against that match-bounded side; reassembly is
+    one doc-keyed aggregate with array_sort — never a window, no
+    Python anywhere."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
+    ev = docs.where(is_eval).select("doc_id", "text")
+    partner = (
+        F.col("doc_id") - F.col("doc_id") % EVAL_MOD + EVAL_REM
+    ).alias("pid")
+    train = (
+        docs.where(~is_eval)
+        .select("doc_id", "text", partner)
+        .join(
+            ev.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext")),
+            "pid", "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % CONTAM_MOD == CONTAM_REM)
+                & F.col("ptext").isNotNull(),
+                F.concat_ws(
+                    " ", "text",
+                    F.array_join(
+                        F.slice(F.split("ptext", " "), 1, CONTAM_WORDS), " "
+                    ),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    gram_arr = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {NGRAM_D}), "
+        f"i -> array_join(slice(split(text, ' '), i + 1, {NGRAM_D}), ' '))"
+    )
+    forbidden = (
+        ev.where(F.size(F.split("text", " ")) >= NGRAM_D)
+        .select(F.explode(gram_arr).alias("gram"))
+        .distinct()
+    )
+    grams = train.where(F.size(F.split("text", " ")) >= NGRAM_D).select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    covered = (
+        grams.join(forbidden, "gram", "leftsemi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {NGRAM_D - 1})")
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    words = train.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    flagged = words.join(covered, ["doc_id", "pos"], "left")
+    kept = F.when(F.col("rm").isNull(), F.struct(F.col("pos"), F.col("w")))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["w"]),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH ev AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+tr AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {CONTAM_MOD} = {CONTAM_REM} AND e.text IS NOT NULL
+              THEN d.text || ' ' ||
+                   array_to_string(
+                     (string_split(e.text, ' '))[1 : {CONTAM_WORDS}], ' ')
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN ev e ON e.doc_id = d.doc_id - d.doc_id % {EVAL_MOD} + {EVAL_REM}
+  WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}),
+forbidden AS (
+  SELECT DISTINCT array_to_string(ws[u.i + 1 : u.i + {NGRAM_D}], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS ws FROM ev) w,
+       UNNEST(range(0, len(ws) - {NGRAM_D} + 1)) AS u(i)),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(ws[u.i + 1 : u.i + {NGRAM_D}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM tr) t,
+       UNNEST(range(0, len(ws) - {NGRAM_D} + 1)) AS u(i)),
+cov AS (
+  SELECT DISTINCT m.doc_id, m.pos + u.j AS cpos
+  FROM (SELECT DISTINCT g.doc_id, g.pos
+        FROM grams g JOIN forbidden f USING (gram)) m,
+       UNNEST(range(0, {NGRAM_D})) AS u(j)),
+wd AS (
+  SELECT doc_id, u.i - 1 AS pos, ws[CAST(u.i AS INT)] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM tr) t,
+       UNNEST(range(1, len(ws) + 1)) AS u(i))
+SELECT wd.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(CASE WHEN cov.cpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_removed,
+  coalesce(string_agg(CASE WHEN cov.cpos IS NULL THEN wd.w END,
+                      ' ' ORDER BY wd.pos), '') AS clean_text
+FROM wd LEFT JOIN cov ON cov.doc_id = wd.doc_id AND cov.cpos = wd.pos
+GROUP BY wd.doc_id
+"""
+
+
 BPE_TOP = 32
 
 
@@ -692,6 +825,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bigram_lm_score": q_bigram_lm_score,
+    "decontaminate_spans": q_decontaminate_spans,
 }
 
 ORACLES = {
@@ -708,4 +842,5 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
 }

@@ -387,3 +387,65 @@ def test_pii_redact_strips_everything_and_matches_python_re(spark):
         .collect()[0]["total"]
     )
     assert residual == 0
+
+
+def test_decontaminate_spans_matches_python_reference(spark):
+    """Third-engine check: a direct Python mirror of the semantics —
+    inject the decade-partner eval prefix into doc_id%7==3 train docs,
+    remove every word position covered by a 6-gram present anywhere in
+    the eval set, reassemble.  (The fixture corpus contains deliberate
+    near-duplicates, so NATURAL eval/train overlap exists beyond the
+    injected spans — the reference accounts for both.)  Also asserts
+    the removal path really fires and that injected spans always go."""
+    from canal_spark.operators.text import (
+        CONTAM_MOD,
+        CONTAM_REM,
+        CONTAM_WORDS,
+        EVAL_MOD,
+        EVAL_REM,
+        NGRAM_D,
+        q_decontaminate_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    eval_ids = {d for d in docs if d % EVAL_MOD == EVAL_REM}
+
+    forbidden = set()
+    for d in eval_ids:
+        ws = docs[d].split(" ")
+        for i in range(len(ws) - NGRAM_D + 1):
+            forbidden.add(" ".join(ws[i : i + NGRAM_D]))
+
+    want = {}
+    for did, text in docs.items():
+        if did in eval_ids:
+            continue
+        partner = did - did % EVAL_MOD + EVAL_REM
+        if did % CONTAM_MOD == CONTAM_REM and partner in docs:
+            text = text + " " + " ".join(
+                docs[partner].split(" ")[:CONTAM_WORDS]
+            )
+        ws = text.split(" ")
+        covered = set()
+        for i in range(len(ws) - NGRAM_D + 1):
+            if " ".join(ws[i : i + NGRAM_D]) in forbidden:
+                covered.update(range(i, i + NGRAM_D))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        want[did] = (len(ws), len(covered), " ".join(kept))
+
+    got = {r["doc_id"]: r for r in q_decontaminate_spans(spark, sf).collect()}
+    assert set(got) == set(want)
+    for did, (nw, nr, clean) in want.items():
+        r = got[did]
+        assert (r["n_words"], r["n_removed"], r["clean_text"]) == (nw, nr, clean)
+    # the injected contamination fired and was fully removed everywhere
+    injected_ids = [
+        d for d in want
+        if d % CONTAM_MOD == CONTAM_REM and (d - d % EVAL_MOD + EVAL_REM) in docs
+    ]
+    assert injected_ids
+    assert all(want[d][1] >= CONTAM_WORDS for d in injected_ids)

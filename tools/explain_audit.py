@@ -490,6 +490,21 @@ def main() -> None:
          "ArrowEvalPython", "BatchEvalPython", "aggregate("],
     ))
 
+    # 23. span decontamination: eval-gram dictionary semi-join (AQE
+    # picks the strategy — the dictionary is eval-set-bounded), covered
+    # positions keyed equi-join back to the word stream, doc-keyed
+    # reassembly aggregate — no window, no Python, no product anywhere.
+    from canal_spark.operators.text import q_decontaminate_spans
+
+    p23 = plan_of(q_decontaminate_spans(spark, sf_dir))
+    sections.append((
+        "Span decontamination: gram-dictionary semi-join + keyed flag join, no window",
+        p23,
+        ["Generate", "LeftSemi", "ObjectHashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
