@@ -404,14 +404,94 @@ SELECT cell, a_id, b_id, round(c9, 4) AS cosine FROM pairs WHERE c9 >= 0.3
 """
 
 
+OUTLIER_K = 3  # mislabel candidates reported per label
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label QA: per label, compute the label centroid
+    and report the OUTLIER_K members with the LOWEST cosine to it — the
+    mislabel/noise candidates a data-quality pass would re-queue for
+    review (the embedding analogue of the text quality cut).
+
+    Scale shape: the centroid is a (label, dim)-keyed partial-agg mean
+    (one shuffle over corpus×dim rows, map-side combine) folded back to
+    a label-keyed array — the centroid table is label-cardinality-
+    bounded (dictionary-sized); scoring joins the corpus to it on label
+    (AQE broadcasts the dictionary) and the per-label top-k window
+    partitions on label, whose cardinality is bounded by construction —
+    never a global window.  Cosines round at 9 decimals before the
+    deterministic (cosine, vec_id) tie-break, 4 on output (the module's
+    cross-engine ulp convention)."""
+    from pyspark.sql import Window
+
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    cn = F.sqrt(
+        F.aggregate(
+            F.zip_with("cv", "cv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = e.join(cent, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.round(_cosine(F.col("v"), F.col("cv"), F.col("norm"), cn), 9).alias("c9"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("c9"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= OUTLIER_K)
+        .select(
+            "label", "vec_id", F.col("rnk").cast("long").alias("rnk"),
+            F.round("c9", 4).alias("cosine"),
+        )
+    )
+
+
+SQL_LABEL_OUTLIERS = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT label, list(m ORDER BY dim) AS cv
+  FROM (SELECT label, u.i AS dim, avg(v[CAST(u.i AS INT)]) AS m
+        FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)
+        GROUP BY label, u.i)
+  GROUP BY label),
+s AS (
+  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+         round(list_cosine_similarity(e.v, c.cv), 9) AS c9
+  FROM e JOIN c USING (label)),
+r AS (
+  SELECT label, vec_id, c9,
+         row_number() OVER (PARTITION BY label ORDER BY c9 ASC, vec_id ASC)
+             AS rnk
+  FROM s)
+SELECT label, vec_id, CAST(rnk AS BIGINT) AS rnk, round(c9, 4) AS cosine
+FROM r WHERE rnk <= {OUTLIER_K}
+"""
+
+
 QUERIES = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
     "embed_near_dup": q_embed_near_dup,
+    "label_outliers": q_label_outliers,
 }
 
 ORACLES = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "label_outliers": SQL_LABEL_OUTLIERS,
 }

@@ -505,6 +505,28 @@ def main() -> None:
          "ArrowEvalPython", "BatchEvalPython"],
     ))
 
+    # 24. label-centroid outliers: the centroid is a (label,dim)-keyed
+    # partial agg folded to a label-keyed dictionary; scoring joins the
+    # corpus to it by label and the ONLY window partitions on label —
+    # no global window, no product, no Python.
+    from canal_spark.operators.similarity import q_label_outliers
+
+    p24 = plan_of(q_label_outliers(spark, sf_dir))
+    sections.append((
+        "Label outliers: dictionary centroid join, label-partitioned window only",
+        p24,
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+    for args in re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", p24):
+        if "label" not in args:
+            sections.append((
+                "Label outliers: window missing label partition spec", p24,
+                ["IMPOSSIBLE"], [],
+            ))
+            break
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
