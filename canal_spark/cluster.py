@@ -208,8 +208,13 @@ def cluster(
     measure: bool = True,
     scope: str = "incremental",  # "incremental" | "full"
     job_id: str | None = None,
+    branch: str | None = None,
 ) -> ClusterResult:
     """Cluster the table along the chosen curve.
+
+    ``branch``: operate ON a writable branch (the branch-pass flow):
+    victims, pending deletes and the commit all pin to the branch head;
+    mainline readers see nothing until ``fast_forward``.
 
     ``scope="incremental"`` (default) rewrites ONLY files not already
     tagged with this curve's sort order — i.e. what merge/compaction
@@ -224,7 +229,12 @@ def cluster(
     """
     job_id = job_id or uuid.uuid4().hex[:12]
     tag = f"{curve}-v1"
-    entries = table.files()
+    base_sid: int | None = None
+    if branch is not None:
+        table.refresh()
+        table.branch_chain(branch)  # validates: exists and is a branch
+        base_sid = table.refs[branch]["snapshot_id"]
+    entries = table.files(base_sid)
     victims = (
         [e for e in entries if e.sort_order != tag]
         if scope == "incremental" else entries
@@ -235,7 +245,10 @@ def cluster(
     before = measure_tightness(spark, table, entries=victims) if measure else {}
     if not victims:
         return ClusterResult(
-            snapshot_id=table.current_snapshot_id, curve=curve,
+            snapshot_id=(
+                base_sid if branch is not None else table.current_snapshot_id
+            ),
+            curve=curve,
             files_before=0, files_after=0,
             tightness_before=before, tightness_after=before, job_id=job_id,
         )
@@ -244,7 +257,10 @@ def cluster(
     dim_col = table.partition_by[0] if table.partition_by else None
     # live read: pending MoR equality-deletes fold in here, or the
     # re-clustered files (new sequence) would resurrect deleted rows
-    raw = table.read_files_live(spark, victims)
+    # (branch mode: the BRANCH's pending deletes, not mainline's)
+    raw = table.read_files_live(
+        spark, victims, delete_entries=table.delete_files(base_sid)
+    )
 
     # Analytic range partitioning, no sampling job.  The curve key as a
     # whole is NOT uniform (the source dim is low-cardinality), but the
@@ -328,6 +344,7 @@ def cluster(
         operation="replace",
         summary={"phase": "cluster", "curve": curve, "scope": scope,
                  "job-id": job_id},
+        branch=branch,
     )
     after = measure_tightness(spark, table, entries=new_entries) if measure else {}
     return ClusterResult(

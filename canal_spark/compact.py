@@ -143,15 +143,25 @@ def compact(
     tokens_per_target: int | None = None,
     max_bins_per_commit: int = 64,
     job_id: str | None = None,
+    branch: str | None = None,
 ) -> CompactionResult:
     """Rewrite small files into ~target-size files; scan-equivalent.
 
     ``pack_by`` is either ``"bytes"`` or the name of a numeric column in
     the table's *current* schema whose per-file sum becomes the bin
     budget (validated in :func:`token_weights` — survives renames as
-    long as the caller passes the current name)."""
+    long as the caller passes the current name).
+
+    ``branch``: operate ON a writable branch — victims, pending deletes
+    and every chunk commit pin to the branch head; mainline readers see
+    nothing until ``fast_forward``."""
     job_id = job_id or uuid.uuid4().hex[:12]
-    entries = table.files()
+    base_sid: int | None = None
+    if branch is not None:
+        table.refresh()
+        table.branch_chain(branch)  # validates: exists and is a branch
+        base_sid = table.refs[branch]["snapshot_id"]
+    entries = table.files(base_sid)
     # ONE cutoff shared with plan_bins: if the victim pick and the
     # plan's grouping ever diverged, plan_bins would KeyError on a
     # small file token_weights never weighed
@@ -191,7 +201,10 @@ def compact(
         tag_bins = by_tag[tag]
         for start in range(0, len(tag_bins), max_bins_per_commit):
             chunk = tag_bins[start : start + max_bins_per_commit]
-            result = _rewrite_chunk(spark, table, chunk, tag, job_id, result)
+            result = _rewrite_chunk(
+                spark, table, chunk, tag, job_id, result,
+                branch=branch, base_sid=base_sid,
+            )
     return result
 
 
@@ -202,6 +215,8 @@ def _rewrite_chunk(
     tag: str | None,
     job_id: str,
     result: CompactionResult,
+    branch: str | None = None,
+    base_sid: int | None = None,
 ) -> CompactionResult:
     """Read one chunk of bins, rewrite each bin into one file (curve-
     sorted + tagged when ``tag`` is set, doc_id-sorted otherwise), and
@@ -219,10 +234,14 @@ def _rewrite_chunk(
         [(p, b) for p, b in path_to_bin.items()], ["_fp", "_bin"]
     )
     flat = [e for m in chunk for e in m]
+    pending_dels = table.delete_files(base_sid)
     df = (
         # live read: pending MoR equality-deletes fold in here, or the
         # rewritten bins (new sequence) would resurrect deleted rows
-        table.read_files_live(spark, flat, with_file_path="_fp")
+        # (branch mode: the BRANCH's pending deletes)
+        table.read_files_live(
+            spark, flat, delete_entries=pending_dels, with_file_path="_fp"
+        )
         .join(F.broadcast(bin_map), "_fp")
         .drop("_fp")
     )
@@ -252,7 +271,7 @@ def _rewrite_chunk(
     # unrelated delete debt merely exists
     min_member_seq = min(int(e.seq or 0) for m in chunk for e in m)
     deletes_pending = any(
-        int(d.seq or 0) > min_member_seq for d in table.delete_files()
+        int(d.seq or 0) > min_member_seq for d in pending_dels
     )
     new_entries = write_datafiles(
         spark,
@@ -280,6 +299,7 @@ def _rewrite_chunk(
             "bins": len(chunk),
             "sort-order": tag or "",
         },
+        branch=branch,
     )
     result.bins_written += len(chunk)
     result.files_removed += len(removed)

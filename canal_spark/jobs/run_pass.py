@@ -41,6 +41,15 @@ def main() -> None:
                    help="abort the staged merge if it would shrink the "
                         "table by more than this fraction (runaway-delete "
                         "guard); only with --wap")
+    p.add_argument("--branch", default=None,
+                   help="run the WHOLE pass on a writable branch and "
+                        "publish it atomically at the end (spark.wap.branch "
+                        "flow); created if absent; a publish conflict exits "
+                        "4 and leaves the chain for inspection")
+    p.add_argument("--branch-no-publish", action="store_true",
+                   help="with --branch: leave the chain unpublished for "
+                        "out-of-band audit (publish via jobs/branch.py "
+                        "--fast-forward, discard via --delete)")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -73,15 +82,19 @@ def main() -> None:
         max_pending_delete_files=args.max_pending_delete_files,
         wap=args.wap,
         wap_max_delete_fraction=args.wap_max_delete_fraction,
+        branch=args.branch,
+        publish_branch=not args.branch_no_publish,
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
-          "wap": rep.wap,
+          "wap": rep.wap, "branch": rep.branch,
           "materialize": rep.materialize, "ivf_index": rep.ivf_index,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,
           "metrics": prometheus_metrics(rep, destination=args.table)})
     if args.wap and rep.wap and not rep.wap.get("published", True):
         raise SystemExit(3)  # staged merge failed audit and was aborted
+    if args.branch and rep.branch.get("conflict"):
+        raise SystemExit(4)  # publish conflicted; chain kept for inspection
 
 
 if __name__ == "__main__":

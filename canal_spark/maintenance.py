@@ -36,6 +36,7 @@ class MaintenanceReport:
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
     band_index: dict = field(default_factory=dict)
+    branch: dict = field(default_factory=dict)
     # wall seconds per phase — the per-pass cost breakdown an operator
     # reads first when a pass regresses (which phase grew?)
     timings: dict = field(default_factory=dict)
@@ -168,6 +169,8 @@ def run_pass(
     max_pending_delete_files: int = 8,
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
+    branch: str | None = None,
+    publish_branch: bool = True,
 ) -> MaintenanceReport:
     """One maintenance pass.  ``merge_mode="mor"`` applies the changelog
     as merge-on-read equality deletes (O(batch) write, zero base-table
@@ -175,10 +178,40 @@ def run_pass(
     ``materialize_deletes`` once ``max_pending_delete_files`` pile up —
     the amortization knob: higher defers rewrite I/O across more
     batches, at the cost of one extra broadcast anti-join per scan in
-    the window."""
+    the window.
+
+    ``branch="name"`` runs the WHOLE pass on a writable branch
+    (Iceberg's ``spark.wap.branch`` flow): merge, debt materialization,
+    clustering and compaction all commit to the branch (created here if
+    absent), mainline readers see the pre-pass table throughout, and
+    the chain publishes atomically at the end (``publish_branch=True``,
+    the default) or stays for out-of-band audit (``False`` — publish
+    with ``table.fast_forward``, discard with ``delete_branch``).  A
+    concurrent mainline writer makes the publish CONFLICT rather than
+    lose either side's work — the report carries ``branch.published``.
+    Mutually exclusive with ``wap`` (branches ARE multi-commit WAP) and
+    with derived-index sync (indexes track PUBLISHED mainline state —
+    sync them on the next mainline pass after the branch publishes).
+    Snapshot expiry is skipped unless the branch published."""
+    if branch is not None:
+        if wap:
+            raise ValueError("wap and branch are mutually exclusive "
+                             "(a branch pass IS the multi-commit WAP)")
+        if band_index is not None or ivf_index is not None:
+            raise ValueError(
+                "derived-index sync tracks published mainline state — "
+                "run it on a mainline pass, not a branch pass"
+            )
     job_id = job_id or uuid.uuid4().hex[:12]
     lineage = _ckpt.ensure_lineage(lineage_root) if lineage_root else None
     rep = MaintenanceReport(job_id=job_id)
+    if branch is not None:
+        table.refresh()
+        ref = table.refs.get(branch)
+        if ref is None:
+            table.create_branch(branch)
+        elif ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} exists and is not a branch")
 
     merge_live = False
     if changes is not None:
@@ -192,7 +225,7 @@ def run_pass(
         parent_rows = wap_parent_rows(spark, table) if wap else None
         m = _merge.merge_into(
             spark, table, changes, target_file_rows=target_file_rows, job_id=job_id,
-            mode=merge_mode, stage_only=wap,
+            mode=merge_mode, stage_only=wap, branch=branch,
         )
         merge_live = m.applied
         if wap and m.applied:
@@ -265,9 +298,14 @@ def run_pass(
     # rewrite prunes to files the pending keys can actually hit and
     # preserves cluster tags).  Below the threshold the debt rides —
     # scans pay one small broadcast anti-join, writes pay nothing.
-    if len(table.delete_files()) >= max_pending_delete_files:
+    if branch is not None:
+        table.refresh()
+        pending = table.delete_files(table.refs[branch]["snapshot_id"])
+    else:
+        pending = table.delete_files()
+    if len(pending) >= max_pending_delete_files:
         _t0 = time.perf_counter()
-        mat = _merge.materialize_deletes(spark, table)
+        mat = _merge.materialize_deletes(spark, table, branch=branch)
         rep.materialize = mat.__dict__
         rep.timings["materialize"] = round(time.perf_counter() - _t0, 3)
         if lineage and mat.applied:
@@ -290,7 +328,7 @@ def run_pass(
         _t0 = time.perf_counter()
         z = _cluster.cluster(
             spark, table, curve=curve, target_file_rows=target_file_rows,
-            measure=measure, scope=cluster_scope, job_id=job_id,
+            measure=measure, scope=cluster_scope, job_id=job_id, branch=branch,
         )
         rep.timings["cluster"] = round(time.perf_counter() - _t0, 3)
         rep.cluster = {
@@ -309,7 +347,8 @@ def run_pass(
     if do_compact:
         _t0 = time.perf_counter()
         c = _compact.compact(
-            spark, table, target_bytes=target_file_bytes, pack_by=pack_by, job_id=job_id
+            spark, table, target_bytes=target_file_bytes, pack_by=pack_by,
+            job_id=job_id, branch=branch,
         )
         rep.compact = c.__dict__
         rep.timings["compact"] = round(time.perf_counter() - _t0, 3)
@@ -320,13 +359,47 @@ def run_pass(
                 bytes_shuffled=c.bytes_compacted,
             )
 
-    _t0 = time.perf_counter()
-    e = table.expire_snapshots(keep_last=keep_snapshots)
-    rep.expire = e
-    rep.timings["expire"] = round(time.perf_counter() - _t0, 3)
-    if lineage and e.get("expired"):
-        _ckpt.record(spark, lineage, job_id, "expire",
-                     snapshot_id=table.current_snapshot_id)
+    published = branch is None
+    if branch is not None:
+        # publish the whole pass atomically — merge + materialize +
+        # cluster + compact become visible in one ref swing, or none do
+        _t0 = time.perf_counter()
+        from canal_spark.table.format import CommitConflict
+
+        table.refresh()
+        chain = table.branch_chain(branch)
+        if not publish_branch:
+            rep.branch = {"name": branch, "published": False,
+                          "kept": True, "commits": len(chain)}
+        elif not chain:
+            # nothing committed this pass (empty changelog, no-op
+            # phases): drop the ref rather than leak an empty branch
+            table.delete_branch(branch)
+            rep.branch = {"name": branch, "published": False,
+                          "empty": True, "commits": 0}
+        else:
+            try:
+                pub = table.fast_forward(branch)
+                published = True
+                rep.branch = {"name": branch, "published": True,
+                              "snapshot_id": pub.snapshot_id,
+                              "commits": len(chain)}
+            except CommitConflict as exc:
+                # a concurrent mainline writer advanced past the fork
+                # base — neither side's work is lost: the chain stays
+                # for inspection; delete_branch re-queues the batch
+                rep.branch = {"name": branch, "published": False,
+                              "conflict": str(exc), "commits": len(chain)}
+        rep.timings["publish"] = round(time.perf_counter() - _t0, 3)
+
+    if published:
+        _t0 = time.perf_counter()
+        e = table.expire_snapshots(keep_last=keep_snapshots)
+        rep.expire = e
+        rep.timings["expire"] = round(time.perf_counter() - _t0, 3)
+        if lineage and e.get("expired"):
+            _ckpt.record(spark, lineage, job_id, "expire",
+                         snapshot_id=table.current_snapshot_id)
     # The derived stores are tables like any other: without their own
     # expiry every per-batch COW refresh retains all historical index
     # files forever (unbounded disk + metadata growth at one snapshot

@@ -736,6 +736,7 @@ def materialize_deletes(
     spark: SparkSession,
     table: Table,
     max_driver_keys: int = 2_000_000,
+    branch: str | None = None,
 ) -> MaterializeResult:
     """Fold pending equality-deletes into the data files and drop the
     delete files — the compaction phase of merge-on-read (Iceberg's
@@ -754,11 +755,16 @@ def materialize_deletes(
     back per source file, re-sorted by the recomputed curve key, so the
     next clustering pass skips them.
     """
-    dels = table.delete_files()
+    base_sid: int | None = None
+    if branch is not None:
+        table.refresh()
+        table.branch_chain(branch)  # validates: exists and is a branch
+        base_sid = table.refs[branch]["snapshot_id"]
+    dels = table.delete_files(base_sid)
     if not dels:
         return MaterializeResult(applied=False)
     key_cols = table.key_cols
-    entries = table.files()
+    entries = table.files(base_sid)
     max_dseq = max(int(d.seq or 0) for d in dels)
     subject = [e for e in entries if int(e.seq or 0) < max_dseq]
     n_del_keys = sum(d.rows for d in dels)
@@ -833,6 +839,7 @@ def materialize_deletes(
             "delete-files-removed": len(dels),
             "pending-delete-keys": int(n_del_keys),
         },
+        branch=branch,
     )
     return MaterializeResult(
         applied=True,

@@ -627,3 +627,39 @@ def test_tokenizer_cli_train_then_encode(tmp_path):
                   "--model", model, "--encode", enc)
     assert res["encode"]["docs"] == 500
     assert res["encode"]["compression_permille"] < 1000  # merges compress
+
+
+def test_run_pass_cli_branch_publish(tmp_path):
+    """--branch: the whole pass commits on a branch and publishes
+    atomically; the emitted report carries the branch outcome."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("run-pass-branch-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    cl_dir = str(tmp_path / "cl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(400)
+    append(spark, t, base_table_df(spark, 400).repartition(4))
+    rows = synth_changelog_rows(base, 100, seed=41)
+    changelog_df(spark, rows).write.parquet(cl_dir)
+
+    rep = run_job("canal_spark.jobs.run_pass", root,
+                  "--changelog", cl_dir, "--branch", "nightly",
+                  "--target-file-rows", "300")
+    assert rep["branch"]["published"] is True
+    assert rep["merge"]["applied"] is True and rep["branch"]["commits"] >= 2
+
+    from tests.conftest import oracle_dict, scan_dict
+
+    t = load_table(root)
+    assert "nightly" not in t.refs
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
