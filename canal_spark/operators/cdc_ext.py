@@ -333,6 +333,80 @@ WHERE NOT EXISTS (SELECT 1 FROM dels
 """
 
 
+# --------------------------------------------------------------------------
+# C2 recovery path — incremental snapshot-diff read: reconstruct the I/U/D
+# row-change stream between two retained snapshots (the driver-query twin of
+# canal_spark/diff.py::snapshot_diff; server/.../CanalServerWithEmbedded.java:
+# 289-371 get-batch for consumers that missed the original changelog)
+# --------------------------------------------------------------------------
+
+
+def q_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two simulated snapshots of the documents table and emit
+    exactly the (op, doc_id, after_len) changes that turn the old one
+    into the new one: docs absent from OLD are I, absent from NEW are
+    D, present in both with different content are U; unchanged rows
+    are dropped before anything wide moves.
+
+    The two snapshots are deterministic slices of the fixture —
+    old = doc_id % 17 != 3 (those docs get inserted later),
+    new = doc_id % 13 != 5 (those got deleted), with doc_id % 7 == 2
+    rewritten (updates).
+
+    Scale shape (same as `diff.snapshot_diff`): both sides reduce to
+    (doc_id, 60-bit content signature) map-side BEFORE the full-outer
+    join, so the one unavoidable shuffle moves two narrow key/hash
+    frames, never the token payload; the after-image is carried only
+    on the new side, which the consumer needs anyway.  The diff is
+    O(table) by nature — it is the recovery path; the changelog is the
+    cheap path."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 17 != 3).select(
+        F.col("doc_id"), F.md5("text").alias("_osig")
+    )
+    new = docs.where(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 2, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).select("doc_id", F.md5("text").alias("_nsig"), F.length("text").alias("_len"))
+    j = old.join(new, "doc_id", "full_outer")
+    return (
+        j.where(
+            F.col("_osig").isNull()
+            | F.col("_nsig").isNull()
+            | (F.col("_osig") != F.col("_nsig"))
+        )
+        .select(
+            F.when(F.col("_osig").isNull(), F.lit("I"))
+            .when(F.col("_nsig").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "doc_id",
+            F.col("_len").cast("long").alias("after_len"),
+        )
+    )
+
+
+SQL_INCREMENTAL_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS osig FROM documents
+             WHERE doc_id % 17 <> 3),
+new AS (SELECT doc_id, md5(t) AS nsig, length(t) AS len
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 2 THEN upper(text) ELSE text END AS t
+              FROM documents WHERE doc_id % 13 <> 5)),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.osig, n.nsig, n.len
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT CASE WHEN osig IS NULL THEN 'I'
+            WHEN nsig IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       doc_id,
+       CAST(len AS BIGINT) AS after_len
+FROM j
+WHERE osig IS NULL OR nsig IS NULL OR osig <> nsig
+"""
+
+
 QUERIES = {
     "timeline_merge": q_timeline_merge,
     "flat_message_roundtrip": q_flat_message_roundtrip,
@@ -341,6 +415,7 @@ QUERIES = {
     "start_position_resolve": q_start_position_resolve,
     "unsigned_promotion": q_unsigned_promotion,
     "mor_scan": q_mor_scan,
+    "incremental_diff": q_incremental_diff,
 }
 
 ORACLES = {
@@ -351,4 +426,5 @@ ORACLES = {
     "start_position_resolve": SQL_START_POSITION,
     "unsigned_promotion": SQL_UNSIGNED_PROMOTION,
     "mor_scan": SQL_MOR_SCAN,
+    "incremental_diff": SQL_INCREMENTAL_DIFF,
 }

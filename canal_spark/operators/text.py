@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from canal_spark.operators.common import (
     attach_cached_deps,
+    chunked_row_number,
     duck_md5int,
     load,
     md5int,
@@ -330,6 +331,117 @@ SQL_WORD_TOPK = f"""
 SELECT w, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
 GROUP BY w ORDER BY n DESC, w ASC LIMIT {TOP_WORDS}
+"""
+
+
+# --- out-of-vocabulary rate --------------------------------------------------
+
+
+VOCAB_K = 16  # fixture corpus has 31 distinct words; 16 leaves a real OOV tail
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``VOCAB_K`` vocabulary — the tokenizer-coverage diagnostic run
+    before committing to a vocab size (docs with a high OOV rate
+    fragment into byte-fallback tokens and train poorly).
+
+    Scale shape: two corpus passes, which is the honest cost — pass 1
+    builds the vocabulary (partial-agg word count + per-partition
+    top-k via TakeOrderedAndProject, O(partitions × k) at the driver),
+    pass 2 re-explodes and LEFT-joins each word against the
+    driver-bounded vocab as a broadcast (a 50k-word production vocab
+    is a few MB — always broadcastable), then one partial-agg rollup
+    per doc.  No corpus-scale frame is ever collected or shuffled on
+    anything but doc_id."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("_inv"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left")
+    oov = F.when(F.col("_inv").isNull(), 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+vocab AS (SELECT w FROM (SELECT w, count(*) AS n FROM words
+                         GROUP BY w ORDER BY n DESC, w ASC LIMIT {VOCAB_K})),
+f AS (SELECT doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words LEFT JOIN vocab v ON words.w = v.w)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM f GROUP BY doc_id
+"""
+
+
+# --- deterministic epoch shuffle ---------------------------------------------
+
+
+EPOCH_SEED = 7
+SHUFFLE_CHUNKS = 1024
+_KEY_SPACE = 1 << 60  # md5int range (15 hex digits)
+N_SHARDS = 8
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle order for one training
+    epoch: every doc gets a pseudo-random 60-bit key from
+    md5(doc_id # seed), the corpus is totally ordered by it, and the
+    resulting position assigns the doc to a data-parallel reader shard
+    (pos % N_SHARDS).  Reproducible across engines and re-runs —
+    change the seed, get an independent permutation for the next epoch.
+
+    Scale shape: the permutation rank is the two-phase
+    `chunked_row_number` — the hash key is uniform over its 60-bit
+    domain, so equal-width key ranges are balanced chunks (rank within
+    chunk in parallel windows, driver-side prefix over O(SHUFFLE_CHUNKS)
+    totals).  No single-partition window, no global sort: a training
+    dataloader consumes (shard, epoch_pos) ranges, so the ORDER is a
+    manifest, not a materialized sort."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        md5int(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.lit(str(EPOCH_SEED))
+            )
+        ).alias("sk"),
+    )
+    ranked = chunked_row_number(
+        keyed,
+        order_cols=["sk", "doc_id"],
+        chunk_col=F.expr(f"sk DIV {_KEY_SPACE // SHUFFLE_CHUNKS}"),
+        out_col="rn",
+    )
+    return ranked.select(
+        "doc_id",
+        (F.col("rn") - 1).cast("long").alias("epoch_pos"),
+        ((F.col("rn") - 1) % N_SHARDS).cast("long").alias("shard"),
+    )
+
+
+_DUCK_SK = duck_md5int(f"CAST(doc_id AS VARCHAR) || '#' || '{EPOCH_SEED}'")
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH k AS (SELECT doc_id, {_DUCK_SK} AS sk FROM documents),
+r AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT) AS epoch_pos
+      FROM k)
+SELECT doc_id, epoch_pos, CAST(epoch_pos % {N_SHARDS} AS BIGINT) AS shard
+FROM r
 """
 
 
@@ -826,6 +938,8 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bigram_lm_score": q_bigram_lm_score,
     "decontaminate_spans": q_decontaminate_spans,
+    "oov_rate": q_oov_rate,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLES = {
@@ -843,4 +957,6 @@ ORACLES = {
     "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
+    "oov_rate": SQL_OOV_RATE,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 }
