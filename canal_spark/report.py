@@ -1,0 +1,229 @@
+"""Iceberg-style metadata tables + one-line table-health report.
+
+Two surfaces over the SAME manifest-scale state:
+
+* :func:`metadata_df` — the ``snapshots`` / ``files`` / ``delete_files``
+  / ``partitions`` / ``refs`` / ``history`` inspection tables Iceberg
+  exposes as ``db.table.files`` etc., returned as DataFrames so
+  operators run ordinary Spark SQL over them (find skewed partitions,
+  small-file hotspots, which spec_id a file was written under).  The
+  frames are built from the manifest entries — manifest scale (one row
+  per file/snapshot, ~10^5-10^6 at the 10^12-sequence target, the same
+  driver-side contract merge's manifest pruning already relies on),
+  never data scale.
+
+* :func:`table_report` — the zero-Spark operational rollup a scheduler
+  scrapes between passes (the canal-admin instance-status analogue,
+  admin/.../InstanceController.java list view: position, running state,
+  throughput counters): snapshot/ref counts, file and byte totals,
+  small-file and unclustered fractions, MoR delete debt, per-partition
+  skew.  Pure metadata reads — ``jobs/report.py`` emits it without
+  paying a JVM spin-up.
+
+Health *verdicts* (corruption, dangling refs, stale WAP stages) stay in
+:mod:`canal_spark.doctor`; this module only measures.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.compact import TARGET_FILE_BYTES
+from canal_spark.table.format import Table
+
+METADATA_KINDS = (
+    "snapshots",
+    "files",
+    "delete_files",
+    "partitions",
+    "refs",
+    "history",
+)
+
+
+def _partition_str(partition: dict[str, Any]) -> str:
+    """Canonical 'k=v/k=v' rendering (sorted keys) — map columns can't
+    be grouped on, and the string doubles as the Hive-style path."""
+    return "/".join(f"{k}={partition[k]}" for k in sorted(partition)) or ""
+
+
+_FILES_SCHEMA = (
+    "path string, content string, rows long, bytes long, seq long, "
+    "sort_order string, schema_id int, spec_id int, "
+    "partition string, partition_values map<string,string>"
+)
+
+
+def _files_df(spark: SparkSession, entries) -> DataFrame:
+    rows = [
+        (
+            e.path,
+            e.content,
+            int(e.rows),
+            int(e.bytes),
+            int(e.seq or 0),
+            e.sort_order,
+            e.schema_id,
+            e.spec_id,
+            _partition_str(e.partition),
+            {k: str(v) for k, v in e.partition.items()},
+        )
+        for e in entries
+    ]
+    return spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def metadata_df(
+    spark: SparkSession,
+    table: Table,
+    kind: str,
+    snapshot_id: int | None = None,
+    small_file_bytes: int = TARGET_FILE_BYTES // 2,
+) -> DataFrame:
+    """One metadata table as a DataFrame (see module docstring).
+
+    ``snapshot_id`` scopes ``files`` / ``delete_files`` / ``partitions``
+    to a past snapshot (time-travel over the layout, not the data).
+    ``partitions`` aggregates the files table IN SPARK — the one kind
+    whose output is derived, so ad-hoc predicates (``n_small_files >
+    100``) still push into a query plan rather than a Python loop.
+    """
+    if kind == "files":
+        return _files_df(spark, table.files(snapshot_id))
+    if kind == "delete_files":
+        return _files_df(spark, table.delete_files(snapshot_id))
+    if kind == "partitions":
+        f = _files_df(spark, table.files(snapshot_id))
+        return (
+            f.groupBy("partition")
+            .agg(
+                F.count("*").cast("long").alias("n_files"),
+                F.sum("rows").cast("long").alias("rows"),
+                F.sum("bytes").cast("long").alias("bytes"),
+                F.avg("bytes").cast("long").alias("avg_file_bytes"),
+                F.sum((F.col("bytes") < small_file_bytes).cast("long"))
+                .cast("long")
+                .alias("n_small_files"),
+                F.sum(F.col("sort_order").isNull().cast("long"))
+                .cast("long")
+                .alias("n_unclustered"),
+                F.max("seq").cast("long").alias("max_seq"),
+            )
+            .orderBy("partition")
+        )
+    if kind == "snapshots":
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_id,
+                s.timestamp_ms,
+                s.operation,
+                len(s.manifests),
+                s.schema_id,
+                {k: str(v) for k, v in s.summary.items()},
+            )
+            for s in table.snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, timestamp_ms long, "
+            "operation string, n_manifests int, schema_id int, "
+            "summary map<string,string>",
+        )
+    if kind == "refs":
+        rows = [
+            (name, ref.get("type"), ref.get("snapshot_id"))
+            for name, ref in sorted(table.refs.items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if kind == "history":
+        # Iceberg's history view: when each snapshot became current and
+        # whether it is an ancestor of the CURRENT snapshot (rollbacks
+        # leave non-ancestor snapshots in history)
+        ancestors = set()
+        by_id = {s.snapshot_id: s for s in table.snapshots}
+        cur = table.current_snapshot_id
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].parent_id
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.parent_id,
+             s.snapshot_id in ancestors)
+            for s in table.snapshots
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+    raise ValueError(f"unknown metadata kind {kind!r}; one of {METADATA_KINDS}")
+
+
+def table_report(
+    table: Table,
+    small_file_bytes: int = TARGET_FILE_BYTES // 2,
+) -> dict:
+    """Zero-Spark operational rollup of the table's current state —
+    everything comes from manifests and metadata already in memory.
+    Fractions are rounded so the line diffs cleanly between passes."""
+    table.refresh()
+    files = table.files()
+    dels = table.delete_files()
+    n = len(files)
+    total_bytes = sum(e.bytes for e in files)
+    total_rows = sum(e.rows for e in files)
+    per_part: dict[str, int] = {}
+    for e in files:
+        per_part[_partition_str(e.partition)] = (
+            per_part.get(_partition_str(e.partition), 0) + e.rows
+        )
+    part_rows = list(per_part.values())
+    mean_part = (sum(part_rows) / len(part_rows)) if part_rows else 0
+    refs = table.refs
+    return {
+        "table": table.root,
+        "current_snapshot_id": table.current_snapshot_id,
+        "n_snapshots": len(table.snapshots),
+        "branches": sorted(
+            r for r, v in refs.items() if v.get("type") == "branch"
+        ),
+        "tags": sorted(r for r, v in refs.items() if v.get("type") == "tag"),
+        "schema_id": table.current_schema_id,
+        "spec_id": table.default_spec_id,
+        "key_cols": table.key_cols,
+        "files": {
+            "n": n,
+            "rows": int(total_rows),
+            "bytes": int(total_bytes),
+            "avg_bytes": int(total_bytes / n) if n else 0,
+            "small": sum(1 for e in files if e.bytes < small_file_bytes),
+            "small_fraction": round(
+                sum(1 for e in files if e.bytes < small_file_bytes) / n, 4
+            )
+            if n
+            else 0.0,
+            "clustered_fraction": round(
+                sum(1 for e in files if e.sort_order) / n, 4
+            )
+            if n
+            else 0.0,
+        },
+        "delete_debt": {
+            "files": len(dels),
+            "keys": int(sum(d.rows for d in dels)),
+        },
+        "partitions": {
+            "n": len(part_rows),
+            "max_rows": max(part_rows) if part_rows else 0,
+            "min_rows": min(part_rows) if part_rows else 0,
+            # >1 = hot partitions; the salting/AQE-skew signal
+            "skew": round(max(part_rows) / mean_part, 3)
+            if mean_part
+            else 0.0,
+        },
+    }
