@@ -336,6 +336,11 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASS_RUNS", "2")))
     maints = [bench_maintenance(spark, sf_dir, replicas) for _ in range(n_runs)]
     maint = min(maints, key=lambda m: m["maintenance_pass_sec"])
+    # steady gets its own independent best-of-N: the run that won the
+    # cold pass is not necessarily the run that won the steady pass, and
+    # inheriting the winner's (possibly noisy) steady sample re-imports
+    # the drift the estimator exists to remove
+    best_steady = min(maints, key=lambda m: m["steady_pass_sec"])
     queries = bench_queries(spark, sf_dir, which)
 
     result = {
@@ -350,6 +355,12 @@ def main() -> None:
         "cpus": cpus,
         "replicas": replicas,
         **{k: v for k, v in maint.items() if k != "maintenance_pass_sec"},
+        "steady_pass_sec": best_steady["steady_pass_sec"],
+        "steady_timings": best_steady["steady_timings"],
+        "steady_cluster_files_rewritten":
+            best_steady["steady_cluster_files_rewritten"],
+        "steady_merge_files_rewritten":
+            best_steady["steady_merge_files_rewritten"],
     }
 
     # data-scale linearity probe: the same job at replicas×MULT, with
