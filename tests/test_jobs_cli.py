@@ -629,6 +629,27 @@ def test_tokenizer_cli_train_then_encode(tmp_path):
     assert res["encode"]["compression_permille"] < 1000  # merges compress
 
 
+def test_export_cli_and_report_cli(cli_table, tmp_path):
+    """The consumption loop: tag the current snapshot, export it via the
+    CLI, and scrape the health report — the two zero-surprise ops a
+    training launch runs."""
+    root, cl_dir, base, rows = cli_table
+    run_job("canal_spark.jobs.tag", root, "--set", "train-v1")
+
+    out = str(tmp_path / "exp")
+    e = run_job("canal_spark.jobs.export", root, "--out", out,
+                "--tag", "train-v1", "--shards", "3", "--epoch-seed", "5")
+    assert e["shards"] == 3 and e["rows"] > 0
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) == [
+        "shard=0", "shard=1", "shard=2"
+    ]
+
+    r = run_job("canal_spark.jobs.report", root)
+    assert r["files"]["rows"] == e["rows"]
+    assert r["tags"] == ["train-v1"]
+    assert r["current_snapshot_id"] is not None
+
+
 def test_run_pass_cli_branch_publish(tmp_path):
     """--branch: the whole pass commits on a branch and publishes
     atomically; the emitted report carries the branch outcome."""
