@@ -387,6 +387,70 @@ FROM f GROUP BY doc_id
 """
 
 
+# --- tf-idf keyword extraction -----------------------------------------------
+
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOPK`` keywords by tf-idf — the topic /
+    boilerplate signal extraction stage of a curation pipeline.  The
+    idf is the log-free rational variant ``(N * 1000) DIV df`` (exact
+    integer both engines — same reason bigram_lm_score is integer
+    math: a transcendental ln may differ in the last ulp between the
+    JVM and DuckDB and break value-hash parity; the RANKING it induces
+    is the classic idf ranking).
+
+    Scale shape: tf is one (doc, word)-keyed partial-agg shuffle over
+    the exploded corpus; df derives from the PERSISTED tf frame (one
+    row per distinct doc-word — already corpus-compressed) and is
+    dictionary-sized, so it broadcasts into the score join; the top-k
+    is a doc-partitioned window (parallel over docs, never global).
+    N is one O(1) driver scalar."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    n_docs = docs.count()
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).persist()
+    df_dict = tf.groupBy("w").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(df_dict), "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        (F.col("tf") * F.expr(f"({n_docs}L * 1000) DIV df"))
+        .cast("long")
+        .alias("score"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w_doc))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "score", F.col("rank").cast("int"))
+    )
+    return attach_cached_deps(out, [tf])
+
+
+SQL_TFIDF_TOPK = f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.w AS term,
+             CAST(tf.tf * ((n.n * 1000) // df.df) AS BIGINT) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rn
+      FROM s)
+SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {TFIDF_TOPK}
+"""
+
+
 # --- deterministic epoch shuffle ---------------------------------------------
 
 
@@ -940,6 +1004,7 @@ QUERIES = {
     "decontaminate_spans": q_decontaminate_spans,
     "oov_rate": q_oov_rate,
     "epoch_shuffle": q_epoch_shuffle,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLES = {
@@ -959,4 +1024,5 @@ ORACLES = {
     "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "oov_rate": SQL_OOV_RATE,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "tfidf_topk": SQL_TFIDF_TOPK,
 }
