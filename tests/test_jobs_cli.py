@@ -629,6 +629,49 @@ def test_tokenizer_cli_train_then_encode(tmp_path):
     assert res["encode"]["compression_permille"] < 1000  # merges compress
 
 
+def test_stream_cli_drains_then_replays_noop(tmp_path):
+    """jobs/stream.py in drain mode: applies the staged changelog files,
+    then a re-run with the SAME checkpoint sees no new input (exactly-
+    once across process restarts)."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import (
+        base_table_df,
+        changelog_df,
+        synth_changelog_rows,
+        synth_token_rows,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("stream-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    cl_dir = str(tmp_path / "cl")
+    ckpt = str(tmp_path / "ckpt")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(500)
+    append(spark, t, base_table_df(spark, 500).repartition(4))
+    rows = synth_changelog_rows(base, 120, seed=31)
+    changelog_df(spark, rows).write.parquet(cl_dir)
+
+    s = run_job("canal_spark.jobs.stream", root,
+                "--changelog", cl_dir, "--checkpoint", ckpt,
+                "--target-file-rows", "300")
+    assert s["batches_applied"] >= 1
+    assert s["quarantined"] == []
+
+    from tests.conftest import oracle_dict, scan_dict
+
+    t = load_table(root)
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+    # restart with the same checkpoint: nothing new, zero batches
+    s2 = run_job("canal_spark.jobs.stream", root,
+                 "--changelog", cl_dir, "--checkpoint", ckpt)
+    assert s2["batches_applied"] == 0
+    assert scan_dict(spark, load_table(root)) == oracle_dict(base, rows)
+
+
 def test_export_cli_and_report_cli(cli_table, tmp_path):
     """The consumption loop: tag the current snapshot, export it via the
     CLI, and scrape the health report — the two zero-surprise ops a
