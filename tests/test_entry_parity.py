@@ -24,10 +24,13 @@ def duck():
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, duck, name):
+    from canal_spark.operators.common import release_cached_deps
+
     fn = entrymod.queries()[name]
     sdf = fn(spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    release_cached_deps(sdf)  # the session is shared across all 59 queries
     oracle = entrymod.oracle_sql().get(name)
     assert oracle is not None, f"{name} has no oracle"
     rel = duck.sql(oracle)

@@ -50,6 +50,7 @@ def main():
 
     import __spark_entry__ as entrymod
     from canal_spark import get_spark
+    from canal_spark.operators.common import release_cached_deps
 
     spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -68,6 +69,7 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            release_cached_deps(sdf)  # don't leak persisted deps across a 59-query sweep
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
