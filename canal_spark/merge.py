@@ -732,6 +732,61 @@ class MaterializeResult:
     bytes_rewritten: int = 0
 
 
+def delete_where(
+    spark: SparkSession,
+    table: Table,
+    condition: str,
+    mode: str = "mor",
+    job_id: str | None = None,
+    stage_only: bool = False,
+    branch: str | None = None,
+) -> MergeResult:
+    """Predicate DELETE — Iceberg's ``DELETE FROM t WHERE cond`` for
+    curation cuts that aren't keyed changelogs (drop a source, purge a
+    quality band, expire a date range).
+
+    ONE live scan finds the matching rows (manifest pruning + parquet
+    predicate pushdown apply to ``condition`` like any read, so a
+    selective predicate touches only the files whose stats overlap);
+    their keys become an engine-generated OUT-OF-BAND delete changelog
+    through the ordinary MERGE — ``mode="mor"`` (default) commits one
+    equality-delete file (O(matches) write, zero base rewrites — the
+    right shape when the predicate sprays keys across a 100 TB table),
+    ``mode="cow"`` rewrites only the affected files.  Out-of-band means
+    the hwm/GTID marks neither filter nor advance (the synthetic
+    ordinal carries no position meaning — same contract as corpus
+    self-dedup), so upstream changelog replay is unaffected and a
+    later re-insert of a deleted key applies normally.  ``stage_only``
+    (WAP) and ``branch`` compose because the MERGE is shared.
+
+    Idempotent: a re-run scans the post-delete table, finds no matching
+    live rows, and no-ops."""
+    key_cols = table.key_cols
+    schema = table.spark_schema()
+    # branch mode: match against the BRANCH head's live rows
+    matches = table.scan(spark, tag=branch) if branch else table.scan(spark)
+    sel = [
+        F.lit(1).cast("long").alias("ordinal"),
+        F.lit("D").alias("op"),
+    ]
+    for f in schema.fields:
+        if f.name in key_cols:
+            sel.append(F.col(f.name))
+        else:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    # persist: merge_into runs several actions over the changelog; each
+    # would otherwise re-execute the predicate scan
+    changelog = matches.where(condition).select(*sel).persist()
+    try:
+        return merge_into(
+            spark, table, changelog,
+            job_id=job_id, mode=mode, stage_only=stage_only, branch=branch,
+            advance_checkpoint=False,
+        )
+    finally:
+        changelog.unpersist()
+
+
 def materialize_deletes(
     spark: SparkSession,
     table: Table,

@@ -629,6 +629,44 @@ def test_tokenizer_cli_train_then_encode(tmp_path):
     assert res["encode"]["compression_permille"] < 1000  # merges compress
 
 
+def test_delete_cli_predicate_cut(cli_table):
+    """jobs/delete.py: a predicate cut lands as MoR debt, the row effect
+    is visible to scans, and a re-run no-ops."""
+    from canal_spark import get_spark, load_table
+
+    root, _, _, _ = cli_table
+    spark = get_spark("delete-cli-check", master="local[4]",
+                      shuffle_partitions=4)
+    t = load_table(root)
+    before = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    keep = {
+        r["doc_id"]
+        for r in t.scan(spark).where("NOT (n_tok % 7 = 2)")
+        .select("doc_id").collect()
+    }
+    assert keep < before
+
+    d = run_job("canal_spark.jobs.delete", root, "--where", "n_tok % 7 = 2")
+    assert d["applied"] is True and d["matched_rows"] == len(before) - len(keep)
+    t = load_table(root)
+    assert {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()} == keep
+    assert len(t.delete_files()) >= 1  # MoR debt, repaid by the next pass
+
+    d2 = run_job("canal_spark.jobs.delete", root, "--where", "n_tok % 7 = 2")
+    assert d2["applied"] is False
+
+    # repay the debt so later cli_table consumers (export/report, which
+    # compare manifest row counts against live rows) see a clean table —
+    # and prove CLI-created debt folds through the ordinary path
+    from canal_spark.merge import materialize_deletes
+
+    r = materialize_deletes(spark, load_table(root))
+    assert r.applied
+    t = load_table(root)
+    assert t.delete_files() == []
+    assert {x["doc_id"] for x in t.scan(spark).select("doc_id").collect()} == keep
+
+
 def test_stream_cli_drains_then_replays_noop(tmp_path):
     """jobs/stream.py in drain mode: applies the staged changelog files,
     then a re-run with the SAME checkpoint sees no new input (exactly-
