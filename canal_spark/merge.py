@@ -787,6 +787,79 @@ def delete_where(
         changelog.unpersist()
 
 
+def update_where(
+    spark: SparkSession,
+    table: Table,
+    condition: str,
+    assignments: dict[str, str],
+    mode: str = "cow",
+    job_id: str | None = None,
+    stage_only: bool = False,
+    branch: str | None = None,
+) -> MergeResult:
+    """Predicate UPDATE — Iceberg's ``UPDATE t SET col = expr WHERE
+    cond`` (the third DML verb next to MERGE and :func:`delete_where`;
+    bulk re-scoring, source renames, metadata backfills).
+
+    ``assignments`` maps column name -> SQL expression evaluated over
+    the matching row (e.g. ``{"source": "'web-v2'", "n_tok":
+    "size(tokens)"}``); key columns cannot be assigned (a key change is
+    a D+I changelog event, the A10 PK-change contract — reject rather
+    than silently corrupt identity).  One live scan finds the matches
+    (manifest pruning + predicate pushdown), the assignments project
+    map-side, and the full after-images apply as an OUT-OF-BAND ``U``
+    changelog through the ordinary MERGE.  ``mode="cow"`` (default —
+    an update must land the new images, so files rewrite either way
+    and COW leaves no debt); ``mode="mor"`` commits the new images +
+    one equality-delete file, O(matches) write, for spray-keyed bulk
+    updates.  Same out-of-band cursor contract and idempotence shape
+    as delete_where — though an update whose assignments change
+    nothing (expr == old value) still no-ops via the merge's own
+    no-op suppression only when before-images are carried; here a
+    re-run re-applies the same images, which the MERGE reduces to a
+    content-identical rewrite (row effect idempotent)."""
+    key_cols = table.key_cols
+    bad = sorted(set(assignments) & set(key_cols))
+    if bad:
+        raise ValueError(
+            f"cannot assign key column(s) {bad}: a key change is a D+I "
+            "changelog event (PK-change contract), not an UPDATE"
+        )
+    schema = table.spark_schema()
+    unknown = sorted(set(assignments) - set(schema.fieldNames()))
+    if unknown:
+        raise ValueError(f"unknown column(s) in assignments: {unknown}")
+    matches = table.scan(spark, tag=branch) if branch else table.scan(spark)
+    filtered = matches.where(condition)
+    exprs = {n: F.expr(e) for n, e in assignments.items()}
+    # analyze the assignment types once: cast only on a REAL type
+    # mismatch — an unconditional cast trips Spark's nullability rule
+    # (array<int> nullable -> non-null is CAST_WITHOUT_SUGGESTION even
+    # though the element type is identical)
+    probe = filtered.select(*[c.alias(n) for n, c in exprs.items()]).schema
+    sel = [
+        F.lit(1).cast("long").alias("ordinal"),
+        F.lit("U").alias("op"),
+    ]
+    for f in schema.fields:
+        if f.name in exprs:
+            col = exprs[f.name]
+            if probe[f.name].dataType.simpleString() != f.dataType.simpleString():
+                col = col.cast(f.dataType)
+            sel.append(col.alias(f.name))
+        else:
+            sel.append(F.col(f.name))
+    changelog = filtered.select(*sel).persist()
+    try:
+        return merge_into(
+            spark, table, changelog,
+            job_id=job_id, mode=mode, stage_only=stage_only, branch=branch,
+            advance_checkpoint=False,
+        )
+    finally:
+        changelog.unpersist()
+
+
 def materialize_deletes(
     spark: SparkSession,
     table: Table,

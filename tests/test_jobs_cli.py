@@ -666,6 +666,18 @@ def test_delete_cli_predicate_cut(cli_table):
     assert t.delete_files() == []
     assert {x["doc_id"] for x in t.scan(spark).select("doc_id").collect()} == keep
 
+    # the UPDATE sibling: backfill a column over a predicate via CLI
+    u = run_job("canal_spark.jobs.update", root,
+                "--where", "n_tok >= 30", "--set", "source='bulk'")
+    assert u["applied"] is True and u["rows_upserted"] > 0
+    t = load_table(root)
+    got = {
+        x["doc_id"]: (x["n_tok"], x["source"])
+        for x in t.scan(spark).select("doc_id", "n_tok", "source").collect()
+    }
+    assert all(src == "bulk" for n, src in got.values() if n >= 30)
+    assert any(src != "bulk" for n, src in got.values() if n < 30)
+
 
 def test_stream_cli_drains_then_replays_noop(tmp_path):
     """jobs/stream.py in drain mode: applies the staged changelog files,
