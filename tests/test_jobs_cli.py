@@ -629,6 +629,56 @@ def test_tokenizer_cli_train_then_encode(tmp_path):
     assert res["encode"]["compression_permille"] < 1000  # merges compress
 
 
+def test_schema_cli_ddl_and_spec_evolution(tmp_path):
+    """jobs/schema.py: add/rename/retype as metadata-only commits, era
+    reads stay correct, spec evolution mints a new spec_id, and
+    protected columns are rejected with a non-zero exit."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import base_table_df, synth_token_rows
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("schema-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 200).repartition(2))
+
+    s = run_job("canal_spark.jobs.schema", root,
+                "--add", "quality:double", "--retype", "n_tok:long")
+    assert s["schema"]["quality"] == "double"
+    assert s["schema"]["n_tok"] == "bigint"
+    assert "ddl_snapshot_id" in s
+
+    s2 = run_job("canal_spark.jobs.schema", root,
+                 "--rename", "tokens=toks",
+                 "--evolve-partition-by", "")  # -> unpartitioned spec
+    assert "toks" in s2["schema"] and "tokens" not in s2["schema"]
+    assert s2["spec_id"] == len(s2["partition_specs"]) - 1
+    assert s2["partition_specs"][s2["spec_id"]] == []
+
+    # era read: pre-DDL files project through rename + widen, new
+    # column reads null
+    t = load_table(root)
+    row = t.scan(spark).select("toks", "n_tok", "quality").first()
+    assert row["toks"] is not None and row["quality"] is None
+
+    # protected column: key cannot be renamed — job must exit non-zero
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark.jobs.schema", root,
+         "--rename", "doc_id=id"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert out.returncode != 0
+
+    # --show is read-only
+    sid_before = load_table(root).current_snapshot_id
+    s3 = run_job("canal_spark.jobs.schema", root, "--show")
+    assert s3["schema_id"] == s2["schema_id"]
+    assert load_table(root).current_snapshot_id == sid_before
+
+
 def test_delete_cli_predicate_cut(cli_table):
     """jobs/delete.py: a predicate cut lands as MoR debt, the row effect
     is visible to scans, and a re-run no-ops."""
