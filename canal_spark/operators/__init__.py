@@ -8,6 +8,7 @@ column names, aggregated by ``all_queries()`` / ``all_oracles()`` for
 
 from canal_spark.operators import (
     cdc_ext,
+    curation,
     dedup,
     funcreg,
     multimodal,
@@ -20,7 +21,7 @@ from canal_spark.operators import (
 
 _MODULES = (
     relational, cdc_ext, mv, dedup, text, similarity, multimodal, funcreg,
-    temporal,
+    temporal, curation,
 )
 
 

@@ -407,6 +407,101 @@ WHERE osig IS NULL OR nsig IS NULL OR osig <> nsig
 """
 
 
+_CDF_T0 = "2024-01-15 00:00:00"
+
+
+def q_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read with pre/post images: reconstruct the NET
+    row-level changes between two table states from the raw changelog
+    (Iceberg `create_changelog_view(net_changes=true)` / Delta CDF
+    semantics; the reference's RowData before/after pairing,
+    `protocol/.../EntryProtocol.proto` RowData beforeColumns/
+    afterColumns).  `events` is the changelog — key user_id, ordinal
+    (ts, event_id), 'error' rows are tombstones, everything else is an
+    upsert of `value`.  State at T = last-wins as of T; the feed
+    between T0 and now emits I (new key, after image), D (dropped key,
+    before image), or the UB/UA before+after pair for a changed value.
+    Keys whose value round-tripped back to its T0 value emit NOTHING —
+    that is what distinguishes a net feed from a raw changelog replay.
+
+    Scale shape: each side collapses to one row per key via a
+    key-partitioned window BEFORE the join, so the full-outer join
+    moves two narrow per-key frames; the up-to-two output rows per key
+    are built map-side with a literal struct array + explode — one
+    pass over the joined frame, no union-of-four-selects re-scan."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def last_state(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .select(
+                "user_id",
+                (F.col("event_type") != "error").alias(f"{tag}_live"),
+                F.col("value").alias(f"{tag}_val"),
+            )
+        )
+
+    old = last_state(ev.where(F.col("ts") <= F.lit(_CDF_T0).cast("timestamp")), "o")
+    new = last_state(ev, "n")
+    j = old.join(new, "user_id", "full_outer")
+    op = F.coalesce(F.col("o_live"), F.lit(False))
+    np_ = F.coalesce(F.col("n_live"), F.lit(False))
+    ch = F.struct  # (change_type, raw value) pairs, exploded below
+    arr = (
+        F.when(~op & np_, F.array(ch(F.lit("I").alias("t"), F.col("n_val").alias("v"))))
+        .when(op & ~np_, F.array(ch(F.lit("D").alias("t"), F.col("o_val").alias("v"))))
+        .when(
+            op & np_ & (F.col("o_val") != F.col("n_val")),
+            F.array(
+                ch(F.lit("UB").alias("t"), F.col("o_val").alias("v")),
+                ch(F.lit("UA").alias("t"), F.col("n_val").alias("v")),
+            ),
+        )
+        .otherwise(F.array())
+    )
+    return (
+        j.select("user_id", F.explode(arr).alias("_c"))
+        .select(
+            "user_id",
+            F.col("_c.t").alias("change_type"),
+            F.round(F.col("_c.v"), 6).alias("val"),
+        )
+    )
+
+
+SQL_CDF_READ = f"""
+WITH e AS (SELECT user_id, ts, event_id,
+                  event_type <> 'error' AS live, value AS v
+           FROM events),
+old AS (SELECT user_id, live AS o_live, v AS o_val
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM e WHERE ts <= TIMESTAMP '{_CDF_T0}')
+        WHERE rn = 1),
+new AS (SELECT user_id, live AS n_live, v AS n_val
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM e)
+        WHERE rn = 1),
+j AS (SELECT coalesce(o.user_id, n.user_id) AS user_id,
+             coalesce(o_live, false) AS op, o_val,
+             coalesce(n_live, false) AS np, n_val
+      FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id)
+SELECT user_id, 'I' AS change_type, round(n_val::DOUBLE, 6) AS val
+FROM j WHERE NOT op AND np
+UNION ALL
+SELECT user_id, 'D', round(o_val::DOUBLE, 6) FROM j WHERE op AND NOT np
+UNION ALL
+SELECT user_id, 'UB', round(o_val::DOUBLE, 6)
+FROM j WHERE op AND np AND o_val <> n_val
+UNION ALL
+SELECT user_id, 'UA', round(n_val::DOUBLE, 6)
+FROM j WHERE op AND np AND o_val <> n_val
+"""
+
+
 QUERIES = {
     "timeline_merge": q_timeline_merge,
     "flat_message_roundtrip": q_flat_message_roundtrip,
@@ -416,6 +511,7 @@ QUERIES = {
     "unsigned_promotion": q_unsigned_promotion,
     "mor_scan": q_mor_scan,
     "incremental_diff": q_incremental_diff,
+    "cdf_read": q_cdf_read,
 }
 
 ORACLES = {
@@ -427,4 +523,5 @@ ORACLES = {
     "unsigned_promotion": SQL_UNSIGNED_PROMOTION,
     "mor_scan": SQL_MOR_SCAN,
     "incremental_diff": SQL_INCREMENTAL_DIFF,
+    "cdf_read": SQL_CDF_READ,
 }

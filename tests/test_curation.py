@@ -1,0 +1,87 @@
+"""Property tests for the curation operators beyond the oracle parity
+gate (tests/test_entry_parity.py covers value equality): split
+determinism/disjointness, mixture budget feasibility, and chunk
+coverage/overlap invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from canal_spark.operators.curation import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    MIX_BUDGET_DEN,
+    q_doc_chunk,
+    q_mixture_plan,
+    q_train_split,
+)
+from canal_spark.operators.common import release_cached_deps
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_train_split_partitions_every_doc_once(spark):
+    agg = q_train_split(spark, SF_DIR)
+    total = agg.agg(F.sum("n_docs")).first()[0]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert total == n_docs  # splits partition the corpus exactly
+    splits = {r["split"] for r in agg.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
+
+
+def test_train_split_is_rerun_stable(spark):
+    a = sorted(tuple(r) for r in q_train_split(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in q_train_split(spark, SF_DIR).collect())
+    assert a == b
+
+
+def test_mixture_plan_respects_budget_and_availability(spark):
+    df = q_mixture_plan(spark, SF_DIR)
+    rows = df.collect()
+    release_cached_deps(df)
+    total_avail = sum(r["avail_tokens"] for r in rows)
+    budget = total_avail // MIX_BUDGET_DEN
+    assert sum(r["alloc_tokens"] for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["avail_tokens"]
+        assert 0 <= r["sample_ppm"] <= 1_000_000
+        # exact integer rate: alloc == floor(ppm-rate applied back)
+        assert r["sample_ppm"] == r["alloc_tokens"] * 1_000_000 // r["avail_tokens"]
+
+
+def test_doc_chunk_covers_every_token_with_exact_stride(spark):
+    chunks = q_doc_chunk(spark, SF_DIR)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.col("start_tok") + F.col("chunk_len")).alias("cover_end"),
+            F.min("chunk_len").alias("min_len"),
+            F.max("chunk_len").alias("max_len"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert r["cover_end"] == r["n_tok"]  # last chunk ends at doc end
+        assert r["max_len"] <= CHUNK_LEN
+        assert r["min_len"] >= 1
+        # chunk count matches the stride formula exactly
+        expect = (max(r["n_tok"] - CHUNK_LEN, 0) + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        assert r["n_chunks"] == expect
+
+
+def test_doc_chunk_consecutive_windows_overlap(spark):
+    chunks = q_doc_chunk(spark, SF_DIR)
+    multi = chunks.where(F.col("chunk_idx") > 0).limit(1).collect()
+    if not multi:
+        pytest.skip("fixture has no multi-chunk docs at this SF")
+    r = multi[0]
+    # window i starts at i*stride: overlap with window i-1 is LEN-STRIDE
+    assert r["start_tok"] == r["chunk_idx"] * CHUNK_STRIDE
+    assert CHUNK_LEN - CHUNK_STRIDE > 0
