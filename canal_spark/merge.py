@@ -35,6 +35,7 @@ it actually touches.
 
 from __future__ import annotations
 
+import os
 import uuid
 from dataclasses import dataclass, field
 
@@ -192,13 +193,30 @@ class MergeResult:
 
 
 def _affected_files(
-    entries: list[DataFile], keys: np.ndarray, key_col: str = "doc_id"
+    entries: list[DataFile],
+    keys: np.ndarray,
+    key_col: str = "doc_id",
+    table_root: str | None = None,
 ) -> tuple[list[DataFile], list[DataFile]]:
     """Split manifest entries into (affected, untouched) by whether any
     changed key falls inside the file's ``key_col`` [min, max].
     O(F log K) driver-side — manifest scale, never data scale.  For
     composite keys the first key column's stats are used (a safe
-    superset: less pruning, never a miss)."""
+    superset: less pruning, never a miss).
+
+    Range survivors are then refined by MEMBERSHIP when the file
+    carries a bloom sidecar (table/bloom.py; opt-in via the
+    ``write.bloom.col`` table property and ``table_root``): a point-y
+    batch on an interleaved layout — where every file's [min, max]
+    straddles every key — prunes to the files that actually contain
+    the keys plus ~1% false positives.  Key hashes are computed ONCE
+    per batch (never per file) and only for batches under
+    PROBE_MAX_KEYS; a missing/foreign sidecar degrades to the range
+    verdict, never an error."""
+    from canal_spark.table import bloom as _bloom
+
+    probe_ok = table_root is not None and 0 < len(keys) <= _bloom.PROBE_MAX_KEYS
+    hashes: np.ndarray | None = None
     affected, untouched = [], []
     for e in entries:
         st = e.stats.get(key_col) or {}
@@ -207,10 +225,20 @@ def _affected_files(
             affected.append(e)  # no stats -> must assume overlap
             continue
         i = np.searchsorted(keys, lo, side="left")
-        if i < len(keys) and keys[i] <= hi:
-            affected.append(e)
-        else:
+        j = np.searchsorted(keys, hi, side="right")
+        if i >= j:  # no key inside the range
             untouched.append(e)
+            continue
+        marker = st.get("bloom")
+        if probe_ok and marker:
+            side = _bloom.load_sidecar(os.path.join(table_root, e.path))
+            if side is not None and side[0] == marker.get("m"):
+                if hashes is None:
+                    hashes = _bloom.key_hashes(keys)
+                if not _bloom.probe_any(side[1], side[0], hashes[i:j]):
+                    untouched.append(e)
+                    continue
+        affected.append(e)
     return affected, untouched
 
 
@@ -250,7 +278,7 @@ def _refine_noops(
         np.array([r[0] for r in noops.select(key_cols[0]).collect()], dtype=object)
     )
     candidates, _ = _affected_files(
-        table.files(snapshot_id), keys, key_cols[0]
+        table.files(snapshot_id), keys, key_cols[0], table_root=table.root
     )
     if not candidates:
         return final.withColumn("_noop", F.lit(False))
@@ -541,7 +569,9 @@ def merge_into(
                 np.array([r[0] for r in keys_df.select(key_cols[0]).collect()],
                          dtype=object)
             )
-            affected, untouched = _affected_files(entries, keys, key_cols[0])
+            affected, untouched = _affected_files(
+                entries, keys, key_cols[0], table_root=table.root
+            )
         else:
             # huge backfill: a batch this size is a full-table rewrite anyway
             affected, untouched = entries, []
@@ -916,7 +946,9 @@ def materialize_deletes(
                 dtype=object,
             )
         )
-        affected, untouched = _affected_files(subject, keys, key_cols[0])
+        affected, untouched = _affected_files(
+            subject, keys, key_cols[0], table_root=table.root
+        )
     else:
         affected, untouched = subject, []
 

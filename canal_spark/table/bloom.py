@@ -1,0 +1,148 @@
+"""Per-file key bloom filters — puffin-style sidecars for file skipping.
+
+Min/max range pruning (``merge._affected_files``) is exact on a
+well-clustered table, but on freshly appended or interleaved layouts a
+file's key [min, max] straddles almost any point key, so a 3-key delete
+still "affects" every file.  A per-file bloom over the key column makes
+point-y batches prune by *membership*, not range: at the 100 TB design
+point a hot-key correction batch rewrites only the files that actually
+contain the keys (plus the bloom's ~1% false positives), independent of
+how wide the layout's key ranges spray.  This is Iceberg's puffin
+bloom-blob idea re-expressed for the mini-format: the filter lives in a
+sidecar next to the data file (``<file>.parquet.bloom``), the manifest
+records only {m, k} per column, and GC removes sidecars with their data
+files (reference parity note: Canal has no table format at all — this
+extends the TableMeta/TSDB analogue of SURVEY §1.2).
+
+Determinism contract: the probe hash is md5 of ``str(value)`` — the
+same canonical form on build and probe, engine- and partitioning-
+independent, so a filter built by one writer is probed identically by
+any later reader.  m is a power of two; h2 is forced odd so the k
+double-hash probes cycle the full bit domain.
+
+Opt-in: set table property ``write.bloom.col = <key column>``.  Cost is
+one column-pruned re-read of each freshly written file (distributed
+over executors alongside footer harvesting when the file count is
+large) — the standard price of write-time secondary indexes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+
+BLOOM_PROP = "write.bloom.col"
+BITS_PER_KEY = 10  # ~0.8% fpp at k=7
+K_PROBES = 7
+MIN_BITS = 1 << 11  # 256 B floor
+MAX_BITS = 1 << 24  # 2 MiB cap per file (≈1.7M keys at 10 bits/key)
+MAGIC = b"CSBF1"
+# driver-side probe gate: above this many batch keys, hashing the key
+# list costs more than bloom pruning saves (a batch that size is
+# range-pruned fine — and near max_driver_keys it is a bulk rewrite
+# anyway, where membership pruning buys nothing)
+PROBE_MAX_KEYS = 250_000
+
+
+def sidecar_path(data_path: str) -> str:
+    return data_path + ".bloom"
+
+
+def size_bits(n_keys: int) -> int:
+    """Power-of-two bit count for ``n_keys`` at BITS_PER_KEY, clamped."""
+    want = max(n_keys, 1) * BITS_PER_KEY
+    m = 1 << (want - 1).bit_length()
+    return min(max(m, MIN_BITS), MAX_BITS)
+
+
+def key_hashes(values) -> np.ndarray:
+    """(n, 2) uint64 double-hash bases for the canonical str() form."""
+    out = np.empty((len(values), 2), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(str(v).encode("utf-8")).digest()
+        out[i, 0] = int.from_bytes(d[:8], "big")
+        out[i, 1] = int.from_bytes(d[8:16], "big") | 1  # odd: full period
+    return out
+
+
+def build_bits(hashes: np.ndarray, m: int) -> np.ndarray:
+    """Set the k probe bits for every hash row; returns a uint8 bit array."""
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    mask = np.uint64(m - 1)
+    h0, h1 = hashes[:, 0], hashes[:, 1]
+    for i in range(K_PROBES):
+        p = (h0 + np.uint64(i) * h1) & mask
+        np.bitwise_or.at(bits, (p >> np.uint64(3)).astype(np.int64),
+                         (np.uint64(1) << (p & np.uint64(7))).astype(np.uint8))
+    return bits
+
+
+def probe_any(bits: np.ndarray, m: int, hashes: np.ndarray) -> bool:
+    """True iff ANY hash row has all k probe bits set (maybe-present)."""
+    if len(hashes) == 0:
+        return False
+    mask = np.uint64(m - 1)
+    alive = np.ones(len(hashes), dtype=bool)
+    h0, h1 = hashes[:, 0], hashes[:, 1]
+    for i in range(K_PROBES):
+        p = (h0[alive] + np.uint64(i) * h1[alive]) & mask
+        hit = (
+            bits[(p >> np.uint64(3)).astype(np.int64)]
+            >> (p & np.uint64(7)).astype(np.uint8)
+        ) & 1
+        idx = np.flatnonzero(alive)
+        alive[idx[hit == 0]] = False
+        if not alive.any():
+            return False
+    return True
+
+
+def write_sidecar(data_path: str, values) -> dict:
+    """Build + write the sidecar for ``values``; returns the manifest
+    marker {"m": bits, "k": probes}."""
+    m = size_bits(len(values))
+    bits = build_bits(key_hashes(values), m)
+    tmp = sidecar_path(data_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<IB", m, K_PROBES))
+        f.write(bits.tobytes())
+    os.replace(tmp, sidecar_path(data_path))
+    return {"m": m, "k": K_PROBES}
+
+
+def load_sidecar(data_path: str) -> tuple[int, np.ndarray] | None:
+    """(m, bit array) or None when absent/unreadable (probe degrades to
+    range-only pruning — never an error)."""
+    try:
+        with open(sidecar_path(data_path), "rb") as f:
+            raw = f.read()
+    except OSError:
+        return None
+    if len(raw) < len(MAGIC) + 5 or raw[: len(MAGIC)] != MAGIC:
+        return None
+    m, k = struct.unpack_from("<IB", raw, len(MAGIC))
+    bits = np.frombuffer(raw, dtype=np.uint8, offset=len(MAGIC) + 5)
+    if k != K_PROBES or len(bits) != m // 8:
+        return None  # foreign params: be conservative
+    return m, bits
+
+
+def build_for_file(data_path: str, col: str) -> dict | None:
+    """Read one column of a parquet file and write its bloom sidecar.
+    Returns the manifest marker, or None when the column is absent
+    (schema-era drift: older writers simply have no filter)."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(data_path)
+        if col not in pf.schema_arrow.names:
+            return None
+        tbl = pf.read(columns=[col])
+    except OSError:
+        return None
+    vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+    return write_sidecar(data_path, vals)

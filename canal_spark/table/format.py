@@ -179,6 +179,24 @@ WAP_PROPS_KEY = "wap-staged-properties"
 BRANCH_KEY = "wap-branch"
 
 
+def _remove_data_file(full_path: str) -> bool:
+    """Delete a data file AND its bloom sidecar (table/bloom.py) in one
+    place — every GC path (expire, branch delete, WAP abort, orphan
+    sweep) must keep the pair's lifecycle atomic or stale sidecars
+    accumulate next to recycled file names.  Returns True when the data
+    file existed."""
+    existed = True
+    try:
+        os.remove(full_path)
+    except FileNotFoundError:
+        existed = False
+    try:
+        os.remove(full_path + ".bloom")
+    except FileNotFoundError:
+        pass
+    return existed
+
+
 # --------------------------------------------------------------------------
 # table
 # --------------------------------------------------------------------------
@@ -628,11 +646,8 @@ class Table:
             for p in dead_files:
                 full = os.path.join(self.root, p)
                 dirs.add(os.path.dirname(full))
-                try:
-                    os.remove(full)
+                if _remove_data_file(full):
                     deleted += 1
-                except FileNotFoundError:
-                    pass
             for d in sorted(dirs, reverse=True):
                 try:
                     for side in os.listdir(d):
@@ -1312,11 +1327,8 @@ class Table:
         deleted_data = deleted_manifests = 0
         if delete_orphans:
             for p in dead_files:
-                try:
-                    os.remove(os.path.join(self.root, p))
+                if _remove_data_file(os.path.join(self.root, p)):
                     deleted_data += 1
-                except FileNotFoundError:
-                    pass
             for m in dead_manifests:
                 try:
                     os.remove(os.path.join(self._meta_dir(), m))
@@ -1376,10 +1388,27 @@ class Table:
                 continue
             try:
                 if os.path.getmtime(p) < cutoff:
-                    os.remove(p)
-                    removed += 1
+                    if _remove_data_file(p):
+                        removed += 1
             except FileNotFoundError:
                 pass
+        # bloom sidecars whose data file is gone: the pair-removal helper
+        # keeps normal GC atomic, so strays only come from crashes between
+        # the two removals or from pre-bloom GC code — sweep them here
+        # (age-guarded like everything else) so the dir sweep below can
+        # reclaim their directories
+        for dirpath, _dirs, names in os.walk(self._data_dir()):
+            for n in names:
+                if not n.endswith(".bloom"):
+                    continue
+                p = os.path.join(dirpath, n)
+                if os.path.exists(p[: -len(".bloom")]):
+                    continue
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
         # Sweep staging dirs that hold no data anymore.  Spark leaves
         # _SUCCESS / .crc markers in every write directory, so "empty"
         # means "only marker files left" — delete the markers (they are
@@ -1574,11 +1603,8 @@ class Table:
             for p in dead_files:
                 full = os.path.join(self.root, p)
                 dirs.add(os.path.dirname(full))
-                try:
-                    os.remove(full)
+                if _remove_data_file(full):
                     deleted += 1
-                except FileNotFoundError:
-                    pass
             # the stage's per-commit staging dirs are empty now (Spark
             # side files included in the manifestless sweep below)
             for d in sorted(dirs, reverse=True):

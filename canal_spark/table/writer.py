@@ -18,6 +18,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from canal_spark.table.bloom import BLOOM_PROP, build_for_file
 from canal_spark.table.format import DataFile, Table
 
 # min/max stat eligibility is enforced structurally in _footer_stats:
@@ -168,11 +169,39 @@ def write_datafiles(
     paths = _list_parquet(prefix)
     harvested = _harvest(spark, paths)
 
+    # opt-in per-file key bloom sidecars (table/bloom.py): built from a
+    # column-pruned re-read of each fresh file, distributed alongside
+    # the footer harvest pattern when the file count is large
+    bloom_col = table.properties.get(BLOOM_PROP)
+    bloom_markers: dict[str, dict] = {}
+    if bloom_col:
+        nonempty = [p for p, rows, _b, _s in harvested if rows > 0]
+        if len(nonempty) <= 64:
+            for p in nonempty:
+                mk = build_for_file(p, bloom_col)
+                if mk:
+                    bloom_markers[p] = mk
+        else:
+            sc = spark.sparkContext
+            n_slices = max(1, min(len(nonempty) // 16, sc.defaultParallelism * 2))
+
+            def bpart(it):
+                from canal_spark.table.bloom import build_for_file as bff
+
+                for p in it:
+                    yield (p, bff(p, bloom_col))
+
+            for p, mk in sc.parallelize(nonempty, n_slices).mapPartitions(bpart).collect():
+                if mk:
+                    bloom_markers[p] = mk
+
     part_cols = table.partition_by
     entries: list[DataFile] = []
     for path, rows, nbytes, stats in harvested:
         if rows == 0:
             continue
+        if path in bloom_markers:
+            stats.setdefault(bloom_col, {})["bloom"] = bloom_markers[path]
         partition = {}
         for pc in part_cols:
             st = stats.get(pc)

@@ -1,0 +1,151 @@
+"""Bloom-sidecar file skipping: filter math, merge membership pruning
+on an interleaved layout (where range pruning is useless), sidecar GC
+atomicity, and conservative degradation without sidecars."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from canal_spark import create_table
+from canal_spark.changelog import base_table_df, changelog_df, synth_token_rows
+from canal_spark.merge import merge_into
+from canal_spark.schema import TOKEN_TABLE_SCHEMA
+from canal_spark.table import bloom
+from canal_spark.table.writer import append
+from tests.conftest import oracle_dict, scan_dict
+
+import datetime as dt
+
+E = dt.datetime(2026, 1, 1)
+
+
+# --- filter math --------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fpp():
+    keys = [f"src:{i:010d}" for i in range(1000)]
+    m = bloom.size_bits(len(keys))
+    bits = bloom.build_bits(bloom.key_hashes(keys), m)
+    for k in keys[::37]:  # every inserted key must be maybe-present
+        assert bloom.probe_any(bits, m, bloom.key_hashes([k]))
+    absent = [f"other:{i:010d}" for i in range(10_000)]
+    h = bloom.key_hashes(absent)
+    fp = sum(bloom.probe_any(bits, m, h[i : i + 1]) for i in range(len(absent)))
+    assert fp / len(absent) < 0.03  # ~0.8% design point, 3% ceiling
+
+
+def test_bloom_sidecar_roundtrip(tmp_path):
+    p = str(tmp_path / "f.parquet")
+    marker = bloom.write_sidecar(p, ["a", "b", "c"])
+    m, bits = bloom.load_sidecar(p)
+    assert m == marker["m"]
+    assert bloom.probe_any(bits, m, bloom.key_hashes(["b"]))
+    assert not bloom.probe_any(bits, m, np.empty((0, 2), dtype=np.uint64))
+
+
+def test_load_sidecar_missing_or_corrupt(tmp_path):
+    p = str(tmp_path / "g.parquet")
+    assert bloom.load_sidecar(p) is None
+    with open(bloom.sidecar_path(p), "wb") as f:
+        f.write(b"junkjunkjunk")
+    assert bloom.load_sidecar(p) is None  # conservative, never an error
+
+
+# --- merge integration ---------------------------------------------------------
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_table_root):
+    """Interleaved layout: 12 files, each a hash-random subset of keys,
+    so every file's doc_id [min, max] straddles nearly every key —
+    range pruning alone keeps ALL files affected."""
+    t = create_table(
+        tmp_table_root,
+        TOKEN_TABLE_SCHEMA,
+        partition_by=["source"],
+        properties={"write.bloom.col": "doc_id"},
+    )
+    base = synth_token_rows(1200)
+    append(spark, t, base_table_df(spark, 1200).repartition(12))
+    return t, base
+
+
+def test_point_delete_prunes_by_membership(spark, bloom_table):
+    t, base = bloom_table
+    n_files = len(t.files())
+    assert n_files >= 10
+    # every data file carries a sidecar + manifest marker
+    for e in t.files():
+        assert os.path.exists(bloom.sidecar_path(os.path.join(t.root, e.path)))
+        assert "bloom" in e.stats["doc_id"]
+    victims = [base[7][0], base[500][0], base[1100][0]]
+    rows = [(i + 1, "D", k, None, None, None, E, 1) for i, k in enumerate(victims)]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+    # 3 point keys live in at most 3 files; range pruning would rewrite
+    # all 12 (interleaved layout).  Allow +2 slack for bloom fps.
+    assert res.files_rewritten <= 5
+    assert res.files_pruned >= n_files - 5
+    assert res.rows_deleted == 3
+
+
+def test_update_then_scan_golden(spark, bloom_table):
+    t, base = bloom_table
+    k, src = base[3][0], base[3][3]
+    rows = [
+        (1, "U", k, [1, 2, 3], 3, src, E, 1),
+        (2, "I", "zzz:new", [5], 1, src, E, 1),
+    ]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+    assert res.files_rewritten <= 3  # the one true file + fp slack
+    # files written by the merge itself got fresh sidecars
+    for e in t.files():
+        assert os.path.exists(bloom.sidecar_path(os.path.join(t.root, e.path)))
+
+
+def test_without_property_no_sidecars_and_conservative(spark, token_table):
+    t, base = token_table  # plain fixture: bloom property unset
+    assert not glob.glob(os.path.join(t.root, "data", "**", "*.bloom"),
+                         recursive=True)
+    rows = [(1, "D", base[0][0], None, None, None, E, 1)]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+
+# --- GC atomicity ---------------------------------------------------------------
+
+
+def _stray_blooms(root):
+    return [
+        p
+        for p in glob.glob(os.path.join(root, "data", "**", "*.bloom"), recursive=True)
+        if not os.path.exists(p[: -len(".bloom")])
+    ]
+
+
+def test_expire_removes_sidecars_with_data(spark, bloom_table):
+    t, base = bloom_table
+    rows = [(1, "U", base[0][0], [9], 1, base[0][3], E, 1)]
+    merge_into(spark, t, changelog_df(spark, rows))
+    t.expire_snapshots(keep_last=1, delete_orphans=True)
+    assert _stray_blooms(t.root) == []
+    # live files keep their sidecars
+    for e in t.files():
+        assert os.path.exists(bloom.sidecar_path(os.path.join(t.root, e.path)))
+
+
+def test_orphan_sweep_collects_stray_blooms(spark, bloom_table):
+    t, _ = bloom_table
+    stray = os.path.join(t.root, "data", "stray.parquet.bloom")
+    with open(stray, "wb") as f:
+        f.write(b"x")
+    old = os.path.getmtime(stray) - 10 * 24 * 3600
+    os.utime(stray, (old, old))
+    t.remove_orphan_files(older_than_s=24 * 3600)
+    assert not os.path.exists(stray)
