@@ -5,6 +5,8 @@
   ... --retype n_tok:long                 # widening only
   ... --drop quality
   ... --evolve-partition-by origin,lang   # per-file spec_id, loss-safe
+  ... --set-property write.bloom.col=doc_id   # SET TBLPROPERTIES
+  ... --unset-property write.bloom.col        # UNSET
   ... --show                              # print current schema + specs
 
 Each flag maps to `Table.evolve_schema` / `evolve_partition_spec` —
@@ -42,6 +44,11 @@ def main() -> None:
     p.add_argument("--evolve-partition-by", default=None, metavar="COLS",
                    help="comma list; new files partition by the new spec, "
                         "old files keep theirs (per-file spec_id)")
+    p.add_argument("--set-property", action="append", default=[],
+                   metavar="K=V", help="ALTER TABLE SET TBLPROPERTIES "
+                   "(repeatable; e.g. write.bloom.col=doc_id)")
+    p.add_argument("--unset-property", action="append", default=[],
+                   metavar="K")
     p.add_argument("--show", action="store_true",
                    help="print schema + partition specs (no change)")
     args = p.parse_args()
@@ -68,9 +75,16 @@ def main() -> None:
         snap = table.evolve_partition_spec(cols)
         out["spec_snapshot_id"] = snap.snapshot_id
         out["spec_id"] = table.default_spec_id
-    if not ddl and args.evolve_partition_by is None and not args.show:
+    props = args.set_property or args.unset_property
+    if props:
+        # sessionless metadata CAS, like --rename/--drop
+        out["properties"] = table.set_properties(
+            dict(_pairs(args.set_property, "=", "set-property")),
+            remove=args.unset_property,
+        )
+    if not ddl and args.evolve_partition_by is None and not props and not args.show:
         p.error("nothing to do: pass --add/--drop/--rename/--retype/"
-                "--evolve-partition-by or --show")
+                "--evolve-partition-by/--set-property/--unset-property or --show")
     from pyspark.sql.types import StructType  # pure-Python, no JVM spin-up
 
     table.refresh()

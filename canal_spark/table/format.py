@@ -422,6 +422,52 @@ class Table:
         until :meth:`fast_forward` publishes the chain."""
         return self.metadata.get("refs", {})
 
+    def set_properties(
+        self, props: dict | None = None, remove: list[str] | None = None
+    ) -> dict:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES — a metadata-only CAS
+        commit (optimistic retry like every writer).  This is how an
+        existing table opts into write-time features (e.g.
+        ``write.bloom.col``) without touching data.
+
+        ``key-cols`` is protected once the table has snapshots: the
+        merge contract (manifests, sort orders, eq-delete files, bloom
+        sidecars) is keyed by it, and silently repointing the key on a
+        populated table would corrupt every one of those structures.
+        The engine's own checkpoint properties (merge hwm / GTID set)
+        are rejected too — positions move through commits, never DDL."""
+        props = dict(props or {})
+        remove = list(remove or [])
+        reserved = {"merge-hwm-ordinal", "merge-gtid-set"}
+        touched = set(props) | set(remove)
+        if touched & reserved:
+            raise ValueError(
+                f"properties {sorted(touched & reserved)} are checkpoint "
+                "state — they only move through commits"
+            )
+        for _ in range(5):
+            self.refresh()
+            if "key-cols" in touched and self.snapshots:
+                cur = self.properties.get("key-cols", "doc_id")
+                if props.get("key-cols", None) != cur:
+                    raise ValueError(
+                        "cannot change key-cols on a table with snapshots"
+                    )
+            new_props = {
+                k: v for k, v in self.properties.items() if k not in remove
+            }
+            new_props.update(props)
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["properties"] = new_props
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return new_props
+            except FileExistsError:
+                continue
+        raise CommitConflict("set_properties gave up after 5 retries")
+
     def set_tag(self, name: str, snapshot_id: int | None = None) -> dict:
         """Create or move a tag (optimistic CAS like every commit).
         Defaults to the current snapshot.  Staged (WAP) snapshots are

@@ -149,3 +149,38 @@ def test_orphan_sweep_collects_stray_blooms(spark, bloom_table):
     os.utime(stray, (old, old))
     t.remove_orphan_files(older_than_s=24 * 3600)
     assert not os.path.exists(stray)
+
+
+# --- property DDL: opt in on an existing table -----------------------------------
+
+
+def test_set_properties_enables_bloom_on_existing_table(spark, token_table):
+    t, base = token_table  # built WITHOUT the bloom property
+    # pre-DDL files have no sidecars (range-only pruning for them)
+    assert not glob.glob(os.path.join(t.root, "data", "**", "*.bloom"),
+                         recursive=True)
+    t.set_properties({"write.bloom.col": "doc_id"})
+    assert t.properties["write.bloom.col"] == "doc_id"
+    rows = [(1, "U", base[0][0], [4, 2], 2, base[0][3], E, 1)]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    # every file the merge wrote carries a sidecar (on the interleaved
+    # fixture the 1-key range straddles all files, so all rewrite —
+    # exactly the case the NEXT point batch now prunes by membership)
+    new_files = {e.path for e in t.files()}
+    assert new_files and all(
+        os.path.exists(bloom.sidecar_path(os.path.join(t.root, p)))
+        for p in new_files
+    )
+    t.set_properties(remove=["write.bloom.col"])
+    assert "write.bloom.col" not in t.properties
+
+
+def test_set_properties_guards(spark, token_table):
+    t, _ = token_table
+    with pytest.raises(ValueError, match="checkpoint state"):
+        t.set_properties({"merge-hwm-ordinal": 99})
+    with pytest.raises(ValueError, match="key-cols"):
+        t.set_properties({"key-cols": "other"})
+    # a no-op key-cols "change" to the current value is allowed
+    t.set_properties({"key-cols": "doc_id"})

@@ -827,3 +827,31 @@ def test_run_pass_cli_branch_publish(tmp_path):
     t = load_table(root)
     assert "nightly" not in t.refs
     assert scan_dict(spark, t) == oracle_dict(base, rows)
+
+
+def test_schema_cli_set_properties(tmp_path):
+    """--set-property/--unset-property: sessionless TBLPROPERTIES CAS,
+    reserved checkpoint keys rejected non-zero."""
+    from canal_spark import create_table, load_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+
+    root = str(tmp_path / "tbl")
+    create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+
+    s = run_job("canal_spark.jobs.schema", root,
+                "--set-property", "write.bloom.col=doc_id",
+                "--set-property", "commit.retries=7")
+    assert s["properties"]["write.bloom.col"] == "doc_id"
+    assert load_table(root).properties["commit.retries"] == "7"
+
+    s2 = run_job("canal_spark.jobs.schema", root,
+                 "--unset-property", "commit.retries")
+    assert "commit.retries" not in s2["properties"]
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark.jobs.schema", root,
+         "--set-property", "merge-hwm-ordinal=5"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert out.returncode != 0
