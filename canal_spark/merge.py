@@ -197,6 +197,7 @@ def _affected_files(
     keys: np.ndarray,
     key_col: str = "doc_id",
     table_root: str | None = None,
+    prune_stats: dict | None = None,
 ) -> tuple[list[DataFile], list[DataFile]]:
     """Split manifest entries into (affected, untouched) by whether any
     changed key falls inside the file's ``key_col`` [min, max].
@@ -212,7 +213,9 @@ def _affected_files(
     the keys plus ~1% false positives.  Key hashes are computed ONCE
     per batch (never per file) and only for batches under
     PROBE_MAX_KEYS; a missing/foreign sidecar degrades to the range
-    verdict, never an error."""
+    verdict, never an error.  ``prune_stats`` (when given) records how
+    many prunes each level contributed — the observability split that
+    tells an operator whether blooms are earning their write cost."""
     from canal_spark.table import bloom as _bloom
 
     probe_ok = table_root is not None and 0 < len(keys) <= _bloom.PROBE_MAX_KEYS
@@ -228,6 +231,8 @@ def _affected_files(
         j = np.searchsorted(keys, hi, side="right")
         if i >= j:  # no key inside the range
             untouched.append(e)
+            if prune_stats is not None:
+                prune_stats["range"] = prune_stats.get("range", 0) + 1
             continue
         marker = st.get("bloom")
         if probe_ok and marker:
@@ -237,6 +242,8 @@ def _affected_files(
                     hashes = _bloom.key_hashes(keys)
                 if not _bloom.probe_any(side[1], side[0], hashes[i:j]):
                     untouched.append(e)
+                    if prune_stats is not None:
+                        prune_stats["bloom"] = prune_stats.get("bloom", 0) + 1
                     continue
         affected.append(e)
     return affected, untouched
@@ -569,9 +576,13 @@ def merge_into(
                 np.array([r[0] for r in keys_df.select(key_cols[0]).collect()],
                          dtype=object)
             )
+            prune_stats: dict[str, int] = {}
             affected, untouched = _affected_files(
-                entries, keys, key_cols[0], table_root=table.root
+                entries, keys, key_cols[0], table_root=table.root,
+                prune_stats=prune_stats,
             )
+            if prune_stats.get("bloom"):
+                skew_stats["files_pruned_bloom"] = prune_stats["bloom"]
         else:
             # huge backfill: a batch this size is a full-table rewrite anyway
             affected, untouched = entries, []
@@ -703,6 +714,8 @@ def merge_into(
         "keys-changed": int(n_keys),
         "files-pruned": len(untouched),
     }
+    if skew_stats.get("files_pruned_bloom"):
+        summary["files-pruned-bloom"] = skew_stats["files_pruned_bloom"]
     # checkpoint ALSO persisted as table properties so it survives
     # snapshot expiry — data + checkpoint in one atomic commit.
     # max() against the pre-batch mark: in GTID mode a batch from a

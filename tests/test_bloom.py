@@ -90,6 +90,9 @@ def test_point_delete_prunes_by_membership(spark, bloom_table):
     assert res.files_rewritten <= 5
     assert res.files_pruned >= n_files - 5
     assert res.rows_deleted == 3
+    # observability: the bloom-specific prune count is surfaced (ranges
+    # prune nothing on this layout, so every prune is membership)
+    assert res.extra.get("files_pruned_bloom", 0) == res.files_pruned
 
 
 def test_update_then_scan_golden(spark, bloom_table):
