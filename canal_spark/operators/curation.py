@@ -226,14 +226,131 @@ FROM e
 """
 
 
+# --- per-source quality-percentile cut ----------------------------------------
+
+KEEP_PCT = 70  # keep the top 70% of each source's docs by quality
+
+
+def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cut: keep (at least) the top KEEP_PCT% of each
+    source's documents by `quality_milli` (ties at the threshold keep
+    everything tied — a cut must be a pure function of the score, never
+    of row order) and report the threshold plus kept doc/token counts.
+
+    Scale shape: quality_milli is a BOUNDED integer (≤1000 by
+    construction), so the exact percentile needs no corpus-scale sort —
+    ONE partial-agg shuffle reduces the corpus to a (source × ≤1001)-row
+    histogram carrying doc and token counts, and everything after
+    (top-down cumulative counts, threshold = max score whose cumulative
+    count reaches ceil(KEEP_PCT% · n), kept rollup) is windows and joins
+    over that config-scale frame.  This is the standard trick for exact
+    quantiles over bounded domains — the alternative per-source
+    percent_rank window would sort corpus-scale partitions keyed by a
+    handful of sources, the worst possible skew."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    wc = F.size(F.split("text", " ")).cast("long")
+    stop = F.expr(
+        "size(filter(split(text, ' '), w -> w in ('the', 'a')))"
+    ).cast("long")
+    ciw = F.col("n_chars") - (wc - 1)
+    quality = (
+        F.least(wc, F.lit(100)) * 4
+        + F.floor((wc - stop) * 400 / wc)
+        + F.least(F.floor(ciw * 25 / wc), F.lit(200))
+    ).cast("long")
+    # persisted: BOTH consumers below (threshold derivation and the kept
+    # rollup join) scan this histogram — without the persist each join
+    # branch would re-run the corpus scan + scoring + partial agg
+    hist = (
+        docs.select("source", quality.alias("q"), wc.alias("_tok"))
+        .groupBy("source", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("_tok").cast("long").alias("tok"),
+        )
+        .persist()
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    need = F.expr(f"(n * {KEEP_PCT} + 99) DIV 100")
+    thr = h.groupBy("source").agg(
+        F.max(F.when(F.col("cum") >= need, F.col("q"))).alias("threshold_milli"),
+        F.max("n").alias("n_docs"),
+    )
+    kept = (
+        h.join(F.broadcast(thr), "source")
+        .where(F.col("q") >= F.col("threshold_milli"))
+        .groupBy("source")
+        .agg(
+            F.max("threshold_milli").alias("threshold_milli"),
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.sum("cnt").cast("long").alias("n_kept"),
+            F.sum("tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return attach_cached_deps(
+        kept.select(
+            "source", "threshold_milli", "n_docs", "n_kept", "kept_tokens"
+        ),
+        [hist],
+    )
+
+
+SQL_QUALITY_CUT = f"""
+WITH s AS (
+  SELECT source,
+         CAST(least(len(string_split(text, ' ')), 100) * 4
+              + floor((len(string_split(text, ' '))
+                       - len(list_filter(string_split(text, ' '),
+                                         w -> w IN ('the', 'a'))))
+                      * 400 / len(string_split(text, ' ')))
+              + least(floor((n_chars - (len(string_split(text, ' ')) - 1))
+                            * 25 / len(string_split(text, ' '))), 200)
+              AS BIGINT) AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents),
+hist AS (SELECT source, q, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(tok) AS BIGINT) AS tok
+         FROM s GROUP BY source, q),
+h AS (SELECT *,
+             sum(cnt) OVER (PARTITION BY source ORDER BY q DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM hist),
+thr AS (SELECT source,
+               max(CASE WHEN cum >= (n * {KEEP_PCT} + 99) // 100
+                        THEN q END) AS threshold_milli,
+               CAST(max(n) AS BIGINT) AS n_docs
+        FROM h GROUP BY source)
+SELECT h.source, thr.threshold_milli,
+       thr.n_docs,
+       CAST(sum(h.cnt) AS BIGINT) AS n_kept,
+       CAST(sum(h.tok) AS BIGINT) AS kept_tokens
+FROM h JOIN thr ON h.source = thr.source
+WHERE h.q >= thr.threshold_milli
+GROUP BY h.source, thr.threshold_milli, thr.n_docs
+"""
+
+
 QUERIES = {
     "train_split": q_train_split,
     "mixture_plan": q_mixture_plan,
     "doc_chunk": q_doc_chunk,
+    "quality_cut": q_quality_cut,
 }
 
 ORACLES = {
     "train_split": SQL_TRAIN_SPLIT,
     "mixture_plan": SQL_MIXTURE_PLAN,
     "doc_chunk": SQL_DOC_CHUNK,
+    "quality_cut": SQL_QUALITY_CUT,
 }

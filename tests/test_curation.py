@@ -85,3 +85,30 @@ def test_doc_chunk_consecutive_windows_overlap(spark):
     # window i starts at i*stride: overlap with window i-1 is LEN-STRIDE
     assert r["start_tok"] == r["chunk_idx"] * CHUNK_STRIDE
     assert CHUNK_LEN - CHUNK_STRIDE > 0
+
+
+def test_quality_cut_keeps_at_least_pct_and_is_tie_minimal(spark):
+    from canal_spark.operators.curation import KEEP_PCT, q_quality_cut
+    from canal_spark.operators.text import q_quality_score
+
+    cut = {r["source"]: r for r in q_quality_cut(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "source")
+    scored = (
+        q_quality_score(spark, SF_DIR)
+        .join(docs, "doc_id")
+        .select("source", "quality_milli")
+        .collect()
+    )
+    by_src = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append(r["quality_milli"])
+    assert set(by_src) == set(cut)
+    for src, qs in by_src.items():
+        row = cut[src]
+        need = (len(qs) * KEEP_PCT + 99) // 100
+        t = row["threshold_milli"]
+        kept = [q for q in qs if q >= t]
+        assert row["n_docs"] == len(qs)
+        assert row["n_kept"] == len(kept) >= need  # quota met
+        # minimal: excluding the threshold bucket would miss the quota
+        assert len([q for q in qs if q > t]) < need
