@@ -146,3 +146,65 @@ def build_for_file(data_path: str, col: str) -> dict | None:
         return None
     vals = [v for v in tbl.column(0).to_pylist() if v is not None]
     return write_sidecar(data_path, vals)
+
+
+def build_sidecars(spark, paths: list[str], col: str) -> dict[str, dict]:
+    """Build sidecars for many files; {path: marker}.  Driver loop for a
+    handful, executor fan-out (O(#files) tiny column-read tasks, the
+    footer-harvest pattern) beyond that."""
+    out: dict[str, dict] = {}
+    if len(paths) <= 64:
+        for p in paths:
+            mk = build_for_file(p, col)
+            if mk:
+                out[p] = mk
+        return out
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(paths) // 16, sc.defaultParallelism * 2))
+
+    def part(it):
+        from canal_spark.table.bloom import build_for_file as bff
+
+        for p in it:
+            yield (p, bff(p, col))
+
+    for p, mk in sc.parallelize(paths, n_slices).mapPartitions(part).collect():
+        if mk:
+            out[p] = mk
+    return out
+
+
+def backfill(spark, table) -> dict:
+    """Build bloom sidecars for EXISTING data files that predate the
+    ``write.bloom.col`` property and register their markers via one
+    metadata-only ``replace`` commit — so an opted-in table gets
+    membership pruning on its whole history immediately instead of
+    waiting for organic rewrites.  Idempotent: files already carrying a
+    marker are skipped; a crash between sidecar writes and the commit
+    leaves unused (harmless) sidecars a re-run adopts by rebuilding.
+    Cost is one column-pruned read per un-annotated file, distributed —
+    the same price those files would have paid at write time."""
+    col = table.properties.get(BLOOM_PROP)
+    if not col:
+        raise ValueError(f"table has no {BLOOM_PROP!r} property — set it first")
+    table.refresh()
+    entries = [e for e in table.all_entries() if e.content == "data"]
+    todo = [e for e in entries if "bloom" not in (e.stats.get(col) or {})]
+    if not todo:
+        return {"annotated": 0, "already": len(entries)}
+    markers = build_sidecars(
+        spark, [os.path.join(table.root, e.path) for e in todo], col
+    )
+    updates = {
+        e.path: {col: {"bloom": markers[os.path.join(table.root, e.path)]}}
+        for e in todo
+        if os.path.join(table.root, e.path) in markers
+    }
+    snap = table.annotate_entry_stats(
+        updates, summary={"phase": "bloom-backfill"}
+    )
+    return {
+        "annotated": len(updates),
+        "already": len(entries) - len(todo),
+        "snapshot_id": snap.snapshot_id,
+    }

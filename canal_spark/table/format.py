@@ -1729,6 +1729,67 @@ class Table:
             raise CommitConflict("manifest rewrite gave up after 5 retries")
         return {"manifests_before": before, "manifests_after": len(new_manifests)}
 
+    def annotate_entry_stats(
+        self, updates: dict[str, dict], summary: dict | None = None
+    ) -> "Snapshot":
+        """Merge per-file stat ANNOTATIONS (e.g. bloom sidecar markers)
+        into the current snapshot's manifest entries and commit a
+        metadata-only ``replace`` snapshot over identical data files.
+
+        ``updates`` maps entry path -> {col: {annotation: value}}; the
+        annotation dict is merged INTO the column's existing stats
+        (min/max/nulls are never replaced — annotations extend, they do
+        not restate).  Same conflict rule as ``rewrite_manifests``: if
+        another writer commits between planning and the CAS, raise
+        ``CommitConflict`` — the caller re-plans against the new
+        snapshot (annotations are derived state, always rebuildable)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("cannot annotate an empty table")
+        entries = self.all_entries()
+        changed = 0
+        for e in entries:
+            upd = updates.get(e.path)
+            if not upd:
+                continue
+            for col, ann in upd.items():
+                cur = dict(e.stats.get(col) or {})
+                cur.update(ann)
+                e.stats[col] = cur
+            changed += 1
+        new_manifests = []
+        for i in range(0, len(entries), 10_000):
+            new_manifests.append(
+                self._write_manifest(entries[i : i + 10_000], "anno")
+            )
+        for _ in range(5):
+            self.refresh()
+            parent = self.current_snapshot()
+            if parent is None or parent.snapshot_id != snap.snapshot_id:
+                raise CommitConflict("table changed during stat annotation")
+            new_snap = Snapshot(
+                snapshot_id=max(
+                    (s.snapshot_id for s in self.snapshots), default=0
+                ) + 1,
+                parent_id=parent.snapshot_id,
+                timestamp_ms=int(time.time() * 1000),
+                operation="replace",
+                manifests=new_manifests,
+                summary={**(summary or {}), "files-annotated": changed},
+                schema_id=self.current_schema_id,
+            )
+            meta = dict(self.metadata)
+            meta["version"] = self.version + 1
+            meta["snapshots"] = self.metadata["snapshots"] + [new_snap.to_json()]
+            meta["current_snapshot_id"] = new_snap.snapshot_id
+            try:
+                _write_metadata_exclusive(self.root, meta)
+                self.metadata = meta
+                return new_snap
+            except FileExistsError:
+                continue
+        raise CommitConflict("stat annotation gave up after 5 retries")
+
     def history(self) -> list[dict]:
         return [s.to_json() for s in self.snapshots]
 

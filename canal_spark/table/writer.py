@@ -18,7 +18,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from canal_spark.table.bloom import BLOOM_PROP, build_for_file
+from canal_spark.table.bloom import BLOOM_PROP, build_sidecars
 from canal_spark.table.format import DataFile, Table
 
 # min/max stat eligibility is enforced structurally in _footer_stats:
@@ -175,25 +175,9 @@ def write_datafiles(
     bloom_col = table.properties.get(BLOOM_PROP)
     bloom_markers: dict[str, dict] = {}
     if bloom_col:
-        nonempty = [p for p, rows, _b, _s in harvested if rows > 0]
-        if len(nonempty) <= 64:
-            for p in nonempty:
-                mk = build_for_file(p, bloom_col)
-                if mk:
-                    bloom_markers[p] = mk
-        else:
-            sc = spark.sparkContext
-            n_slices = max(1, min(len(nonempty) // 16, sc.defaultParallelism * 2))
-
-            def bpart(it):
-                from canal_spark.table.bloom import build_for_file as bff
-
-                for p in it:
-                    yield (p, bff(p, bloom_col))
-
-            for p, mk in sc.parallelize(nonempty, n_slices).mapPartitions(bpart).collect():
-                if mk:
-                    bloom_markers[p] = mk
+        bloom_markers = build_sidecars(
+            spark, [p for p, rows, _b, _s in harvested if rows > 0], bloom_col
+        )
 
     part_cols = table.partition_by
     entries: list[DataFile] = []

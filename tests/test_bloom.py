@@ -187,3 +187,54 @@ def test_set_properties_guards(spark, token_table):
         t.set_properties({"key-cols": "other"})
     # a no-op key-cols "change" to the current value is allowed
     t.set_properties({"key-cols": "doc_id"})
+
+
+# --- backfill: sidecars for pre-property files -----------------------------------
+
+
+def test_backfill_annotates_history_and_enables_pruning(spark, token_table):
+    t, base = token_table  # 12 interleaved files, NO bloom property
+    t.set_properties({"write.bloom.col": "doc_id"})
+    before_rows = scan_dict(spark, t)
+    out = bloom.backfill(spark, t)
+    assert out["annotated"] == len(t.files())
+    assert out["already"] == 0
+    # replace snapshot: identical data, markers registered
+    assert scan_dict(spark, t) == before_rows
+    for e in t.files():
+        assert "bloom" in e.stats["doc_id"]
+        assert os.path.exists(bloom.sidecar_path(os.path.join(t.root, e.path)))
+    # idempotent
+    again = bloom.backfill(spark, t)
+    assert again["annotated"] == 0 and again["already"] == len(t.files())
+    # and the NEXT point delete prunes by membership on old files
+    victims = [base[3][0], base[800][0]]
+    rows = [(i + 1, "D", k, None, None, None, E, 1) for i, k in enumerate(victims)]
+    res = merge_into(spark, t, changelog_df(spark, rows))
+    assert res.applied
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+    assert res.extra.get("files_pruned_bloom", 0) >= 8
+    assert res.files_rewritten <= 4
+
+
+def test_backfill_requires_property(spark, token_table):
+    t, _ = token_table
+    with pytest.raises(ValueError, match="write.bloom.col"):
+        bloom.backfill(spark, t)
+
+
+def test_backfill_conflict_on_concurrent_commit(spark, token_table):
+    from canal_spark.table.format import CommitConflict
+    from canal_spark import load_table
+
+    t, base = token_table
+    t.set_properties({"write.bloom.col": "doc_id"})
+    # simulate a racing writer between plan and commit: annotate against
+    # a stale handle after another commit moved the snapshot
+    stale = load_table(t.root)
+    entries = stale.all_entries()
+    rows = [(1, "U", base[0][0], [7], 1, base[0][3], E, 1)]
+    merge_into(spark, t, changelog_df(spark, rows))
+    with pytest.raises(CommitConflict):
+        # bypass backfill's refresh to exercise the commit-time guard
+        stale.annotate_entry_stats({entries[0].path: {"doc_id": {"bloom": {"m": 2048, "k": 7}}}})

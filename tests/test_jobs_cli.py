@@ -855,3 +855,27 @@ def test_schema_cli_set_properties(tmp_path):
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
     )
     assert out.returncode != 0
+
+
+def test_bloom_cli_backfill(tmp_path):
+    """jobs/bloom.py --backfill: annotates pre-property files, idempotent."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.changelog import base_table_df
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("bloom-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 300).repartition(3))
+
+    run_job("canal_spark.jobs.schema", root,
+            "--set-property", "write.bloom.col=doc_id")
+    b = run_job("canal_spark.jobs.bloom", root, "--backfill")
+    assert b["annotated"] == 3 and b["already"] == 0
+    b2 = run_job("canal_spark.jobs.bloom", root, "--backfill")
+    assert b2["annotated"] == 0 and b2["already"] == 3
+    t = load_table(root)
+    for e in t.files():
+        assert "bloom" in e.stats["doc_id"]
