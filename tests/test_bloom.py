@@ -238,3 +238,22 @@ def test_backfill_conflict_on_concurrent_commit(spark, token_table):
     with pytest.raises(CommitConflict):
         # bypass backfill's refresh to exercise the commit-time guard
         stale.annotate_entry_stats({entries[0].path: {"doc_id": {"bloom": {"m": 2048, "k": 7}}}})
+
+
+def test_full_pass_preserves_sidecar_invariant(spark, bloom_table):
+    """merge -> cluster -> compact -> expire on a bloom table: every
+    phase writes through write_datafiles, so every surviving file keeps
+    a sidecar + marker and no stray sidecars accumulate."""
+    from canal_spark.maintenance import run_pass
+    from canal_spark.changelog import synth_changelog_rows
+
+    t, base = bloom_table
+    rows = synth_changelog_rows(base, 200)
+    run_pass(spark, t, changelog_df(spark, rows),
+             target_file_bytes=1 << 20, target_file_rows=400,
+             keep_snapshots=2, measure=False)
+    assert scan_dict(spark, t) == oracle_dict(base, rows)
+    for e in t.files():
+        assert "bloom" in e.stats["doc_id"]
+        assert os.path.exists(bloom.sidecar_path(os.path.join(t.root, e.path)))
+    assert _stray_blooms(t.root) == []
