@@ -930,6 +930,41 @@ class Table:
             range_filter,
             stat_name=lambda e, c: self.era_stat_name(e, c, tid),
         )
+        # point lookups (range_filter with lo == hi) additionally probe
+        # bloom sidecars where files carry markers: a point SELECT on an
+        # interleaved layout — where every file's [min, max] straddles
+        # the key — opens only the files that actually contain it (the
+        # read-side twin of merge._affected_files' membership pruning).
+        # Missing/foreign sidecars keep the range verdict; Spark still
+        # row-group-prunes inside surviving files.
+        if range_filter:
+            points = {
+                c: lo
+                for c, (lo, hi) in range_filter.items()
+                if lo is not None and lo == hi
+            }
+            if points:
+                from canal_spark.table import bloom as _bloom
+
+                hashes = {c: _bloom.key_hashes([v]) for c, v in points.items()}
+                kept = []
+                for e in entries:
+                    drop = False
+                    for c, h in hashes.items():
+                        marker = (
+                            e.stats.get(self.era_stat_name(e, c, tid)) or {}
+                        ).get("bloom")
+                        if not marker:
+                            continue
+                        side = _bloom.load_sidecar(os.path.join(self.root, e.path))
+                        if side is None or side[0] != marker.get("m"):
+                            continue
+                        if not _bloom.probe_any(side[1], side[0], h):
+                            drop = True
+                            break
+                    if not drop:
+                        kept.append(e)
+                entries = kept
         # merge-on-read: pending equality-deletes (at THIS snapshot)
         # apply as a broadcast anti-join; a pure-COW table has none and
         # takes the plain scan path with zero overhead

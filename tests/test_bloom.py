@@ -257,3 +257,34 @@ def test_full_pass_preserves_sidecar_invariant(spark, bloom_table):
         assert "bloom" in e.stats["doc_id"]
         assert os.path.exists(bloom.sidecar_path(os.path.join(t.root, e.path)))
     assert _stray_blooms(t.root) == []
+
+
+def test_point_lookup_scan_prunes_by_membership(spark, bloom_table):
+    """Read-side twin: scan(range_filter={key: (v, v)}) opens only the
+    files whose bloom says maybe-present — on the interleaved layout
+    ranges alone keep all 12 files."""
+    t, base = bloom_table
+    k = base[42][0]
+    df = t.scan(spark, range_filter={"doc_id": (k, k)}).where(
+        f"doc_id = '{k}'"
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == k
+    # count files the pruned scan actually reads: re-run the pruning
+    from canal_spark.table.format import prune_files
+
+    range_only = prune_files(t.files(), None, {"doc_id": (k, k)})
+    assert len(range_only) >= 10  # ranges alone can't prune this layout
+    assert len(t.scan(spark, range_filter={"doc_id": (k, k)}).inputFiles()) <= 3
+
+
+def test_point_lookup_scan_never_misses(spark, bloom_table):
+    """No false negatives: every key is found through the bloom-pruned
+    point scan (spot check across the key space)."""
+    t, base = bloom_table
+    for i in (0, 311, 599, 887, 1199):
+        k = base[i][0]
+        got = t.scan(spark, range_filter={"doc_id": (k, k)}).where(
+            f"doc_id = '{k}'"
+        ).count()
+        assert got == 1, k
