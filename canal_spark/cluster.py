@@ -261,6 +261,13 @@ def cluster(
     raw = table.read_files_live(
         spark, victims, delete_entries=table.delete_files(base_sid)
     )
+    # planning snapshot for commit-time rewrite validation (a MoR delete
+    # committed after this read must conflict, not strand)
+    if base_sid is not None:
+        plan_sid = base_sid
+    else:
+        _cur = table.current_snapshot()
+        plan_sid = _cur.snapshot_id if _cur else 0
 
     # Analytic range partitioning, no sampling job.  The curve key as a
     # whole is NOT uniform (the source dim is low-cardinality), but the
@@ -345,6 +352,7 @@ def cluster(
         summary={"phase": "cluster", "curve": curve, "scope": scope,
                  "job-id": job_id},
         branch=branch,
+        validate_no_new_deletes_since=plan_sid,
     )
     after = measure_tightness(spark, table, entries=new_entries) if measure else {}
     return ClusterResult(

@@ -235,6 +235,15 @@ def _rewrite_chunk(
     )
     flat = [e for m in chunk for e in m]
     pending_dels = table.delete_files(base_sid)
+    # planning snapshot for commit-time rewrite validation: a MoR delete
+    # landing between this read and the chunk commit must conflict, not
+    # be stranded by the rewrite (earlier chunk commits of this same
+    # compaction add no deletes, so they never trip it)
+    if base_sid is not None:
+        plan_sid = base_sid
+    else:
+        _cur = table.current_snapshot()
+        plan_sid = _cur.snapshot_id if _cur else 0
     df = (
         # live read: pending MoR equality-deletes fold in here, or the
         # rewritten bins (new sequence) would resurrect deleted rows
@@ -300,6 +309,7 @@ def _rewrite_chunk(
             "sort-order": tag or "",
         },
         branch=branch,
+        validate_no_new_deletes_since=plan_sid,
     )
     result.bins_written += len(chunk)
     result.files_removed += len(removed)

@@ -540,11 +540,20 @@ def merge_into(
         upserts = effective.where(F.col("op") != "D").select(*data_cols)
 
         entries = table.files(base_sid)
-        # pending equality-deletes from earlier merge-on-read batches:
-        # every COW read of old files must fold them in, or rewritten
-        # survivors would resurrect deleted rows (their new sequence
-        # stops the pending delete from applying)
+        # pending merge-on-read deletes (equality + position) from
+        # earlier batches: every COW read of old files must fold them
+        # in, or rewritten survivors would resurrect deleted rows
+        # (their new sequence and path stop the pending delete from
+        # applying)
         pending_dels = table.delete_files(base_sid)
+        # planning snapshot for commit-time rewrite validation: a MoR
+        # delete committed between this read and our commit would be
+        # stranded by the rewrite (validate_no_new_deletes_since)
+        if base_sid is not None:
+            plan_sid = base_sid
+        else:
+            _cur = table.current_snapshot()
+            plan_sid = _cur.snapshot_id if _cur else 0
         new_entries = []
         rows_del = 0
         if mode == "mor":
@@ -742,6 +751,9 @@ def merge_into(
         new_properties=props,
         stage_only=stage_only,
         branch=branch,
+        # only rewrites can strand a concurrent delete; pure-add commits
+        # (MoR, upsert-only) are delete-safe by the sequence rules
+        validate_no_new_deletes_since=plan_sid if affected else None,
     )
     return MergeResult(
         applied=True,
@@ -795,7 +807,13 @@ def delete_where(
     through the ordinary MERGE — ``mode="mor"`` (default) commits one
     equality-delete file (O(matches) write, zero base rewrites — the
     right shape when the predicate sprays keys across a 100 TB table),
-    ``mode="cow"`` rewrites only the affected files.  Out-of-band means
+    ``mode="cow"`` rewrites only the affected files, and
+    ``mode="mor-pos"`` commits POSITION-delete files ((file_path, pos)
+    rows — Iceberg v2's second delete form: exact physical targeting,
+    no key-column read at scan time, and the scan-side anti-join is a
+    two-column equi-join instead of a key-plus-sequence residual; the
+    commit validates the referenced files still exist, so a racing
+    rewrite conflicts instead of stranding the delete).  Out-of-band means
     the hwm/GTID marks neither filter nor advance (the synthetic
     ordinal carries no position meaning — same contract as corpus
     self-dedup), so upstream changelog replay is unaffected and a
@@ -804,6 +822,11 @@ def delete_where(
 
     Idempotent: a re-run scans the post-delete table, finds no matching
     live rows, and no-ops."""
+    if mode == "mor-pos":
+        return _delete_where_positions(
+            spark, table, condition,
+            job_id=job_id, stage_only=stage_only, branch=branch,
+        )
     key_cols = table.key_cols
     schema = table.spark_schema()
     # branch mode: match against the BRANCH head's live rows
@@ -828,6 +851,92 @@ def delete_where(
         )
     finally:
         changelog.unpersist()
+
+
+def _delete_where_positions(
+    spark: SparkSession,
+    table: Table,
+    condition: str,
+    job_id: str | None = None,
+    stage_only: bool = False,
+    branch: str | None = None,
+) -> MergeResult:
+    """``delete_where(mode="mor-pos")``: commit the matching rows'
+    physical identities ((table-relative file path, row index)) as
+    position-delete files — Iceberg v2 position deletes.
+
+    ONE live scan with ``with_file_path``/``with_pos`` finds the
+    matches (manifest pruning + parquet predicate pushdown apply to
+    ``condition`` as usual — the `_metadata.row_index` column stays
+    correct under row-group skipping); the (path, pos) pairs write
+    hash-partitioned by path and sorted by (path, pos), so each delete
+    file's footer min/max on ``file_path`` lets readers prune delete
+    files that cannot reference the files they scan.  The commit
+    carries ``validate_files_exist`` (the referenced path set, bounded
+    by the live file count), so a concurrent rewrite of a referenced
+    file raises ``CommitConflict`` instead of leaving a dangling
+    delete that silently misses rows — the Iceberg
+    ``validateDataFilesExist`` contract.  Out-of-band like the other
+    delete_where modes: position marks neither filter nor advance.
+
+    Scale shape at 10^12 rows: O(matched rows) written, zero data
+    files rewritten, and the read-side cost is one broadcast two-column
+    equi-anti-join applied only to scans of referenced files."""
+    job_id = job_id or uuid.uuid4().hex[:12]
+    table.refresh()
+    abs_root = os.path.abspath(table.root)
+    matches = (
+        table.scan(spark, tag=branch, with_file_path="_sg_fp", with_pos="_sg_pos")
+        if branch
+        else table.scan(spark, with_file_path="_sg_fp", with_pos="_sg_pos")
+    )
+    pos_df = (
+        matches.where(condition)
+        .select(
+            F.expr(f"substring(_sg_fp, {len(abs_root) + 2})").alias("file_path"),
+            F.col("_sg_pos").cast("long").alias("pos"),
+        )
+        .persist()
+    )
+    try:
+        n = pos_df.count()
+        hwm = merge_high_water_mark(table, branch=branch)
+        if n == 0:
+            return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
+        referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
+        m = max(1, -(-n // 5_000_000))
+        del_entries = write_datafiles(
+            spark, table,
+            pos_df.repartition(m, "file_path"),
+            sort_within_by=["file_path", "pos"],
+        )
+        for e in del_entries:
+            e.content = "pos-deletes"
+        snap = table.commit(
+            added=del_entries,
+            operation="overwrite",
+            summary={
+                "phase": "delete-where",
+                "mode": "mor-pos",
+                "job-id": job_id,
+                "out-of-band": True,
+                "rows-pos-deleted": int(n),
+                "files-referenced": len(referenced),
+            },
+            stage_only=stage_only,
+            branch=branch,
+            validate_files_exist=referenced,
+        )
+        return MergeResult(
+            applied=True,
+            snapshot_id=snap.snapshot_id,
+            high_water_mark=hwm,
+            files_added=len(del_entries),
+            rows_deleted=int(n),
+            job_id=job_id,
+        )
+    finally:
+        pos_df.unpersist()
 
 
 def update_where(
@@ -909,17 +1018,23 @@ def materialize_deletes(
     max_driver_keys: int = 2_000_000,
     branch: str | None = None,
 ) -> MaterializeResult:
-    """Fold pending equality-deletes into the data files and drop the
-    delete files — the compaction phase of merge-on-read (Iceberg's
-    rewrite_position_delete_files analogue for equality deletes).
+    """Fold pending merge-on-read deletes (equality AND position) into
+    the data files and drop the delete files — the debt-repayment phase
+    of merge-on-read (Iceberg's rewrite_position_delete_files /
+    rewrite_data_files delete-compaction).
 
-    Only files a delete can actually hit rewrite: a data file is
-    subject when its sequence is below some delete's sequence AND its
-    key min/max overlaps the pending key set (driver-side manifest
-    pruning, same machinery as COW merge).  Unaffected files are
-    provably clean — min/max pruning has no false negatives — so ALL
-    pending delete files drop in the same atomic commit, even when
-    nothing rewrites (dead deletes are pure metadata removal).
+    Only files a delete can actually hit rewrite: for EQUALITY deletes,
+    a data file is subject when its sequence is below some delete's
+    sequence AND its key min/max overlaps the pending key set
+    (driver-side manifest pruning, same machinery as COW merge); for
+    POSITION deletes, subject = exactly the files the (file_path, pos)
+    rows reference (an O(#referenced-files) driver collect of the
+    distinct paths — manifest scale).  Unaffected files are provably
+    clean — min/max pruning has no false negatives and pos references
+    are exact — so ALL pending delete files drop in the same atomic
+    commit, even when nothing rewrites (dead AND dangling deletes —
+    pos rows whose referenced file was since rewritten — are pure
+    metadata removal).
 
     Cluster tags are preserved the same way the COW keep-side does:
     when every rewritten file carries one curve tag, survivors write
@@ -934,36 +1049,66 @@ def materialize_deletes(
     dels = table.delete_files(base_sid)
     if not dels:
         return MaterializeResult(applied=False)
+    eq_dels = [d for d in dels if d.content == "eq-deletes"]
+    pos_dels = [d for d in dels if d.content == "pos-deletes"]
+    if base_sid is not None:
+        plan_sid = base_sid
+    else:
+        _cur = table.current_snapshot()
+        plan_sid = _cur.snapshot_id if _cur else 0
     key_cols = table.key_cols
     entries = table.files(base_sid)
-    max_dseq = max(int(d.seq or 0) for d in dels)
-    subject = [e for e in entries if int(e.seq or 0) < max_dseq]
     n_del_keys = sum(d.rows for d in dels)
 
-    if subject and 0 < n_del_keys <= max_driver_keys:
-        # exact pending-key list (bounded by the maintenance contract:
-        # batch-sized deltas times passes since the last materialize)
-        d_paths = [f"{table.root}/{d.path}" for d in dels]
-        from pyspark.sql.types import StructType
+    affected: list[DataFile] = []
+    untouched: list[DataFile] = []
+    if eq_dels:
+        max_dseq = max(int(d.seq or 0) for d in eq_dels)
+        subject = [e for e in entries if int(e.seq or 0) < max_dseq]
+        n_eq_keys = sum(d.rows for d in eq_dels)
+        if subject and 0 < n_eq_keys <= max_driver_keys:
+            # exact pending-key list (bounded by the maintenance contract:
+            # batch-sized deltas times passes since the last materialize)
+            d_paths = [f"{table.root}/{d.path}" for d in eq_dels]
+            from pyspark.sql.types import StructType
 
-        kfield = [f for f in table.spark_schema().fields if f.name == key_cols[0]]
-        keys = np.sort(
-            np.array(
-                [
-                    r[0]
-                    for r in spark.read.schema(StructType(kfield))
-                    .parquet(*d_paths)
-                    .distinct()
-                    .collect()
-                ],
-                dtype=object,
+            kfield = [f for f in table.spark_schema().fields if f.name == key_cols[0]]
+            keys = np.sort(
+                np.array(
+                    [
+                        r[0]
+                        for r in spark.read.schema(StructType(kfield))
+                        .parquet(*d_paths)
+                        .distinct()
+                        .collect()
+                    ],
+                    dtype=object,
+                )
             )
-        )
-        affected, untouched = _affected_files(
-            subject, keys, key_cols[0], table_root=table.root
-        )
-    else:
-        affected, untouched = subject, []
+            affected, untouched = _affected_files(
+                subject, keys, key_cols[0], table_root=table.root
+            )
+        else:
+            affected, untouched = subject, []
+    if pos_dels:
+        # the distinct referenced paths: O(#files) driver rows, the same
+        # scale bound as the manifest itself
+        p_paths = [f"{table.root}/{d.path}" for d in pos_dels]
+        referenced = {
+            r[0]
+            for r in spark.read.schema("file_path string, pos long")
+            .parquet(*p_paths)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        already = {e.path for e in affected}
+        extra = [
+            e for e in entries if e.path in referenced and e.path not in already
+        ]
+        affected = affected + extra
+        extra_paths = {e.path for e in extra}
+        untouched = [e for e in untouched if e.path not in extra_paths]
 
     new_entries: list[DataFile] = []
     if affected:
@@ -1011,15 +1156,18 @@ def materialize_deletes(
             "phase": "materialize-deletes",
             "delete-files-removed": len(dels),
             "pending-delete-keys": int(n_del_keys),
+            "eq-delete-files": len(eq_dels),
+            "pos-delete-files": len(pos_dels),
         },
         branch=branch,
+        validate_no_new_deletes_since=plan_sid,
     )
     return MaterializeResult(
         applied=True,
         snapshot_id=snap.snapshot_id,
         files_rewritten=len(affected),
         files_added=len(new_entries),
-        files_pruned=len(untouched) + (len(entries) - len(subject)),
+        files_pruned=len(entries) - len(affected),
         delete_files_removed=len(dels),
         rows_deleted=sum(e.rows for e in affected) - sum(e.rows for e in new_entries),
         bytes_rewritten=sum(e.bytes for e in affected),

@@ -216,6 +216,8 @@ def table_report(
         "delete_debt": {
             "files": len(dels),
             "keys": int(sum(d.rows for d in dels)),
+            "eq_files": sum(1 for d in dels if d.content == "eq-deletes"),
+            "pos_files": sum(1 for d in dels if d.content == "pos-deletes"),
         },
         "partitions": {
             "n": len(part_rows),

@@ -73,9 +73,13 @@ class DataFile:
     # evolution: old files keep their old spec's partition values; new
     # files carry the new spec's — scans prune each file by ITS spec)
     spec_id: int | None = None
-    # entry kind — "data" (default) or "eq-deletes" (Iceberg v2
+    # entry kind — "data" (default), "eq-deletes" (Iceberg v2
     # equality-delete file: parquet of key columns whose rows mark
-    # earlier-sequence data rows with those keys as deleted)
+    # earlier-sequence data rows with those keys as deleted) or
+    # "pos-deletes" (Iceberg v2 position-delete file: parquet of
+    # (file_path, pos) rows, each killing exactly one physical row of
+    # one data file — file identity, no sequence residual needed since
+    # rewrites change the path)
     content: str = "data"
     # commit sequence (= committing snapshot id, stamped by commit()):
     # an eq-delete file applies to data files with a STRICTLY SMALLER
@@ -349,7 +353,7 @@ class Table:
 
     def all_entries(self, snapshot_id: int | None = None) -> list[DataFile]:
         """All live manifest entries at a snapshot — data files AND
-        equality-delete files (default: current)."""
+        delete files (equality + position; default: current)."""
         if snapshot_id is None:
             snap = self.current_snapshot()
             if snap is None:
@@ -370,10 +374,30 @@ class Table:
         return [e for e in self.all_entries(snapshot_id) if e.content == "data"]
 
     def delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
-        """Live equality-delete files at a snapshot (merge-on-read
-        debt).  Empty on a pure copy-on-write table."""
+        """ALL live merge-on-read delete files at a snapshot — equality
+        deletes (key parquet) AND position deletes ((file_path, pos)
+        parquet, Iceberg v2's second delete form).  Empty on a pure
+        copy-on-write table.  Every rewrite path feeds this whole list
+        to ``read_files_live`` (which splits by content), so adding a
+        delete form can never silently skip a fold-in site."""
+        return [
+            e
+            for e in self.all_entries(snapshot_id)
+            if e.content in ("eq-deletes", "pos-deletes")
+        ]
+
+    def eq_delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Live equality-delete files only (key-matching deletes)."""
         return [
             e for e in self.all_entries(snapshot_id) if e.content == "eq-deletes"
+        ]
+
+    def pos_delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Live position-delete files only ((file_path, pos) rows that
+        kill exactly one physical row of one data file — the O(matched
+        rows) write shape of a selective predicate DELETE)."""
+        return [
+            e for e in self.all_entries(snapshot_id) if e.content == "pos-deletes"
         ]
 
     # ---- snapshot resolution ---------------------------------------------
@@ -723,6 +747,7 @@ class Table:
         entries: list["DataFile"],
         target_schema_id: int | None = None,
         with_file_path: str | None = None,
+        with_pos: str | None = None,
     ) -> DataFrame:
         """Read data files projected to a target schema, resolving each
         file's write-time schema era by FIELD ID.
@@ -735,7 +760,10 @@ class Table:
         does not resurrect.  Files are grouped by era — one scan branch
         per era (almost always 1-2), each with full pushdown, unioned by
         name.  ``with_file_path`` adds a normalized file-path column
-        (for per-file joins like compaction's bin map).
+        (for per-file joins like compaction's bin map); ``with_pos``
+        adds the physical row index within the file
+        (``_metadata.row_index`` — stable under predicate pushdown and
+        row-group skipping, the identity position-deletes target).
         """
         from pyspark.sql import functions as FF
         from pyspark.sql.types import StructType
@@ -746,6 +774,8 @@ class Table:
             df = spark.createDataFrame([], target)
             if with_file_path:
                 df = df.withColumn(with_file_path, FF.lit(None).cast("string"))
+            if with_pos:
+                df = df.withColumn(with_pos, FF.lit(None).cast("long"))
             return df
 
         groups: dict[int, list[str]] = {}
@@ -781,6 +811,8 @@ class Table:
                 cols.append(
                     norm_file_path(FF.col("_metadata.file_path")).alias(with_file_path)
                 )
+            if with_pos:
+                cols.append(FF.col("_metadata.row_index").alias(with_pos))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -795,28 +827,38 @@ class Table:
         target_schema_id: int | None = None,
         with_file_path: str | None = None,
         max_broadcast_delete_rows: int = 5_000_000,
+        with_pos: str | None = None,
     ) -> DataFrame:
-        """Read data files with pending equality-deletes APPLIED — the
-        merge-on-read scan (Iceberg v2 semantics).
+        """Read data files with pending deletes APPLIED — the
+        merge-on-read scan (Iceberg v2 semantics, both delete forms).
 
-        A delete file (parquet of key columns, commit sequence ``d.seq``)
-        kills rows of data files with a STRICTLY SMALLER sequence whose
-        keys match; rows written at or after ``d.seq`` survive, so
-        insert-after-delete works.  Plan shape: ONE broadcast hash
-        anti-join of the data scan against the union of pending delete
-        keys, with the sequence comparison as a residual condition —
-        per-row sequences attach via a broadcast (path -> seq) map join
-        (O(#files), manifest scale).  Delete sets are batch-sized by the
-        maintenance contract (materialize_deletes repays the debt), so
-        the broadcast side stays small; a mass-delete backfill above
-        ``max_broadcast_delete_rows`` falls back to a shuffled anti-join
-        under AQE.
+        An EQUALITY-delete file (parquet of key columns, commit sequence
+        ``d.seq``) kills rows of data files with a STRICTLY SMALLER
+        sequence whose keys match; rows written at or after ``d.seq``
+        survive, so insert-after-delete works.  A POSITION-delete file
+        (parquet of (file_path, pos)) kills exactly the physical row
+        ``pos`` of the referenced data file — identity is the immutable
+        file path, so no sequence residual is needed (a rewrite emits a
+        NEW path, and commit-time ``validate_no_new_deletes_since``
+        keeps a racing rewrite from stranding a delete against the old
+        one).  Plan shape: one broadcast hash anti-join per pending
+        delete form — pos deletes equi-join on (path, pos); eq deletes
+        join on keys with the sequence comparison as a residual
+        condition, per-row sequences attached via a broadcast
+        (path -> seq) map join (O(#files), manifest scale).  Delete sets
+        are batch-sized by the maintenance contract (materialize_deletes
+        repays the debt), so the broadcast sides stay small; a
+        mass-delete backfill above ``max_broadcast_delete_rows`` falls
+        back to a shuffled anti-join under AQE.  Pos-delete files are
+        additionally pruned driver-side by their (file_path) footer
+        min/max against the entry paths being read, so a scan of files
+        no delete references pays nothing.
 
         Every REWRITE path (merge keep-side, compaction, clustering)
         must read through this — a rewrite bumps surviving rows to a new
-        sequence, which stops pending deletes from applying to them, so
-        the deletes have to be folded in during the read or deleted rows
-        would resurrect.
+        sequence and a new path, which stops pending deletes from
+        applying to them, so the deletes have to be folded in during the
+        read or deleted rows would resurrect.
         """
         from pyspark.sql import functions as FF
         from pyspark.sql.types import StructType
@@ -826,53 +868,119 @@ class Table:
         dels = list(delete_entries) if delete_entries is not None else self.delete_files()
         if entries:
             min_seq = min(int(e.seq or 0) for e in entries)
+            # valid for BOTH forms: a pos delete always postdates (has a
+            # strictly larger commit seq than) every file it references
             dels = [d for d in dels if int(d.seq or 0) > min_seq]
-        if not dels or not entries:
+        eq_dels = [d for d in dels if d.content == "eq-deletes"]
+        pos_dels = [d for d in dels if d.content == "pos-deletes"]
+        if pos_dels and entries:
+            import bisect
+
+            epaths = sorted(e.path for e in entries)
+            kept = []
+            for d in pos_dels:
+                st = d.stats.get("file_path") or {}
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    kept.append(d)  # no stats: conservatively relevant
+                    continue
+                i = bisect.bisect_left(epaths, mn)
+                if i < len(epaths) and epaths[i] <= mx:
+                    kept.append(d)
+            pos_dels = kept
+        if (not eq_dels and not pos_dels) or not entries:
             return self.read_files(
                 spark, entries, target_schema_id=target_schema_id,
-                with_file_path=with_file_path,
+                with_file_path=with_file_path, with_pos=with_pos,
             )
 
         fp = with_file_path or "_sg_fp"
+        pos = with_pos or "_sg_pos"
+        need_pos = bool(pos_dels) or with_pos is not None
         df = self.read_files(
-            spark, entries, target_schema_id=target_schema_id, with_file_path=fp
+            spark, entries, target_schema_id=target_schema_id,
+            with_file_path=fp, with_pos=pos if need_pos else None,
         )
-        seq_df = spark.createDataFrame(
-            [(os.path.abspath(f"{self.root}/{e.path}"), int(e.seq or 0)) for e in entries],
-            f"`{fp}` string, _sg_seq long",
-        )
-        df = df.join(FF.broadcast(seq_df), fp, "left").withColumn(
-            "_sg_seq", FF.coalesce(FF.col("_sg_seq"), FF.lit(0))
-        )
+        abs_root = os.path.abspath(self.root)
 
-        # delete keys: key columns are protected from rename/retype, so
-        # the current schema's key fields read every delete era
-        key_cols = self.key_cols
-        cur = {f.name: f for f in self.spark_schema().fields}
-        key_schema = StructType([cur[k] for k in key_cols])
-        d_paths = [os.path.join(self.root, d.path) for d in dels]
-        d_df = (
-            spark.read.schema(key_schema)
-            .parquet(*d_paths)
-            .select(
-                *[FF.col(k).alias(f"_sg_d_{k}") for k in key_cols],
-                norm_file_path(FF.col("_metadata.file_path")).alias("_sg_dfp"),
+        if pos_dels:
+            # (path, pos) anti-join: the delete rows store table-root-
+            # relative paths (stable across relocation); prefixing the
+            # absolute root JVM-side reproduces exactly the normalized
+            # `_metadata.file_path` form the data side carries
+            p_paths = [os.path.join(self.root, d.path) for d in pos_dels]
+            p_df = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*p_paths)
+                .select(
+                    FF.concat(FF.lit(abs_root + "/"), FF.col("file_path")).alias(
+                        "_sg_pdfp"
+                    ),
+                    FF.col("pos").alias("_sg_ppos"),
+                )
             )
-        )
-        dseq_df = spark.createDataFrame(
-            [(os.path.abspath(f"{self.root}/{d.path}"), int(d.seq or 0)) for d in dels],
-            "_sg_dfp string, _sg_dseq long",
-        )
-        d_df = d_df.join(FF.broadcast(dseq_df), "_sg_dfp", "left").drop("_sg_dfp")
-        n_del_rows = sum(d.rows for d in dels)
-        d_side = FF.broadcast(d_df) if n_del_rows <= max_broadcast_delete_rows else d_df
-        cond = FF.lit(True)
-        for k in key_cols:
-            cond = cond & (FF.col(k) == FF.col(f"_sg_d_{k}"))
-        cond = cond & (FF.col("_sg_dseq") > FF.col("_sg_seq"))
-        out = df.join(d_side, cond, "left_anti").drop("_sg_seq")
+            n_pos_rows = sum(d.rows for d in pos_dels)
+            p_side = (
+                FF.broadcast(p_df)
+                if n_pos_rows <= max_broadcast_delete_rows
+                else p_df
+            )
+            df = df.join(
+                p_side,
+                (FF.col(fp) == FF.col("_sg_pdfp"))
+                & (FF.col(pos) == FF.col("_sg_ppos")),
+                "left_anti",
+            )
+
+        if eq_dels:
+            seq_df = spark.createDataFrame(
+                [
+                    (os.path.abspath(f"{self.root}/{e.path}"), int(e.seq or 0))
+                    for e in entries
+                ],
+                f"`{fp}` string, _sg_seq long",
+            )
+            df = df.join(FF.broadcast(seq_df), fp, "left").withColumn(
+                "_sg_seq", FF.coalesce(FF.col("_sg_seq"), FF.lit(0))
+            )
+
+            # delete keys: key columns are protected from rename/retype, so
+            # the current schema's key fields read every delete era
+            key_cols = self.key_cols
+            cur = {f.name: f for f in self.spark_schema().fields}
+            key_schema = StructType([cur[k] for k in key_cols])
+            d_paths = [os.path.join(self.root, d.path) for d in eq_dels]
+            d_df = (
+                spark.read.schema(key_schema)
+                .parquet(*d_paths)
+                .select(
+                    *[FF.col(k).alias(f"_sg_d_{k}") for k in key_cols],
+                    norm_file_path(FF.col("_metadata.file_path")).alias("_sg_dfp"),
+                )
+            )
+            dseq_df = spark.createDataFrame(
+                [
+                    (os.path.abspath(f"{self.root}/{d.path}"), int(d.seq or 0))
+                    for d in eq_dels
+                ],
+                "_sg_dfp string, _sg_dseq long",
+            )
+            d_df = d_df.join(FF.broadcast(dseq_df), "_sg_dfp", "left").drop("_sg_dfp")
+            n_del_rows = sum(d.rows for d in eq_dels)
+            d_side = (
+                FF.broadcast(d_df) if n_del_rows <= max_broadcast_delete_rows else d_df
+            )
+            cond = FF.lit(True)
+            for k in key_cols:
+                cond = cond & (FF.col(k) == FF.col(f"_sg_d_{k}"))
+            cond = cond & (FF.col("_sg_dseq") > FF.col("_sg_seq"))
+            df = df.join(d_side, cond, "left_anti").drop("_sg_seq")
+
+        out = df
         if with_file_path is None:
             out = out.drop(fp)
+        if with_pos is None and need_pos:
+            out = out.drop(pos)
         return out
 
     def era_stat_name(self, entry: "DataFile", col: str, target_schema_id: int | None = None) -> str:
@@ -901,8 +1009,13 @@ class Table:
         partition_filter: dict[str, Any] | None = None,
         range_filter: dict[str, tuple] | None = None,
         tag: str | None = None,
+        with_file_path: str | None = None,
+        with_pos: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read of the table as a DataFrame.
+        ``with_file_path`` / ``with_pos`` expose each row's physical
+        identity (normalized file path, row index) — what a
+        position-delete writer records.
 
         ``partition_filter`` prunes files by partition-value equality;
         ``range_filter`` ({col: (lo, hi)}) prunes by manifest min/max
@@ -915,7 +1028,7 @@ class Table:
         )
         all_entries = self.all_entries(snap.snapshot_id) if snap is not None else []
         entries = [e for e in all_entries if e.content == "data"]
-        dels = [e for e in all_entries if e.content == "eq-deletes"]
+        dels = [e for e in all_entries if e.content != "data"]
         # project with the schema AS OF the snapshot being read: after a
         # drop, a time-travel read of a pre-drop snapshot still returns
         # the dropped column's data
@@ -965,11 +1078,12 @@ class Table:
                     if not drop:
                         kept.append(e)
                 entries = kept
-        # merge-on-read: pending equality-deletes (at THIS snapshot)
-        # apply as a broadcast anti-join; a pure-COW table has none and
-        # takes the plain scan path with zero overhead
+        # merge-on-read: pending deletes (equality + position, at THIS
+        # snapshot) apply as broadcast anti-joins; a pure-COW table has
+        # none and takes the plain scan path with zero overhead
         return self.read_files_live(
-            spark, entries, delete_entries=dels, target_schema_id=tid
+            spark, entries, delete_entries=dels, target_schema_id=tid,
+            with_file_path=with_file_path, with_pos=with_pos,
         )
 
     def row_count(self, snapshot_id: int | None = None) -> int:
@@ -997,6 +1111,8 @@ class Table:
         max_retries: int = 5,
         stage_only: bool = False,
         branch: str | None = None,
+        validate_no_new_deletes_since: int | None = None,
+        validate_files_exist: Iterable[str] | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot (optimistic concurrency).
 
@@ -1073,6 +1189,65 @@ class Table:
                     f"files to remove not in current snapshot (concurrent "
                     f"rewrite?): {sorted(missing)[:3]}..."
                 )
+            # Iceberg's validateNoNewDeleteFiles: a REWRITE planned at a
+            # base snapshot read through the deletes pending THERE; if a
+            # concurrent MoR delete commit landed since, the rewritten
+            # rows (new seq, new path) would escape it — deleted rows
+            # resurrecting.  Rewriters pass their planning snapshot id;
+            # any delete file live now but not then conflicts (the
+            # caller replans against the new snapshot).  0 = planned on
+            # an empty table.
+            if (
+                validate_no_new_deletes_since is not None
+                and parent is not None
+                and parent.snapshot_id != validate_no_new_deletes_since
+            ):
+                base_id = validate_no_new_deletes_since
+                if base_id == 0:
+                    base_dels: set[str] = set()
+                else:
+                    try:
+                        base_dels = {
+                            e.path
+                            for e in self.all_entries(base_id)
+                            if e.content != "data"
+                        }
+                    except KeyError:
+                        raise CommitConflict(
+                            f"planning snapshot {base_id} expired during the "
+                            "rewrite — replan against the current snapshot"
+                        ) from None
+                new_dels = [
+                    e.path
+                    for e in self.all_entries(parent.snapshot_id)
+                    if e.content != "data" and e.path not in base_dels
+                ]
+                if new_dels:
+                    raise CommitConflict(
+                        "delete files committed since the rewrite was planned "
+                        f"(snapshot {base_id}): {new_dels[:3]} — replan so the "
+                        "rewrite folds them in"
+                    )
+            # Iceberg's validateDataFilesExist — the other direction of
+            # the same race: a position-delete commit references data
+            # files by path; if a concurrent rewrite removed one, the
+            # delete would dangle and silently miss its rows.  Conflict
+            # instead; the caller re-scans (the rows now live in the
+            # rewritten files under new positions).
+            if validate_files_exist is not None:
+                live_data = {
+                    e.path
+                    for e in (
+                        self.all_entries(parent.snapshot_id) if parent else []
+                    )
+                    if e.content == "data"
+                }
+                gone = sorted(set(validate_files_exist) - live_data)
+                if gone:
+                    raise CommitConflict(
+                        "data files referenced by this commit were rewritten "
+                        f"concurrently: {gone[:3]}... — re-scan and retry"
+                    )
             if added:
                 manifests.append(self._write_manifest(list(added), "add"))
 

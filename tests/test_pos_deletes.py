@@ -1,0 +1,181 @@
+"""Position deletes (Iceberg v2's second MoR delete form):
+`delete_where(mode="mor-pos")` commits (file_path, pos) delete files;
+the live scan kills exactly those physical rows; rewrites fold them in
+(no resurrection); `materialize_deletes` repays mixed eq+pos debt; and
+the two commit-time validations close the delete-vs-rewrite races
+(reference behavior: the same keyed delete replication contract as
+RdbSyncService delete apply, deferred to scan time — SURVEY §2 A3)."""
+
+import pytest
+
+from canal_spark.changelog import base_table_df, changelog_df, synth_changelog_rows
+from canal_spark.compact import compact
+from canal_spark.merge import (
+    delete_where,
+    materialize_deletes,
+    merge_high_water_mark,
+    merge_into,
+)
+from canal_spark.table.format import CommitConflict
+from tests.conftest import scan_dict
+
+
+COND = "source = 'web' AND n_tok % 3 = 0"
+
+
+def _ids(spark, t, **kw):
+    return {r["doc_id"] for r in t.scan(spark, **kw).select("doc_id").collect()}
+
+
+def test_pos_delete_kills_exact_rows_without_rewrites(spark, token_table):
+    t, _ = token_table
+    before = _ids(spark, t)
+    pre_sid = t.current_snapshot_id
+    files_before = {e.path for e in t.files()}
+
+    m = delete_where(spark, t, COND, mode="mor-pos")
+    assert m.applied and m.rows_deleted > 0
+    t.refresh()
+    # zero data rewrites — the O(matches) write shape
+    assert files_before == {e.path for e in t.files()}
+    assert len(t.pos_delete_files()) == 1 and t.eq_delete_files() == []
+    # pos-delete files never count as data
+    assert all(e.content == "data" for e in t.files())
+
+    after = _ids(spark, t)
+    expect = {
+        r["doc_id"]
+        for r in t.scan(spark, snapshot_id=pre_sid).where(COND).collect()
+    }
+    assert before - after == expect and len(expect) == m.rows_deleted
+    # snapshot isolation: the pre-delete snapshot still shows every row
+    assert _ids(spark, t, snapshot_id=pre_sid) == before
+
+
+def test_pos_delete_idempotent_and_out_of_band(spark, token_table):
+    t, base = token_table
+    rows = synth_changelog_rows(base, 40)
+    merge_into(spark, t, changelog_df(spark, rows))
+    hwm = merge_high_water_mark(t)
+
+    m = delete_where(spark, t, COND, mode="mor-pos")
+    assert m.applied
+    assert merge_high_water_mark(t) == hwm  # cursor untouched
+    # re-run: post-delete scan matches nothing -> no-op, no new commit
+    t.refresh()
+    sid = t.current_snapshot_id
+    assert delete_where(spark, t, COND, mode="mor-pos").applied is False
+    t.refresh()
+    assert t.current_snapshot_id == sid
+
+
+def test_rewrite_folds_pos_deletes_no_resurrection(spark, token_table):
+    t, _ = token_table
+    delete_where(spark, t, COND, mode="mor-pos")
+    t.refresh()
+    after = _ids(spark, t)
+
+    compact(spark, t, target_bytes=1 << 20)
+    t.refresh()
+    assert _ids(spark, t) == after  # compaction read through the deletes
+
+    # the delete file is now dangling (its referenced paths were
+    # rewritten) — harmless to reads, pure metadata removal at
+    # materialize time
+    mt = materialize_deletes(spark, t)
+    assert mt.applied and mt.delete_files_removed == 1
+    t.refresh()
+    assert t.delete_files() == [] and _ids(spark, t) == after
+
+
+def test_materialize_folds_mixed_eq_and_pos_debt(spark, token_table):
+    t, _ = token_table
+    before = scan_dict(spark, t)
+    delete_where(spark, t, "n_tok % 5 = 1", mode="mor")  # equality debt
+    delete_where(spark, t, "n_tok % 5 = 2", mode="mor-pos")  # position debt
+    t.refresh()
+    assert len(t.eq_delete_files()) == 1 and len(t.pos_delete_files()) == 1
+    survivors = {
+        k: v for k, v in before.items() if v[1] % 5 != 1 and v[1] % 5 != 2
+    }
+    assert scan_dict(spark, t) == survivors
+
+    mt = materialize_deletes(spark, t)
+    assert mt.applied and mt.delete_files_removed == 2
+    t.refresh()
+    assert t.delete_files() == []
+    assert scan_dict(spark, t) == survivors
+    # only referenced/overlapping files rewrote
+    assert mt.files_pruned >= 0 and mt.files_rewritten > 0
+
+
+def test_reinsert_after_pos_delete_survives(spark, token_table):
+    t, _ = token_table
+    victim = sorted(scan_dict(spark, t))[0]
+    m = delete_where(spark, t, f"doc_id = '{victim}'", mode="mor-pos")
+    assert m.applied and m.rows_deleted == 1
+    hwm = merge_high_water_mark(t)
+    merge_into(
+        spark, t, changelog_df(spark, [(hwm + 1, "I", victim, [9, 9], 2, "web")])
+    )
+    got = scan_dict(spark, t)
+    # the re-inserted row lives in a NEW file — the old (path, pos)
+    # reference cannot touch it
+    assert got[victim] == ([9, 9], 2, "web")
+
+
+def test_pos_delete_file_stats_enable_pruning(spark, token_table):
+    """Delete files record file_path min/max footer stats, the handle
+    read_files_live prunes irrelevant delete files by."""
+    t, _ = token_table
+    delete_where(spark, t, COND, mode="mor-pos")
+    t.refresh()
+    (d,) = t.pos_delete_files()
+    st = d.stats.get("file_path") or {}
+    assert st.get("min") and st.get("max") and st["min"] <= st["max"]
+    assert d.rows > 0
+
+
+def test_commit_validates_no_new_deletes_for_rewrites(spark, token_table):
+    """A rewrite planned before a MoR delete commit must conflict, not
+    strand the delete (Iceberg validateNoNewDeleteFiles)."""
+    t, _ = token_table
+    plan_sid = t.current_snapshot_id  # "rewrite planned here"
+    victims = t.files()[:2]
+    delete_where(spark, t, COND, mode="mor-pos")  # delete lands after
+    t.refresh()
+    with pytest.raises(CommitConflict, match="delete files committed"):
+        t.commit(
+            added=[],
+            removed_paths=[e.path for e in victims],
+            operation="replace",
+            validate_no_new_deletes_since=plan_sid,
+        )
+
+
+def test_commit_validates_referenced_files_exist(spark, token_table):
+    """A pos-delete commit referencing a concurrently rewritten file
+    must conflict, not dangle (Iceberg validateDataFilesExist)."""
+    t, _ = token_table
+    with pytest.raises(CommitConflict, match="rewritten concurrently"):
+        t.commit(
+            added=[],
+            operation="overwrite",
+            validate_files_exist=["data/does-not-exist.parquet"],
+        )
+
+
+def test_pos_delete_on_branch_then_publish(spark, token_table):
+    t, _ = token_table
+    main_before = _ids(spark, t)
+    t.create_branch("audit")
+    m = delete_where(spark, t, COND, mode="mor-pos", branch="audit")
+    assert m.applied
+    t.refresh()
+    # mainline unaffected until fast-forward
+    assert _ids(spark, t) == main_before
+    branch_ids = _ids(spark, t, tag="audit")
+    assert len(branch_ids) < len(main_before)
+    t.fast_forward("audit")
+    t.refresh()
+    assert _ids(spark, t) == branch_ids

@@ -97,7 +97,7 @@ def test_table_report_agrees_with_manifests(maintained):
     assert rep["files"]["n"] == len(entries)
     assert rep["files"]["rows"] == sum(e.rows for e in entries)
     assert rep["files"]["clustered_fraction"] == 1.0
-    assert rep["delete_debt"] == {"files": 0, "keys": 0}
+    assert rep["delete_debt"] == {"files": 0, "keys": 0, "eq_files": 0, "pos_files": 0}
     assert rep["branches"] == ["wip"] and rep["tags"] == ["pinned"]
     assert rep["current_snapshot_id"] == t.current_snapshot_id
     assert rep["partitions"]["n"] >= 1
