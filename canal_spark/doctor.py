@@ -66,7 +66,8 @@ def check_table(
     ``rows`` / ``bytes`` (footer/size disagree with the manifest),
     ``duplicate`` (path referenced twice in the snapshot),
     ``partition`` (recorded partition value contradicts the file's own
-    min/max stats).
+    min/max stats), ``dangling-pos-delete`` (a position-delete file
+    references a data file that is not live in the snapshot).
     """
     # ALL manifest entries: pending equality-delete files get the same
     # missing/bytes/rows/footer validation as data files (a corrupt
@@ -135,6 +136,34 @@ def check_table(
                      "detail": f"{col}={val!r} outside stats "
                                f"[{st['min']!r}, {st['max']!r}]"}
                 )
+
+    # pos-delete references must point at LIVE data files of the same
+    # snapshot: commit-time validate_files_exist plus materialize's
+    # dangling GC make this unrepresentable through the API, so a hit
+    # means hand-edited metadata or an out-of-band file swap — and a
+    # dangling reference is a delete that silently kills nothing.
+    # O(pos-delete rows) driver-side read; pos-delete files are
+    # batch-sized by the maintenance contract.
+    data_paths = {e.path for e in entries if e.content == "data"}
+    for d in existing:
+        if d.content != "pos-deletes":
+            continue
+        try:
+            import pyarrow.parquet as pq
+
+            refs = set(
+                pq.read_table(
+                    os.path.join(table.root, d.path), columns=["file_path"]
+                )["file_path"].to_pylist()
+            )
+        except Exception:
+            continue  # unreadable footer is already a violation above
+        gone = sorted(refs - data_paths)
+        if gone:
+            violations.append(
+                {"file": d.path, "kind": "dangling-pos-delete",
+                 "detail": f"references non-live data files: {gone[:3]}"}
+            )
 
     # metadata hygiene (current metadata, not per-snapshot): dangling
     # refs would make scan(tag=...) raise; forgotten WAP stages pin

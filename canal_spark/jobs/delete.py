@@ -8,7 +8,9 @@
 The curation cut that isn't a keyed changelog: one pruned live scan
 finds the matches, their keys apply as an out-of-band delete through
 the ordinary MERGE (see merge.delete_where).  MoR (default) writes one
-equality-delete file — O(matches), zero base rewrites; debt is repaid
+equality-delete file — O(matches), zero base rewrites; ``--mode
+mor-pos`` writes position-delete files instead ((file_path, row_index)
+— exact physical targeting, no key read at scan time); debt is repaid
 by the next maintenance pass.  ``--branch`` stages the cut on a
 writable branch for audit (publish with jobs/branch.py
 --fast-forward, discard with --delete).
@@ -23,7 +25,7 @@ def main() -> None:
     p = base_parser("predicate DELETE over the table")
     p.add_argument("--where", required=True, dest="cond",
                    help="SQL predicate over the table's current schema")
-    p.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    p.add_argument("--mode", choices=["mor", "cow", "mor-pos"], default="mor")
     p.add_argument("--branch", default=None,
                    help="apply the cut on a writable branch (audit flow)")
     args = p.parse_args()
@@ -39,7 +41,7 @@ def main() -> None:
     )
     emit({"job": "delete", "where": args.cond, "mode": args.mode,
           "applied": m.applied,
-          # exact only in cow mode; mor defers the kill to scan time
+          # exact in cow/mor-pos modes; mor defers the kill to scan time
           "rows_deleted": m.rows_deleted,
           "matched_rows": m.extra.get("slice_rows"),
           "snapshot_id": m.snapshot_id, "branch": args.branch})

@@ -334,6 +334,58 @@ WHERE NOT EXISTS (SELECT 1 FROM dels
 
 
 # --------------------------------------------------------------------------
+# A1-A3 merge-on-read scan, POSITION-delete form — Iceberg v2's second
+# delete shape (canal_spark/merge.py mode="mor-pos" +
+# table/format.py read_files_live pos branch): a delete row is the exact
+# physical identity (file, row-index) of the row it kills, so the scan
+# applies deletes with a two-column equi anti-join and NO sequence
+# residual — file identity is immutable (a rewrite emits a new path),
+# which is why position deletes need commit-time validateDataFilesExist
+# instead of the eq-delete sequence rule.  Reference behavior: the same
+# keyed DELETE resolution (RdbSyncService.java delete), targeted by
+# physical row identity instead of key equality.
+# --------------------------------------------------------------------------
+
+
+def q_pos_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete merge-on-read scan over `documents`: rows get a
+    synthetic physical identity (file_id = doc_id % 16,
+    pos = doc_id div 16 — 16 "files" of consecutive row indexes); the
+    pending position-delete set references the exact (file_id, pos)
+    pairs of docs with doc_id % 11 == 0.  The scan is ONE broadcast
+    two-column equi anti-join — exactly read_files_live's pos-delete
+    plan shape (no sequence residual: physical identity, not key
+    matching)."""
+    docs = load(spark, sf_dir, "documents")
+    data = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 16).alias("fp"),
+        F.floor(F.col("doc_id") / 16).cast("long").alias("pos"),
+    )
+    dels = docs.where("doc_id % 11 = 0").select(
+        (F.col("doc_id") % 16).alias("d_fp"),
+        F.floor(F.col("doc_id") / 16).cast("long").alias("d_pos"),
+    )
+    cond = (F.col("fp") == F.col("d_fp")) & (F.col("pos") == F.col("d_pos"))
+    return data.join(F.broadcast(dels), cond, "left_anti").select(
+        "doc_id", "source", F.col("fp").cast("long").alias("file_id"), "pos"
+    )
+
+
+SQL_POS_DELETE_SCAN = """
+WITH data AS (SELECT doc_id, source, doc_id % 16 AS fp, doc_id // 16 AS pos
+              FROM documents),
+     dels AS (SELECT doc_id % 16 AS d_fp, doc_id // 16 AS d_pos
+              FROM documents WHERE doc_id % 11 = 0)
+SELECT doc_id, source, CAST(fp AS BIGINT) AS file_id, CAST(pos AS BIGINT) AS pos
+FROM data
+WHERE NOT EXISTS (SELECT 1 FROM dels
+                  WHERE dels.d_fp = data.fp AND dels.d_pos = data.pos)
+"""
+
+
+# --------------------------------------------------------------------------
 # C2 recovery path — incremental snapshot-diff read: reconstruct the I/U/D
 # row-change stream between two retained snapshots (the driver-query twin of
 # canal_spark/diff.py::snapshot_diff; server/.../CanalServerWithEmbedded.java:
@@ -510,6 +562,7 @@ QUERIES = {
     "start_position_resolve": q_start_position_resolve,
     "unsigned_promotion": q_unsigned_promotion,
     "mor_scan": q_mor_scan,
+    "pos_delete_scan": q_pos_delete_scan,
     "incremental_diff": q_incremental_diff,
     "cdf_read": q_cdf_read,
 }
@@ -522,6 +575,7 @@ ORACLES = {
     "start_position_resolve": SQL_START_POSITION,
     "unsigned_promotion": SQL_UNSIGNED_PROMOTION,
     "mor_scan": SQL_MOR_SCAN,
+    "pos_delete_scan": SQL_POS_DELETE_SCAN,
     "incremental_diff": SQL_INCREMENTAL_DIFF,
     "cdf_read": SQL_CDF_READ,
 }

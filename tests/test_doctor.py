@@ -169,3 +169,46 @@ def test_doctor_flags_dangling_ref_and_stale_stage(spark, tmp_table_root):
     t.metadata["refs"] = {"train-v0": {"snapshot_id": 999_999, "type": "tag"}}
     rep = check_table(spark, t)
     assert any(v["kind"] == "dangling-ref" for v in rep["violations"])
+
+
+def test_doctor_flags_dangling_pos_delete(spark, tmp_table_root):
+    """A pos-delete file referencing a non-live data path (only
+    reachable by hand-editing metadata — the commit guards make it
+    unrepresentable through the API) is flagged: a dangling reference
+    is a delete that silently kills nothing."""
+    import json as _json
+
+    from canal_spark.merge import delete_where
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 200).repartition(4))
+    delete_where(spark, t, "n_tok % 5 = 0", mode="mor-pos")
+    assert t.refresh().pos_delete_files()
+    rep = check_table(spark, t)
+    assert rep["ok"], rep["violations"]
+
+    # hand-edit: swap one referenced data path out of the live set by
+    # renaming it in the manifest (the file itself stays on disk so no
+    # `missing` violation fires — isolate the dangling check)
+    victim = t.files()[0]
+    snap = t.current_snapshot()
+    for mname in snap.manifests:
+        mpath = os.path.join(t.root, "metadata", mname)
+        m = _json.load(open(mpath))
+        hit = False
+        for entry in m:
+            if entry["path"] == victim.path:
+                newrel = victim.path + ".moved.parquet"
+                os.rename(
+                    os.path.join(t.root, victim.path),
+                    os.path.join(t.root, newrel),
+                )
+                entry["path"] = newrel
+                hit = True
+        if hit:
+            _json.dump(m, open(mpath, "w"))
+            break
+
+    rep = check_table(spark, load_table(t.root))
+    dangle = [v for v in rep["violations"] if v["kind"] == "dangling-pos-delete"]
+    assert dangle and victim.path in dangle[0]["detail"]

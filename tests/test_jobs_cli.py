@@ -728,6 +728,35 @@ def test_delete_cli_predicate_cut(cli_table):
     assert all(src == "bulk" for n, src in got.values() if n >= 30)
     assert any(src != "bulk" for n, src in got.values() if n < 30)
 
+    # the POSITION-delete sibling: exact physical targeting via CLI,
+    # rows_deleted is exact (not deferred), debt is pos-delete files,
+    # and the fold-through repays it so later cli_table consumers stay
+    # clean
+    t = load_table(root)
+    pre = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    keep2 = {
+        r["doc_id"]
+        for r in t.scan(spark).where("NOT (n_tok % 11 = 3)")
+        .select("doc_id").collect()
+    }
+    dp = run_job("canal_spark.jobs.delete", root,
+                 "--where", "n_tok % 11 = 3", "--mode", "mor-pos")
+    assert dp["applied"] is (len(pre) > len(keep2))
+    if dp["applied"]:
+        assert dp["rows_deleted"] == len(pre) - len(keep2)
+        t = load_table(root)
+        assert t.pos_delete_files()
+        assert {
+            r["doc_id"] for r in t.scan(spark).select("doc_id").collect()
+        } == keep2
+        r2 = materialize_deletes(spark, load_table(root))
+        assert r2.applied
+        t = load_table(root)
+        assert t.delete_files() == []
+        assert {
+            r["doc_id"] for r in t.scan(spark).select("doc_id").collect()
+        } == keep2
+
 
 def test_stream_cli_drains_then_replays_noop(tmp_path):
     """jobs/stream.py in drain mode: applies the staged changelog files,
