@@ -31,6 +31,11 @@ def main() -> None:
     p.add_argument("--max-pending-delete-files", type=int, default=8,
                    help="materialize merge-on-read delete debt once this "
                         "many delete files accumulate")
+    p.add_argument("--convert-eq-debt", action="store_true",
+                   help="below the materialize threshold, convert pending "
+                        "equality deletes to position deletes (zero data "
+                        "rewrites) so in-window scans pay the cheap 2-key "
+                        "anti-join instead of the key+sequence join")
     p.add_argument("--wap", action="store_true",
                    help="write-audit-publish: stage the merge, audit "
                         "structural invariants (key uniqueness, token-array "
@@ -80,6 +85,7 @@ def main() -> None:
         ivf_index=load_table(args.ivf_index) if args.ivf_index else None,
         merge_mode=args.merge_mode,
         max_pending_delete_files=args.max_pending_delete_files,
+        convert_eq_debt=args.convert_eq_debt,
         wap=args.wap,
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         branch=args.branch,
@@ -87,7 +93,8 @@ def main() -> None:
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
           "wap": rep.wap, "branch": rep.branch,
-          "materialize": rep.materialize, "ivf_index": rep.ivf_index,
+          "materialize": rep.materialize, "convert": rep.convert,
+          "ivf_index": rep.ivf_index,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,
           "metrics": prometheus_metrics(rep, destination=args.table)})

@@ -32,6 +32,7 @@ class MaintenanceReport:
     wap: dict = field(default_factory=dict)
     ivf_index: dict = field(default_factory=dict)
     materialize: dict = field(default_factory=dict)
+    convert: dict = field(default_factory=dict)
     compact: dict = field(default_factory=dict)
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
@@ -167,6 +168,7 @@ def run_pass(
     ivf_index: Table | None = None,
     merge_mode: str = "cow",
     max_pending_delete_files: int = 8,
+    convert_eq_debt: bool = False,
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
     branch: str | None = None,
@@ -178,7 +180,10 @@ def run_pass(
     ``materialize_deletes`` once ``max_pending_delete_files`` pile up —
     the amortization knob: higher defers rewrite I/O across more
     batches, at the cost of one extra broadcast anti-join per scan in
-    the window.
+    the window.  ``convert_eq_debt=True`` adds the middle policy: below
+    the threshold, pending equality deletes convert to position deletes
+    (``convert_eq_deletes`` — zero data rewrites) so the in-window scan
+    tax drops to the cheap 2-key form.
 
     ``branch="name"`` runs the WHOLE pass on a writable branch
     (Iceberg's ``spark.wap.branch`` flow): merge, debt materialization,
@@ -314,6 +319,27 @@ def run_pass(
                 snapshot_id=mat.snapshot_id,
                 files_rewritten=mat.files_rewritten,
                 bytes_shuffled=mat.bytes_rewritten,
+            )
+    elif convert_eq_debt and any(d.content == "eq-deletes" for d in pending):
+        # below the materialize threshold the debt rides — but eq debt
+        # taxes every scan with a key-join + sequence residual (~5× the
+        # pos form's 2-key anti-join, BASELINE.md).  The convert policy
+        # pays ONE column-pruned scan of the manifest-pruned subject
+        # files to flip the debt to the cheap form, still deferring the
+        # data rewrite to the threshold materialize.
+        _t0 = time.perf_counter()
+        conv = _merge.convert_eq_deletes(spark, table, branch=branch)
+        rep.convert = {k: v for k, v in conv.__dict__.items() if k != "extra"}
+        rep.convert.update(conv.extra)
+        rep.timings["convert"] = round(time.perf_counter() - _t0, 3)
+        if lineage and conv.applied:
+            _ckpt.record(
+                spark, lineage, job_id, "convert-deletes",
+                snapshot_id=conv.snapshot_id,
+                files_rewritten=0,
+                metrics={"rows_pos_deleted": conv.rows_deleted,
+                         "eq_files_removed": conv.extra.get(
+                             "eq_files_removed", 0)},
             )
 
     # Cluster BEFORE compacting: the incremental cluster pass rewrites

@@ -51,7 +51,7 @@ from canal_spark.table.format import (
     Table,
     prune_files,
 )
-from canal_spark.table.writer import write_datafiles
+from canal_spark.table.writer import norm_file_path, write_datafiles
 
 CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
 GTID_KEY = "merge-gtid-set"  # {stream_id: ordinal} for multi-stream sources
@@ -1172,3 +1172,188 @@ def materialize_deletes(
         rows_deleted=sum(e.rows for e in affected) - sum(e.rows for e in new_entries),
         bytes_rewritten=sum(e.bytes for e in affected),
     )
+
+
+def convert_eq_deletes(
+    spark: SparkSession,
+    table: Table,
+    max_driver_keys: int = 2_000_000,
+    job_id: str | None = None,
+    branch: str | None = None,
+) -> MergeResult:
+    """Convert pending EQUALITY deletes to POSITION deletes without
+    rewriting any data files — the minor delete compaction of Iceberg's
+    ``rewrite_position_delete_files`` convert-equality-deletes path.
+
+    Why: the two MoR forms price differently on the two sides.  The eq
+    form is the cheap WRITE (a keyed changelog commits its delete keys
+    with no scan at all) but the expensive READ (every scan pays a
+    key-join with a per-row sequence residual — measured 2.63 s vs a
+    clean 0.15 s at sf0.1×40, BASELINE.md); the pos form reads cheap
+    (2-key hash anti-join, no residual, footer-pruned — 0.52 s) but
+    writing it directly needs a scan.  Converting once after a burst of
+    MoR merges buys the cheap read for every subsequent scan while
+    still deferring the data-file rewrite to ``materialize_deletes``.
+
+    Mechanics: ONE column-pruned scan (key columns + file metadata
+    only, never the token arrays) of the manifest-pruned subject files
+    — the inverse join of the live read: a LEFT SEMI against the
+    pending eq-delete keys with the same strictly-smaller-sequence
+    residual yields exactly the killed rows' (file_path, pos) pairs.
+    The atomic commit adds the pos-delete files and removes the eq
+    files; ``validate_files_exist`` makes a racing rewrite of a subject
+    file a clean conflict (the standard replan), and the removal
+    validation makes a racing ``materialize_deletes`` one.  Scan
+    results are bit-identical before and after by construction.
+
+    Scale shape at 10^12 rows: subject files come from the same
+    manifest pruning as COW merge (key min/max overlap, bloom sidecars
+    when present), the scan reads one key column + row indexes of only
+    those files, the delete side broadcasts (batch-sized by the
+    maintenance contract), and the output is O(killed rows)."""
+    from pyspark.sql.types import StructType
+
+    job_id = job_id or uuid.uuid4().hex[:12]
+    base_sid: int | None = None
+    if branch is not None:
+        table.refresh()
+        table.branch_chain(branch)  # validates: exists and is a branch
+        base_sid = table.refs[branch]["snapshot_id"]
+    else:
+        table.refresh()
+    eq_dels = [
+        d for d in table.delete_files(base_sid) if d.content == "eq-deletes"
+    ]
+    hwm = merge_high_water_mark(table, branch=branch)
+    if not eq_dels:
+        return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
+    key_cols = table.key_cols
+    entries = table.files(base_sid)
+    max_dseq = max(int(d.seq or 0) for d in eq_dels)
+    subject = [e for e in entries if int(e.seq or 0) < max_dseq]
+    n_eq_keys = sum(d.rows for d in eq_dels)
+    if subject and 0 < n_eq_keys <= max_driver_keys:
+        # same manifest pruning as materialize/COW merge: only files
+        # whose key range (and bloom sidecar, when present) can contain
+        # a pending key are scanned at all
+        d_paths = [f"{table.root}/{d.path}" for d in eq_dels]
+        kfield = [f for f in table.spark_schema().fields if f.name == key_cols[0]]
+        keys = np.sort(
+            np.array(
+                [
+                    r[0]
+                    for r in spark.read.schema(StructType(kfield))
+                    .parquet(*d_paths)
+                    .distinct()
+                    .collect()
+                ],
+                dtype=object,
+            )
+        )
+        subject, _ = _affected_files(
+            subject, keys, key_cols[0], table_root=table.root
+        )
+    if not subject:
+        # dead eq deletes (no file can contain their keys): dropping
+        # them is pure metadata removal, nothing to convert
+        snap = table.commit(
+            added=[],
+            removed_paths=[d.path for d in eq_dels],
+            operation="overwrite",
+            summary={
+                "phase": "convert-deletes",
+                "job-id": job_id,
+                "eq-delete-files-removed": len(eq_dels),
+                "rows-pos-deleted": 0,
+            },
+            branch=branch,
+        )
+        return MergeResult(
+            applied=True, snapshot_id=snap.snapshot_id, high_water_mark=hwm,
+            job_id=job_id, extra={"eq_files_removed": len(eq_dels)},
+        )
+
+    abs_root = os.path.abspath(table.root)
+    fp, pos = "_sg_fp", "_sg_pos"
+    df = table.read_files(
+        spark, subject, with_file_path=fp, with_pos=pos
+    ).select(*key_cols, fp, pos)
+    seq_df = spark.createDataFrame(
+        [
+            (os.path.abspath(f"{table.root}/{e.path}"), int(e.seq or 0))
+            for e in subject
+        ],
+        f"`{fp}` string, _sg_seq long",
+    )
+    df = df.join(F.broadcast(seq_df), fp, "left").withColumn(
+        "_sg_seq", F.coalesce(F.col("_sg_seq"), F.lit(0))
+    )
+    cur = {f.name: f for f in table.spark_schema().fields}
+    key_schema = StructType([cur[k] for k in key_cols])
+    d_paths = [os.path.join(table.root, d.path) for d in eq_dels]
+    d_df = (
+        spark.read.schema(key_schema)
+        .parquet(*d_paths)
+        .select(
+            *[F.col(k).alias(f"_sg_d_{k}") for k in key_cols],
+            norm_file_path(F.col("_metadata.file_path")).alias("_sg_dfp"),
+        )
+    )
+    dseq_df = spark.createDataFrame(
+        [
+            (os.path.abspath(f"{table.root}/{d.path}"), int(d.seq or 0))
+            for d in eq_dels
+        ],
+        "_sg_dfp string, _sg_dseq long",
+    )
+    d_df = d_df.join(F.broadcast(dseq_df), "_sg_dfp").drop("_sg_dfp")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_sg_d_{k}"))
+    cond = cond & (F.col("_sg_dseq") > F.col("_sg_seq"))
+    pos_df = (
+        df.join(F.broadcast(d_df), cond, "left_semi")
+        .select(
+            F.expr(f"substring({fp}, {len(abs_root) + 2})").alias("file_path"),
+            F.col(pos).cast("long").alias("pos"),
+        )
+        .persist()
+    )
+    try:
+        n = pos_df.count()
+        referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
+        added: list[DataFile] = []
+        if n > 0:
+            m = max(1, -(-n // 5_000_000))
+            added = write_datafiles(
+                spark, table,
+                pos_df.repartition(m, "file_path"),
+                sort_within_by=["file_path", "pos"],
+            )
+            for e in added:
+                e.content = "pos-deletes"
+        snap = table.commit(
+            added=added,
+            removed_paths=[d.path for d in eq_dels],
+            operation="overwrite",
+            summary={
+                "phase": "convert-deletes",
+                "job-id": job_id,
+                "eq-delete-files-removed": len(eq_dels),
+                "rows-pos-deleted": int(n),
+                "files-referenced": len(referenced),
+            },
+            branch=branch,
+            validate_files_exist=referenced,
+        )
+        return MergeResult(
+            applied=True,
+            snapshot_id=snap.snapshot_id,
+            high_water_mark=hwm,
+            files_added=len(added),
+            rows_deleted=int(n),
+            job_id=job_id,
+            extra={"eq_files_removed": len(eq_dels)},
+        )
+    finally:
+        pos_df.unpersist()
