@@ -939,6 +939,107 @@ def _delete_where_positions(
         pos_df.unpersist()
 
 
+def rewrite_pos_deletes(
+    spark: SparkSession,
+    table: Table,
+    min_files: int = 2,
+    job_id: str | None = None,
+    branch: str | None = None,
+) -> MergeResult:
+    """Consolidate pending position-delete files and GC dangling
+    references — the other half of Iceberg's
+    ``rewrite_position_delete_files`` (``convert_eq_deletes`` is the
+    convert half).
+
+    Repeated predicate cuts / streaming micro-batches each commit their
+    own pos-delete file; every one is a separate broadcast build side
+    and a separate footer-pruning candidate at scan time.  This job
+    reads them all, drops rows whose referenced data file is no longer
+    live (danglers left behind by rewrites — harmless to reads but dead
+    weight), dedupes (file_path, pos), and writes back hash-partitioned
+    by path, sorted by (path, pos) — one tight delete file per ~5M rows
+    with tight file_path footer min/max.  Zero data files touched; the
+    commit swaps delete entries atomically, and ``validate_files_exist``
+    on the surviving references closes the racing-rewrite window.
+
+    No-ops below ``min_files`` unless dangling rows exist (then the GC
+    alone justifies the rewrite).  Scale: O(pending pos rows) — batch-
+    sized by the maintenance contract — plus an O(#files) driver set.
+    """
+    job_id = job_id or uuid.uuid4().hex[:12]
+    base_sid: int | None = None
+    if branch is not None:
+        table.refresh()
+        table.branch_chain(branch)
+        base_sid = table.refs[branch]["snapshot_id"]
+    else:
+        table.refresh()
+    pos_dels = [
+        d for d in table.delete_files(base_sid) if d.content == "pos-deletes"
+    ]
+    hwm = merge_high_water_mark(table, branch=branch)
+    if not pos_dels:
+        return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
+    live_paths = {e.path for e in table.files(base_sid)}
+    p_paths = [os.path.join(table.root, d.path) for d in pos_dels]
+    raw = spark.read.schema("file_path string, pos long").parquet(*p_paths)
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(live_paths)], "file_path string"
+    )
+    pos_df = (
+        raw.join(F.broadcast(live_df), "file_path", "left_semi")
+        .distinct()
+        .persist()
+    )
+    try:
+        n = pos_df.count()
+        n_raw = sum(d.rows for d in pos_dels)
+        dangling = int(n_raw - n)  # includes exact-duplicate rows, if any
+        if len(pos_dels) < min_files and dangling == 0:
+            return MergeResult(
+                applied=False, high_water_mark=hwm, job_id=job_id,
+                extra={"pos_files": len(pos_dels), "dangling_rows": 0},
+            )
+        referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
+        added: list[DataFile] = []
+        if n > 0:
+            m = max(1, -(-n // 5_000_000))
+            added = write_datafiles(
+                spark, table,
+                pos_df.repartition(m, "file_path"),
+                sort_within_by=["file_path", "pos"],
+            )
+            for e in added:
+                e.content = "pos-deletes"
+        snap = table.commit(
+            added=added,
+            removed_paths=[d.path for d in pos_dels],
+            operation="overwrite",
+            summary={
+                "phase": "rewrite-pos-deletes",
+                "job-id": job_id,
+                "pos-delete-files-removed": len(pos_dels),
+                "pos-delete-files-written": len(added),
+                "dangling-rows-dropped": dangling,
+                "rows-pos-deleted": int(n),
+            },
+            branch=branch,
+            validate_files_exist=referenced,
+        )
+        return MergeResult(
+            applied=True,
+            snapshot_id=snap.snapshot_id,
+            high_water_mark=hwm,
+            files_added=len(added),
+            rows_deleted=int(n),
+            job_id=job_id,
+            extra={"pos_files_removed": len(pos_dels),
+                   "dangling_rows": dangling},
+        )
+    finally:
+        pos_df.unpersist()
+
+
 def update_where(
     spark: SparkSession,
     table: Table,

@@ -295,3 +295,50 @@ def test_run_pass_convert_policy(spark, token_table):
         for k, v in python_oracle_apply(before, rows).items()
     }
     assert scan_dict(spark, t) == expect
+
+
+def test_rewrite_pos_deletes_consolidates(spark, token_table):
+    """Three separate pos-delete commits consolidate to one tight file;
+    the scan is bit-identical; a single clean file is a no-op."""
+    from canal_spark.merge import rewrite_pos_deletes
+
+    t, _ = token_table
+    for k in (4, 6, 9):
+        delete_where(spark, t, f"n_tok % 10 = {k}", mode="mor-pos")
+    t.refresh()
+    n_before = len(t.pos_delete_files())
+    assert n_before >= 2
+    expect = scan_dict(spark, t)
+    total_rows = sum(d.rows for d in t.pos_delete_files())
+    files_before = {e.path for e in t.files()}
+
+    r = rewrite_pos_deletes(spark, t)
+    assert r.applied and r.extra["pos_files_removed"] == n_before
+    t.refresh()
+    assert len(t.pos_delete_files()) == 1          # consolidated
+    assert t.pos_delete_files()[0].rows == total_rows  # disjoint cuts: no loss
+    assert files_before == {e.path for e in t.files()}  # zero data rewrites
+    assert scan_dict(spark, t) == expect
+
+    # one clean file, nothing dangling -> no-op
+    assert rewrite_pos_deletes(spark, t).applied is False
+
+
+def test_rewrite_pos_deletes_gc_dangling(spark, token_table):
+    """After a compaction rewrites every referenced file, the pending
+    pos-delete rows are all dangling — the rewrite GCs them down to
+    zero delete files without touching data."""
+    from canal_spark.merge import rewrite_pos_deletes
+
+    t, _ = token_table
+    delete_where(spark, t, COND, mode="mor-pos")
+    compact(spark, t, target_bytes=1 << 20)  # folds + strands the refs
+    t.refresh()
+    assert t.pos_delete_files()
+    expect = scan_dict(spark, t)
+
+    r = rewrite_pos_deletes(spark, t)  # min_files=2 but dangling > 0
+    assert r.applied and r.extra["dangling_rows"] > 0
+    t.refresh()
+    assert t.pos_delete_files() == []  # every row was dangling
+    assert scan_dict(spark, t) == expect
