@@ -853,6 +853,60 @@ def delete_where(
         changelog.unpersist()
 
 
+def _metadata_decide_files(
+    spark: SparkSession,
+    table: Table,
+    condition: str,
+    entries: list[DataFile],
+) -> tuple[list[DataFile], list[DataFile]]:
+    """Classify files against the predicate from manifest metadata
+    alone — Iceberg's metadata-delete test.  Returns
+    ``(wholly_matching, undecidable)``; everything else is decided
+    wholly NON-matching and needs no scan at all.
+
+    Sound exactly when (a) the predicate's referenced columns are all
+    partition columns (checked by analyzing it against a frame that has
+    ONLY those columns — anything else fails analysis), (b) the file
+    carries a value for every partition column (spec evolution can
+    leave older files without one — those are conservatively
+    undecidable), and (c) the file's footer records ZERO nulls in every
+    partition column — the pinned value comes from min==max, which says
+    nothing about null rows.  Every row of a decidable file then shares
+    the file's partition tuple, so the predicate evaluates identically
+    for every row: tuple-TRUE files match wholly, tuple-FALSE (or
+    tuple-NULL) files match nowhere.  When the predicate is NOT
+    partition-only, every file is undecidable (row-level path).
+    Evaluation reuses Spark itself: one driver-local filter over an
+    O(#files) frame of (path, partition values) — the predicate
+    semantics are exactly the scan's, never a re-implementation."""
+    pcols = table.partition_by
+    if not pcols:
+        return [], list(entries)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    pfields = [f for f in table.spark_schema().fields if f.name in pcols]
+    probe = spark.createDataFrame([], StructType(pfields))
+    try:
+        probe.where(condition).schema  # analysis-only; no job
+    except Exception:
+        return [], list(entries)  # non-partition columns: row-level only
+    decidable, undecidable = [], []
+    for e in entries:
+        ok = all(
+            c in e.partition and (e.stats.get(c) or {}).get("nulls") == 0
+            for c in pcols
+        )
+        (decidable if ok else undecidable).append(e)
+    if not decidable:
+        return [], undecidable
+    part_df = spark.createDataFrame(
+        [tuple([e.path] + [e.partition[c] for c in pcols]) for e in decidable],
+        StructType([StructField("_sg_path", StringType())] + pfields),
+    )
+    hit = {r["_sg_path"] for r in part_df.where(condition).collect()}
+    return [e for e in decidable if e.path in hit], undecidable
+
+
 def _delete_where_positions(
     spark: SparkSession,
     table: Table,
@@ -863,32 +917,74 @@ def _delete_where_positions(
 ) -> MergeResult:
     """``delete_where(mode="mor-pos")``: commit the matching rows'
     physical identities ((table-relative file path, row index)) as
-    position-delete files — Iceberg v2 position deletes.
+    position-delete files — Iceberg v2 position deletes — with the
+    METADATA-DELETE fast path folded in.
 
-    ONE live scan with ``with_file_path``/``with_pos`` finds the
-    matches (manifest pruning + parquet predicate pushdown apply to
+    Fast path first: files the predicate wholly matches by manifest
+    metadata alone (partition-column-only predicates against complete
+    partition tuples — `_metadata_decide_files`) drop straight from
+    the manifest, never read, and wholly-NON-matching files are
+    excluded from the residual scan entirely.  ``DELETE FROM t WHERE
+    source = 'x'`` on a source-partitioned partition-pure table is a
+    pure metadata commit with ZERO data jobs at ANY table size — the
+    Iceberg metadata-delete contract.  Only undecidable files
+    (partition value missing under spec evolution, nulls in a
+    partition column, or a predicate touching data columns) take the
+    position scan.
+
+    The residual scan reads with ``with_file_path``/``with_pos``
+    (manifest pruning + parquet predicate pushdown apply to
     ``condition`` as usual — the `_metadata.row_index` column stays
     correct under row-group skipping); the (path, pos) pairs write
     hash-partitioned by path and sorted by (path, pos), so each delete
     file's footer min/max on ``file_path`` lets readers prune delete
-    files that cannot reference the files they scan.  The commit
-    carries ``validate_files_exist`` (the referenced path set, bounded
-    by the live file count), so a concurrent rewrite of a referenced
-    file raises ``CommitConflict`` instead of leaving a dangling
-    delete that silently misses rows — the Iceberg
-    ``validateDataFilesExist`` contract.  Out-of-band like the other
-    delete_where modes: position marks neither filter nor advance.
+    files that cannot reference the files they scan.  Both halves land
+    in ONE atomic commit: dropped files validate through the removal
+    check, residual references through ``validate_files_exist`` — a
+    concurrent rewrite of either raises ``CommitConflict`` instead of
+    losing rows or dangling (the Iceberg ``validateDataFilesExist``
+    contract).  Out-of-band like the other delete_where modes: position
+    marks neither filter nor advance.
 
-    Scale shape at 10^12 rows: O(matched rows) written, zero data
-    files rewritten, and the read-side cost is one broadcast two-column
+    ``rows_deleted`` is exact: wholly-dropped files count their LIVE
+    rows (manifest row counts when no pending delete can touch them,
+    a footer-cheap live count when MoR debt references them).
+
+    Scale shape at 10^12 rows: partition-aligned cuts are O(#files)
+    driver metadata; otherwise O(matched rows) written, zero data files
+    rewritten, and the read-side cost is one broadcast two-column
     equi-anti-join applied only to scans of referenced files."""
     job_id = job_id or uuid.uuid4().hex[:12]
     table.refresh()
+    base_sid: int | None = None
+    if branch is not None:
+        table.branch_chain(branch)  # validates: exists and is a branch
+        base_sid = table.refs[branch]["snapshot_id"]
+    entries = table.files(base_sid)
+    dels = table.delete_files(base_sid)
     abs_root = os.path.abspath(table.root)
-    matches = (
-        table.scan(spark, tag=branch, with_file_path="_sg_fp", with_pos="_sg_pos")
-        if branch
-        else table.scan(spark, with_file_path="_sg_fp", with_pos="_sg_pos")
+
+    # three-way metadata classification: wholly-matching files drop
+    # without a read, wholly-non-matching files are EXCLUDED from the
+    # residual scan (on a partition-pure layout the residual is empty
+    # and the whole DELETE runs zero data jobs), only undecidable files
+    # get scanned
+    whole, rest = _metadata_decide_files(spark, table, condition, entries)
+
+    n_whole = 0
+    if whole:
+        # exact live-row accounting: manifest counts are live unless
+        # pending MoR debt can reach the dropped files
+        if dels:
+            n_whole = table.read_files_live(
+                spark, whole, delete_entries=dels
+            ).count()
+        else:
+            n_whole = sum(e.rows for e in whole)
+
+    matches = table.read_files_live(
+        spark, rest, delete_entries=dels,
+        with_file_path="_sg_fp", with_pos="_sg_pos",
     )
     pos_df = (
         matches.where(condition)
@@ -901,19 +997,22 @@ def _delete_where_positions(
     try:
         n = pos_df.count()
         hwm = merge_high_water_mark(table, branch=branch)
-        if n == 0:
+        if n == 0 and not whole:
             return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
         referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
-        m = max(1, -(-n // 5_000_000))
-        del_entries = write_datafiles(
-            spark, table,
-            pos_df.repartition(m, "file_path"),
-            sort_within_by=["file_path", "pos"],
-        )
-        for e in del_entries:
-            e.content = "pos-deletes"
+        del_entries: list[DataFile] = []
+        if n > 0:
+            m = max(1, -(-n // 5_000_000))
+            del_entries = write_datafiles(
+                spark, table,
+                pos_df.repartition(m, "file_path"),
+                sort_within_by=["file_path", "pos"],
+            )
+            for e in del_entries:
+                e.content = "pos-deletes"
         snap = table.commit(
             added=del_entries,
+            removed_paths=[e.path for e in whole],
             operation="overwrite",
             summary={
                 "phase": "delete-where",
@@ -921,6 +1020,8 @@ def _delete_where_positions(
                 "job-id": job_id,
                 "out-of-band": True,
                 "rows-pos-deleted": int(n),
+                "files-dropped-metadata": len(whole),
+                "rows-dropped-metadata": int(n_whole),
                 "files-referenced": len(referenced),
             },
             stage_only=stage_only,
@@ -932,8 +1033,9 @@ def _delete_where_positions(
             snapshot_id=snap.snapshot_id,
             high_water_mark=hwm,
             files_added=len(del_entries),
-            rows_deleted=int(n),
+            rows_deleted=int(n) + int(n_whole),
             job_id=job_id,
+            extra={"files_dropped_metadata": len(whole)},
         )
     finally:
         pos_df.unpersist()

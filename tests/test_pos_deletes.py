@@ -342,3 +342,88 @@ def test_rewrite_pos_deletes_gc_dangling(spark, token_table):
     t.refresh()
     assert t.pos_delete_files() == []  # every row was dangling
     assert scan_dict(spark, t) == expect
+
+
+def _pure_partition_table(spark, root, n=600):
+    """A token table whose files are partition-PURE (one source per
+    file) — the layout a maintenance pass produces (compaction packs
+    within partition boundaries, clustering sorts source-first), and
+    the precondition for metadata-decidable deletes."""
+    from canal_spark import create_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    df = base_table_df(spark, n)
+    for (src,) in df.select("source").distinct().collect():
+        append(spark, t, df.where(f"source = '{src}'").coalesce(2))
+    assert all("source" in e.partition for e in t.files())
+    return t
+
+
+def test_metadata_delete_partition_aligned(spark, tmp_table_root):
+    """DELETE WHERE <partition predicate>: wholly-matching files drop
+    from the manifest WITHOUT being read and WITHOUT writing any delete
+    file — Iceberg's metadata delete.  rows_deleted is exact."""
+    t = _pure_partition_table(spark, tmp_table_root)
+    before = scan_dict(spark, t)
+    srcs = {v[2] for v in before.values()}
+    victim_src = sorted(srcs)[0]
+    expect_gone = sum(1 for v in before.values() if v[2] == victim_src)
+    victim_files = [e for e in t.files() if e.partition.get("source") == victim_src]
+    assert victim_files
+
+    m = delete_where(spark, t, f"source = '{victim_src}'", mode="mor-pos")
+    assert m.applied and m.rows_deleted == expect_gone
+    assert m.extra["files_dropped_metadata"] == len(victim_files)
+    assert m.files_added == 0  # no delete file written: pure metadata
+    t.refresh()
+    assert t.delete_files() == []
+    assert {e.path for e in t.files()}.isdisjoint(
+        {e.path for e in victim_files}
+    )
+    got = scan_dict(spark, t)
+    assert got == {k: v for k, v in before.items() if v[2] != victim_src}
+
+    # idempotent: nothing matches anymore
+    assert delete_where(spark, t, f"source = '{victim_src}'",
+                        mode="mor-pos").applied is False
+
+
+def test_metadata_delete_counts_live_rows_under_debt(spark, tmp_table_root):
+    """A metadata drop on files that pending MoR debt already reaches
+    reports LIVE rows, not physical rows."""
+    t = _pure_partition_table(spark, tmp_table_root)
+    before = scan_dict(spark, t)
+    srcs = sorted({v[2] for v in before.values()})
+    victim_src = srcs[0]
+    # eq-MoR delete that hits some of the victim source's rows first
+    delete_where(spark, t, f"source = '{victim_src}' AND n_tok % 2 = 0",
+                 mode="mor")
+    t.refresh()
+    assert t.eq_delete_files()
+    live_now = scan_dict(spark, t)
+    expect_gone = sum(1 for v in live_now.values() if v[2] == victim_src)
+
+    m = delete_where(spark, t, f"source = '{victim_src}'", mode="mor-pos")
+    assert m.applied and m.rows_deleted == expect_gone
+    t.refresh()
+    got = scan_dict(spark, t)
+    assert got == {k: v for k, v in live_now.items() if v[2] != victim_src}
+
+
+def test_mixed_predicate_still_row_level(spark, token_table):
+    """A predicate touching data columns takes the row-level path even
+    when it also constrains the partition column — no over-deletion."""
+    t, _ = token_table
+    before = scan_dict(spark, t)
+    srcs = sorted({v[2] for v in before.values()})
+    cond = f"source = '{srcs[0]}' AND n_tok % 2 = 1"
+    expect = {k: v for k, v in before.items()
+              if not (v[2] == srcs[0] and v[1] % 2 == 1)}
+    m = delete_where(spark, t, cond, mode="mor-pos")
+    assert m.applied
+    assert m.extra["files_dropped_metadata"] == 0
+    assert m.files_added >= 1  # real pos-delete files
+    t.refresh()
+    assert scan_dict(spark, t) == expect
