@@ -47,6 +47,11 @@ def main() -> None:
                    help="mor: fold delete debt inline once this many "
                         "delete files pile up (default: defer to the "
                         "next maintenance pass)")
+    p.add_argument("--convert-eq-debt-files", type=int, default=None,
+                   help="mor: below the materialize threshold, convert "
+                        "equality deletes to position deletes once this "
+                        "many eq files pile up (zero data rewrites; "
+                        "readers pay the cheap 2-key anti-join)")
     p.add_argument("--wap", action="store_true",
                    help="write-audit-publish every micro-batch")
     p.add_argument("--wap-max-delete-fraction", type=float, default=None)
@@ -89,6 +94,7 @@ def main() -> None:
         kafka_options=kafka_options,
         merge_mode=args.merge_mode,
         max_pending_delete_files=args.max_pending_delete_files,
+        convert_eq_debt_files=args.convert_eq_debt_files,
         wap=args.wap,
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         quarantine_dir=args.quarantine,

@@ -241,6 +241,7 @@ def stream_apply(
     kafka_subscribe_mode: str = "subscribe",
     merge_mode: str = "cow",
     max_pending_delete_files: int | None = None,
+    convert_eq_debt_files: int | None = None,
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
     quarantine_dir: str | None = None,
@@ -256,6 +257,13 @@ def stream_apply(
     batch's keys spray; set ``max_pending_delete_files`` to fold the
     accumulated delete debt inline once that many pile up (leave None to
     defer repayment entirely to the next maintenance pass).
+    ``convert_eq_debt_files`` is the cheaper middle policy: once that
+    many EQUALITY-delete files accumulate (below the materialize
+    threshold), convert them to position deletes
+    (``merge.convert_eq_deletes`` — zero data rewrites) so readers in
+    the window pay the 2-key anti-join instead of the key+sequence
+    join; the one conversion scan amortizes across that many
+    micro-batches, keeping trigger latency flat.
 
     ``wap=True`` write-audit-publishes EVERY micro-batch: the merge is
     staged, audited (key uniqueness, token-array invariant, optional
@@ -309,6 +317,14 @@ def stream_apply(
             from canal_spark.merge import materialize_deletes
 
             materialize_deletes(spark, t)
+        elif (
+            convert_eq_debt_files is not None
+            and sum(1 for d in t.delete_files() if d.content == "eq-deletes")
+            >= convert_eq_debt_files
+        ):
+            from canal_spark.merge import convert_eq_deletes
+
+            convert_eq_deletes(spark, t)
         if m.applied:
             result.batches_applied += 1
             result.merges.append(

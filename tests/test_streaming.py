@@ -160,6 +160,36 @@ def test_stream_apply_mor_mode(spark, token_table, tmp_path):
     assert scan_dict(spark, table) == oracle_dict(base, rows1 + rows2)
 
 
+def test_stream_apply_mor_convert_policy(spark, token_table, tmp_path):
+    """convert_eq_debt_files below the materialize threshold: after the
+    trigger count of eq files accumulates, the stream flips the debt to
+    position deletes inline (zero data rewrites), and the drained table
+    still matches the oracle."""
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.streaming import stream_apply
+
+    table, base = token_table
+    cl_dir = str(tmp_path / "changelog")
+    rows1 = synth_changelog_rows(base, 150, seed=75)
+    rows2 = synth_changelog_rows(base, 150, seed=76, start_ordinal=10_001)
+    _write_slice(spark, rows1, cl_dir)
+    _write_slice(spark, rows2, cl_dir)
+
+    res = stream_apply(
+        spark, table, cl_dir, str(tmp_path / "ck"),
+        max_files_per_trigger=1, merge_mode="mor",
+        max_pending_delete_files=10,   # never materializes in this run
+        convert_eq_debt_files=2,       # converts after the 2nd batch
+    )
+    table = table.refresh()
+    assert res.batches_applied == 2
+    assert table.eq_delete_files() == []       # converted away
+    conv = [s for s in table.snapshots
+            if s.summary.get("phase") == "convert-deletes"]
+    assert conv, "convert policy never fired"
+    assert scan_dict(spark, table) == oracle_dict(base, rows1 + rows2)
+
+
 def test_stream_apply_wap_quarantines_corrupt_batch(spark, token_table, tmp_path):
     """WAP streaming: every micro-batch is staged + audited before
     readers see it.  A corrupt batch (n_tok disagreeing with the token
