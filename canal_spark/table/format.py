@@ -888,6 +888,35 @@ class Table:
                 if i < len(epaths) and epaths[i] <= mx:
                     kept.append(d)
             pos_dels = kept
+        if eq_dels and entries:
+            # symmetric key-range pruning for the eq form: an eq-delete
+            # row can only kill a row whose key it equals, so a delete
+            # file whose key [min,max] misses the union key range of the
+            # entries being read is irrelevant to THIS scan (a
+            # point-lookup of 3 files skips delete files targeting the
+            # rest of the keyspace).  Keys are protected from
+            # rename/retype, so one stat name reads every era; a single
+            # entry without key stats makes the union unbounded —
+            # conservative, no pruning.
+            kc = self.key_cols[0]
+            lo = hi = None
+            unknown = False
+            for e in entries:
+                st = e.stats.get(self.era_stat_name(e, kc)) or {}
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    unknown = True
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if not unknown and lo is not None:
+                kept = []
+                for d in eq_dels:
+                    st = d.stats.get(kc) or {}
+                    dmn, dmx = st.get("min"), st.get("max")
+                    if dmn is None or dmx is None or (dmx >= lo and dmn <= hi):
+                        kept.append(d)
+                eq_dels = kept
         if (not eq_dels and not pos_dels) or not entries:
             return self.read_files(
                 spark, entries, target_schema_id=target_schema_id,

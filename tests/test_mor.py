@@ -230,3 +230,42 @@ def test_compact_guard_stays_exact_under_irrelevant_delete_debt(
     before = scan_dict(spark, t.refresh())
     compact(spark, t, target_bytes=1 << 20, pack_by="bytes")
     assert scan_dict(spark, t) == before
+
+
+def test_eq_delete_files_prune_by_key_range(spark, tmp_table_root):
+    """A scan restricted to files whose key range an eq-delete file
+    cannot touch pays NO delete anti-join at all — the point-lookup
+    companion to bloom file skipping (the delete file's key footer
+    min/max misses the scanned entries' union key range)."""
+    from canal_spark import create_table
+    from canal_spark.changelog import base_table_df
+    from canal_spark.merge import delete_where
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+    from pyspark.sql import functions as F
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    lowa = base_table_df(spark, 200).withColumn(
+        "doc_id", F.concat(F.lit("a:"), F.col("doc_id"))
+    )
+    highz = base_table_df(spark, 200).withColumn(
+        "doc_id", F.concat(F.lit("z:"), F.col("doc_id"))
+    )
+    append(spark, t, lowa.coalesce(1))
+    append(spark, t, highz.coalesce(1))
+    delete_where(spark, t, "doc_id LIKE 'a:%'", mode="mor")
+    t.refresh()
+    assert t.eq_delete_files()
+
+    z_entries = [
+        e for e in t.files()
+        if (e.stats.get("doc_id") or {}).get("min", "").startswith("z:")
+    ]
+    assert z_entries
+    df = t.read_files_live(spark, z_entries)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan  # delete files pruned driver-side
+    assert df.count() == 200
+
+    # the full live scan still applies the deletes
+    assert t.scan(spark).count() == 200
