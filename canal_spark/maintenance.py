@@ -498,6 +498,14 @@ def prometheus_metrics(rep: MaintenanceReport, destination: str = "tokens") -> d
         vals[f"canal_spark_materialize_rows_deleted{lbl}"] = int(
             mt.get("rows_deleted", 0)
         )
+    if rep.convert:
+        cv = rep.convert
+        vals[f"canal_spark_convert_rows_pos_deleted{lbl}"] = int(
+            cv.get("rows_deleted", 0)
+        )
+        vals[f"canal_spark_convert_eq_files_removed{lbl}"] = int(
+            cv.get("eq_files_removed", 0)
+        )
     if z:
         vals[f"canal_spark_cluster_files_before{lbl}"] = int(z.get("files_before", 0))
         vals[f"canal_spark_cluster_files_after{lbl}"] = int(z.get("files_after", 0))
