@@ -263,11 +263,7 @@ def cluster(
     )
     # planning snapshot for commit-time rewrite validation (a MoR delete
     # committed after this read must conflict, not strand)
-    if base_sid is not None:
-        plan_sid = base_sid
-    else:
-        _cur = table.current_snapshot()
-        plan_sid = _cur.snapshot_id if _cur else 0
+    plan_sid = table.planning_snapshot_id(base_sid)
 
     # Analytic range partitioning, no sampling job.  The curve key as a
     # whole is NOT uniform (the source dim is low-cardinality), but the

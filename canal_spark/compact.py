@@ -239,11 +239,7 @@ def _rewrite_chunk(
     # landing between this read and the chunk commit must conflict, not
     # be stranded by the rewrite (earlier chunk commits of this same
     # compaction add no deletes, so they never trip it)
-    if base_sid is not None:
-        plan_sid = base_sid
-    else:
-        _cur = table.current_snapshot()
-        plan_sid = _cur.snapshot_id if _cur else 0
+    plan_sid = table.planning_snapshot_id(base_sid)
     df = (
         # live read: pending MoR equality-deletes fold in here, or the
         # rewritten bins (new sequence) would resurrect deleted rows

@@ -62,12 +62,15 @@ def check_table(
     """Check one snapshot's manifests against the physical files.
 
     Returns ``{"ok": bool, "files": n, "violations": [{file, kind,
-    detail}, ...]}``.  Violation kinds: ``missing`` (path not on disk),
-    ``rows`` / ``bytes`` (footer/size disagree with the manifest),
-    ``duplicate`` (path referenced twice in the snapshot),
-    ``partition`` (recorded partition value contradicts the file's own
-    min/max stats), ``dangling-pos-delete`` (a position-delete file
-    references a data file that is not live in the snapshot).
+    detail}, ...], "warnings": [...]}``.  Violation kinds: ``missing``
+    (path not on disk), ``rows`` / ``bytes`` (footer/size disagree with
+    the manifest), ``duplicate`` (path referenced twice in the
+    snapshot), ``partition`` (recorded partition value contradicts the
+    file's own min/max stats), ``pos-delete-schema`` (a position-delete
+    file not readable as (file_path, pos) rows).  Warnings never fail
+    the check: ``dangling-pos-delete`` (pos-delete rows referencing
+    rewritten-away files — normal debt, consolidate via
+    ``rewrite_pos_deletes``).
     """
     # ALL manifest entries: pending equality-delete files get the same
     # missing/bytes/rows/footer validation as data files (a corrupt
@@ -75,6 +78,7 @@ def check_table(
     # file, which at least fails loudly at scan)
     entries = table.all_entries(snapshot_id)
     violations: list[dict] = []
+    warnings: list[dict] = []
 
     seen: set[str] = set()
     for e in entries:
@@ -137,32 +141,42 @@ def check_table(
                                f"[{st['min']!r}, {st['max']!r}]"}
                 )
 
-    # pos-delete references must point at LIVE data files of the same
-    # snapshot: commit-time validate_files_exist plus materialize's
-    # dangling GC make this unrepresentable through the API, so a hit
-    # means hand-edited metadata or an out-of-band file swap — and a
-    # dangling reference is a delete that silently kills nothing.
+    # pos-delete hygiene.  Rows referencing non-live data files are
+    # NORMAL debt, not corruption: every rewrite (compact, cluster, COW
+    # merge) strands the references into its victims by design, and
+    # rewrite_pos_deletes / materialize_deletes GC them — so danglers
+    # are a WARNING (run the consolidation job), never a failed check.
+    # What IS corruption is a pos-delete file that cannot be read as
+    # (file_path, pos) rows at all — a wrong-schema swap the footer
+    # check above cannot see (the footer is readable, just not ours).
     # O(pos-delete rows) driver-side read; pos-delete files are
     # batch-sized by the maintenance contract.
+    import pyarrow.parquet as pq
+
+    footer_bad = {v["file"] for v in violations if v["kind"] == "footer"}
     data_paths = {e.path for e in entries if e.content == "data"}
     for d in existing:
-        if d.content != "pos-deletes":
+        if d.content != "pos-deletes" or d.path in footer_bad:
             continue
         try:
-            import pyarrow.parquet as pq
-
             refs = set(
                 pq.read_table(
                     os.path.join(table.root, d.path), columns=["file_path"]
                 )["file_path"].to_pylist()
             )
         except Exception:
-            continue  # unreadable footer is already a violation above
+            violations.append(
+                {"file": d.path, "kind": "pos-delete-schema",
+                 "detail": "not readable as (file_path, pos) rows"}
+            )
+            continue
         gone = sorted(refs - data_paths)
         if gone:
-            violations.append(
+            warnings.append(
                 {"file": d.path, "kind": "dangling-pos-delete",
-                 "detail": f"references non-live data files: {gone[:3]}"}
+                 "detail": f"{len(gone)} referenced data files no longer "
+                           "live (normal after rewrites — consolidate via "
+                           f"rewrite_pos_deletes): {gone[:3]}"}
             )
 
     # metadata hygiene (current metadata, not per-snapshot): dangling
@@ -204,4 +218,5 @@ def check_table(
                            "delete_branch"}
             )
 
-    return {"ok": not violations, "files": len(entries), "violations": violations}
+    return {"ok": not violations, "files": len(entries),
+            "violations": violations, "warnings": warnings}

@@ -36,6 +36,10 @@ def main() -> None:
                         "equality deletes to position deletes (zero data "
                         "rewrites) so in-window scans pay the cheap 2-key "
                         "anti-join instead of the key+sequence join")
+    p.add_argument("--rewrite-pos-debt-files", type=int, default=None,
+                   help="consolidate pos-delete files once this many pile "
+                        "up (merges small delete files, GCs dangling rows, "
+                        "zero data rewrites)")
     p.add_argument("--wap", action="store_true",
                    help="write-audit-publish: stage the merge, audit "
                         "structural invariants (key uniqueness, token-array "
@@ -86,6 +90,7 @@ def main() -> None:
         merge_mode=args.merge_mode,
         max_pending_delete_files=args.max_pending_delete_files,
         convert_eq_debt=args.convert_eq_debt,
+        rewrite_pos_debt_files=args.rewrite_pos_debt_files,
         wap=args.wap,
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         branch=args.branch,
@@ -94,6 +99,7 @@ def main() -> None:
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
           "wap": rep.wap, "branch": rep.branch,
           "materialize": rep.materialize, "convert": rep.convert,
+          "pos_rewrite": rep.pos_rewrite,
           "ivf_index": rep.ivf_index,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,

@@ -52,6 +52,10 @@ def main() -> None:
                         "equality deletes to position deletes once this "
                         "many eq files pile up (zero data rewrites; "
                         "readers pay the cheap 2-key anti-join)")
+    p.add_argument("--rewrite-pos-debt-files", type=int, default=None,
+                   help="consolidate pos-delete files once this many pile "
+                        "up (merges small delete files, GCs dangling rows, "
+                        "zero data rewrites)")
     p.add_argument("--wap", action="store_true",
                    help="write-audit-publish every micro-batch")
     p.add_argument("--wap-max-delete-fraction", type=float, default=None)
@@ -95,6 +99,7 @@ def main() -> None:
         merge_mode=args.merge_mode,
         max_pending_delete_files=args.max_pending_delete_files,
         convert_eq_debt_files=args.convert_eq_debt_files,
+        rewrite_pos_debt_files=args.rewrite_pos_debt_files,
         wap=args.wap,
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         quarantine_dir=args.quarantine,

@@ -33,6 +33,7 @@ class MaintenanceReport:
     ivf_index: dict = field(default_factory=dict)
     materialize: dict = field(default_factory=dict)
     convert: dict = field(default_factory=dict)
+    pos_rewrite: dict = field(default_factory=dict)
     compact: dict = field(default_factory=dict)
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
@@ -169,6 +170,7 @@ def run_pass(
     merge_mode: str = "cow",
     max_pending_delete_files: int = 8,
     convert_eq_debt: bool = False,
+    rewrite_pos_debt_files: int | None = None,
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
     branch: str | None = None,
@@ -183,7 +185,10 @@ def run_pass(
     the window.  ``convert_eq_debt=True`` adds the middle policy: below
     the threshold, pending equality deletes convert to position deletes
     (``convert_eq_deletes`` — zero data rewrites) so the in-window scan
-    tax drops to the cheap 2-key form.
+    tax drops to the cheap 2-key form.  ``rewrite_pos_debt_files=k``
+    consolidates pos-delete files once k accumulate
+    (``rewrite_pos_deletes`` — merges small delete files, GCs dangling
+    rows, zero data rewrites).
 
     ``branch="name"`` runs the WHOLE pass on a writable branch
     (Iceberg's ``spark.wap.branch`` flow): merge, debt materialization,
@@ -341,6 +346,40 @@ def run_pass(
                          "eq_files_removed": conv.extra.get(
                              "eq_files_removed", 0)},
             )
+    # pos-file consolidation is independent of the eq policies above
+    # (skipped when materialize just cleared everything): many small
+    # pos-delete files — each a separate broadcast build side — merge
+    # into tight ones and dangling rows GC, zero data files touched
+    if rewrite_pos_debt_files is not None:
+        if branch is not None:
+            table.refresh()
+            pos_pending = [
+                d
+                for d in table.delete_files(table.refs[branch]["snapshot_id"])
+                if d.content == "pos-deletes"
+            ]
+        else:
+            pos_pending = table.pos_delete_files()
+        if len(pos_pending) >= rewrite_pos_debt_files:
+            _t0 = time.perf_counter()
+            pr = _merge.rewrite_pos_deletes(
+                spark, table, min_files=rewrite_pos_debt_files, branch=branch
+            )
+            rep.pos_rewrite = {
+                k: v for k, v in pr.__dict__.items() if k != "extra"
+            }
+            rep.pos_rewrite.update(pr.extra)
+            rep.timings["pos_rewrite"] = round(time.perf_counter() - _t0, 3)
+            if lineage and pr.applied:
+                _ckpt.record(
+                    spark, lineage, job_id, "rewrite-pos-deletes",
+                    snapshot_id=pr.snapshot_id,
+                    files_rewritten=0,
+                    metrics={
+                        "pos_files_removed": pr.extra.get("pos_files_removed", 0),
+                        "dangling_rows": pr.extra.get("dangling_rows", 0),
+                    },
+                )
 
     # Cluster BEFORE compacting: the incremental cluster pass rewrites
     # every untagged file (exactly what merge just produced) into

@@ -549,11 +549,7 @@ def merge_into(
         # planning snapshot for commit-time rewrite validation: a MoR
         # delete committed between this read and our commit would be
         # stranded by the rewrite (validate_no_new_deletes_since)
-        if base_sid is not None:
-            plan_sid = base_sid
-        else:
-            _cur = table.current_snapshot()
-            plan_sid = _cur.snapshot_id if _cur else 0
+        plan_sid = table.planning_snapshot_id(base_sid)
         new_entries = []
         rows_del = 0
         if mode == "mor":
@@ -899,12 +895,67 @@ def _metadata_decide_files(
         (decidable if ok else undecidable).append(e)
     if not decidable:
         return [], undecidable
-    part_df = spark.createDataFrame(
-        [tuple([e.path] + [e.partition[c] for c in pcols]) for e in decidable],
-        StructType([StructField("_sg_path", StringType())] + pfields),
-    )
-    hit = {r["_sg_path"] for r in part_df.where(condition).collect()}
+    try:
+        part_df = spark.createDataFrame(
+            [tuple([e.path] + [e.partition[c] for c in pcols]) for e in decidable],
+            StructType([StructField("_sg_path", StringType())] + pfields),
+        )
+        hit = {r["_sg_path"] for r in part_df.where(condition).collect()}
+    except Exception:
+        # manifest partition values are JSON-native (a DateType pin is
+        # an isoformat string, a Decimal a string) and may not coerce
+        # into the real Spark type here — fall back to the row-level
+        # path rather than crash the DELETE; correctness never depended
+        # on this fast path
+        return [], list(entries)
     return [e for e in decidable if e.path in hit], undecidable
+
+
+def _write_pos_delete_entries(
+    spark: SparkSession,
+    table: Table,
+    pos_df: DataFrame,
+    n: int,
+) -> list[DataFile]:
+    """Write a (file_path, pos) frame as pos-delete files: hash-
+    partitioned by path (~5M rows per file) and sorted by (path, pos)
+    so each file's file_path footer min/max stays tight for the
+    read-side delete-file pruning.  Shared by every pos-delete writer
+    (predicate delete, eq→pos conversion, pos-file consolidation)."""
+    m = max(1, -(-n // 5_000_000))
+    entries = write_datafiles(
+        spark, table,
+        pos_df.repartition(m, "file_path"),
+        sort_within_by=["file_path", "pos"],
+    )
+    for e in entries:
+        e.content = "pos-deletes"
+    return entries
+
+
+def _collect_eq_delete_keys(
+    spark: SparkSession, table: Table, eq_dels: list[DataFile]
+) -> np.ndarray:
+    """The distinct pending equality-delete keys as a sorted driver
+    array — the input `_affected_files` manifest pruning wants.  Only
+    called under a ``max_driver_keys`` bound (batch-sized by the
+    maintenance contract)."""
+    d_paths = [f"{table.root}/{d.path}" for d in eq_dels]
+    kfield = [
+        f for f in table.spark_schema().fields if f.name == table.key_cols[0]
+    ]
+    return np.sort(
+        np.array(
+            [
+                r[0]
+                for r in spark.read.schema(StructType(kfield))
+                .parquet(*d_paths)
+                .distinct()
+                .collect()
+            ],
+            dtype=object,
+        )
+    )
 
 
 def _delete_where_positions(
@@ -974,10 +1025,14 @@ def _delete_where_positions(
     n_whole = 0
     if whole:
         # exact live-row accounting: manifest counts are live unless
-        # pending MoR debt can reach the dropped files
-        if dels:
+        # pending MoR debt can REACH the dropped files — prune the
+        # delete set against exactly these files first (same machinery
+        # as the scan), so unrelated debt elsewhere in the keyspace
+        # keeps the metadata drop a zero-data-job commit
+        eq_r, pos_r = table.prune_deletes_for(whole, dels)
+        if eq_r or pos_r:
             n_whole = table.read_files_live(
-                spark, whole, delete_entries=dels
+                spark, whole, delete_entries=eq_r + pos_r
             ).count()
         else:
             n_whole = sum(e.rows for e in whole)
@@ -1002,14 +1057,7 @@ def _delete_where_positions(
         referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
         del_entries: list[DataFile] = []
         if n > 0:
-            m = max(1, -(-n // 5_000_000))
-            del_entries = write_datafiles(
-                spark, table,
-                pos_df.repartition(m, "file_path"),
-                sort_within_by=["file_path", "pos"],
-            )
-            for e in del_entries:
-                e.content = "pos-deletes"
+            del_entries = _write_pos_delete_entries(spark, table, pos_df, n)
         snap = table.commit(
             added=del_entries,
             removed_paths=[e.path for e in whole],
@@ -1105,14 +1153,7 @@ def rewrite_pos_deletes(
         referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
         added: list[DataFile] = []
         if n > 0:
-            m = max(1, -(-n // 5_000_000))
-            added = write_datafiles(
-                spark, table,
-                pos_df.repartition(m, "file_path"),
-                sort_within_by=["file_path", "pos"],
-            )
-            for e in added:
-                e.content = "pos-deletes"
+            added = _write_pos_delete_entries(spark, table, pos_df, n)
         snap = table.commit(
             added=added,
             removed_paths=[d.path for d in pos_dels],
@@ -1254,11 +1295,7 @@ def materialize_deletes(
         return MaterializeResult(applied=False)
     eq_dels = [d for d in dels if d.content == "eq-deletes"]
     pos_dels = [d for d in dels if d.content == "pos-deletes"]
-    if base_sid is not None:
-        plan_sid = base_sid
-    else:
-        _cur = table.current_snapshot()
-        plan_sid = _cur.snapshot_id if _cur else 0
+    plan_sid = table.planning_snapshot_id(base_sid)
     key_cols = table.key_cols
     entries = table.files(base_sid)
     n_del_keys = sum(d.rows for d in dels)
@@ -1272,22 +1309,7 @@ def materialize_deletes(
         if subject and 0 < n_eq_keys <= max_driver_keys:
             # exact pending-key list (bounded by the maintenance contract:
             # batch-sized deltas times passes since the last materialize)
-            d_paths = [f"{table.root}/{d.path}" for d in eq_dels]
-            from pyspark.sql.types import StructType
-
-            kfield = [f for f in table.spark_schema().fields if f.name == key_cols[0]]
-            keys = np.sort(
-                np.array(
-                    [
-                        r[0]
-                        for r in spark.read.schema(StructType(kfield))
-                        .parquet(*d_paths)
-                        .distinct()
-                        .collect()
-                    ],
-                    dtype=object,
-                )
-            )
+            keys = _collect_eq_delete_keys(spark, table, eq_dels)
             affected, untouched = _affected_files(
                 subject, keys, key_cols[0], table_root=table.root
             )
@@ -1439,20 +1461,7 @@ def convert_eq_deletes(
         # same manifest pruning as materialize/COW merge: only files
         # whose key range (and bloom sidecar, when present) can contain
         # a pending key are scanned at all
-        d_paths = [f"{table.root}/{d.path}" for d in eq_dels]
-        kfield = [f for f in table.spark_schema().fields if f.name == key_cols[0]]
-        keys = np.sort(
-            np.array(
-                [
-                    r[0]
-                    for r in spark.read.schema(StructType(kfield))
-                    .parquet(*d_paths)
-                    .distinct()
-                    .collect()
-                ],
-                dtype=object,
-            )
-        )
+        keys = _collect_eq_delete_keys(spark, table, eq_dels)
         subject, _ = _affected_files(
             subject, keys, key_cols[0], table_root=table.root
         )
@@ -1514,8 +1523,12 @@ def convert_eq_deletes(
     for k in key_cols:
         cond = cond & (F.col(k) == F.col(f"_sg_d_{k}"))
     cond = cond & (F.col("_sg_dseq") > F.col("_sg_seq"))
+    # same broadcast gate as read_files_live: a mass-delete backfill
+    # (n_eq_keys beyond broadcastable) falls back to a shuffled semi
+    # join under AQE instead of force-broadcasting the delete rows
+    d_side = F.broadcast(d_df) if n_eq_keys <= 5_000_000 else d_df
     pos_df = (
-        df.join(F.broadcast(d_df), cond, "left_semi")
+        df.join(d_side, cond, "left_semi")
         .select(
             F.expr(f"substring({fp}, {len(abs_root) + 2})").alias("file_path"),
             F.col(pos).cast("long").alias("pos"),
@@ -1527,14 +1540,7 @@ def convert_eq_deletes(
         referenced = [r[0] for r in pos_df.select("file_path").distinct().collect()]
         added: list[DataFile] = []
         if n > 0:
-            m = max(1, -(-n // 5_000_000))
-            added = write_datafiles(
-                spark, table,
-                pos_df.repartition(m, "file_path"),
-                sort_within_by=["file_path", "pos"],
-            )
-            for e in added:
-                e.content = "pos-deletes"
+            added = _write_pos_delete_entries(spark, table, pos_df, n)
         snap = table.commit(
             added=added,
             removed_paths=[d.path for d in eq_dels],

@@ -242,6 +242,7 @@ def stream_apply(
     merge_mode: str = "cow",
     max_pending_delete_files: int | None = None,
     convert_eq_debt_files: int | None = None,
+    rewrite_pos_debt_files: int | None = None,
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
     quarantine_dir: str | None = None,
@@ -264,6 +265,9 @@ def stream_apply(
     the window pay the 2-key anti-join instead of the key+sequence
     join; the one conversion scan amortizes across that many
     micro-batches, keeping trigger latency flat.
+    ``rewrite_pos_debt_files`` consolidates pos-delete files once that
+    many accumulate (merges small delete files, GCs dangling rows, zero
+    data rewrites).
 
     ``wap=True`` write-audit-publishes EVERY micro-batch: the merge is
     staged, audited (key uniqueness, token-array invariant, optional
@@ -325,6 +329,13 @@ def stream_apply(
             from canal_spark.merge import convert_eq_deletes
 
             convert_eq_deletes(spark, t)
+        if (
+            rewrite_pos_debt_files is not None
+            and len(t.pos_delete_files()) >= rewrite_pos_debt_files
+        ):
+            from canal_spark.merge import rewrite_pos_deletes
+
+            rewrite_pos_deletes(spark, t, min_files=rewrite_pos_debt_files)
         if m.applied:
             result.batches_applied += 1
             result.merges.append(

@@ -819,6 +819,78 @@ class Table:
             out = out.unionByName(p)
         return out
 
+    def planning_snapshot_id(self, base_sid: int | None = None) -> int:
+        """The snapshot id a rewrite was planned against — the value
+        ``commit(validate_no_new_deletes_since=...)`` wants: the given
+        branch head when operating on a branch, else the current
+        snapshot; 0 means planned on an empty table."""
+        if base_sid is not None:
+            return base_sid
+        cur = self.current_snapshot()
+        return cur.snapshot_id if cur else 0
+
+    def prune_deletes_for(
+        self,
+        entries: list["DataFile"],
+        dels: list["DataFile"],
+    ) -> tuple[list["DataFile"], list["DataFile"]]:
+        """``(eq_dels, pos_dels)`` that can possibly affect rows of
+        ``entries`` — the driver-side pruning every MoR read applies
+        before building any join, O(#entries + #deletes), no Spark job.
+
+        Three sound filters, each conservative on missing stats:
+        min-seq window (a delete only kills STRICTLY older rows, and a
+        pos delete always postdates every file it references); pos
+        path-range (the delete file's file_path footer min/max vs the
+        sorted entry paths); eq key-range (the delete file's key footer
+        min/max vs the union key range of the entries — keys are
+        rename/retype-protected so one stat name reads every era; any
+        entry without key stats makes the union unbounded, no pruning).
+        Callers that only need to know whether a scan WOULD pay a
+        delete join (e.g. the metadata-delete live-count decision) use
+        this directly."""
+        if entries:
+            min_seq = min(int(e.seq or 0) for e in entries)
+            dels = [d for d in dels if int(d.seq or 0) > min_seq]
+        eq_dels = [d for d in dels if d.content == "eq-deletes"]
+        pos_dels = [d for d in dels if d.content == "pos-deletes"]
+        if pos_dels and entries:
+            import bisect
+
+            epaths = sorted(e.path for e in entries)
+            kept = []
+            for d in pos_dels:
+                st = d.stats.get("file_path") or {}
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    kept.append(d)  # no stats: conservatively relevant
+                    continue
+                i = bisect.bisect_left(epaths, mn)
+                if i < len(epaths) and epaths[i] <= mx:
+                    kept.append(d)
+            pos_dels = kept
+        if eq_dels and entries:
+            kc = self.key_cols[0]
+            lo = hi = None
+            unknown = False
+            for e in entries:
+                st = e.stats.get(self.era_stat_name(e, kc)) or {}
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    unknown = True
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if not unknown and lo is not None:
+                kept = []
+                for d in eq_dels:
+                    st = d.stats.get(kc) or {}
+                    dmn, dmx = st.get("min"), st.get("max")
+                    if dmn is None or dmx is None or (dmx >= lo and dmn <= hi):
+                        kept.append(d)
+                eq_dels = kept
+        return eq_dels, pos_dels
+
     def read_files_live(
         self,
         spark: SparkSession,
@@ -866,57 +938,7 @@ class Table:
         from canal_spark.table.writer import norm_file_path
 
         dels = list(delete_entries) if delete_entries is not None else self.delete_files()
-        if entries:
-            min_seq = min(int(e.seq or 0) for e in entries)
-            # valid for BOTH forms: a pos delete always postdates (has a
-            # strictly larger commit seq than) every file it references
-            dels = [d for d in dels if int(d.seq or 0) > min_seq]
-        eq_dels = [d for d in dels if d.content == "eq-deletes"]
-        pos_dels = [d for d in dels if d.content == "pos-deletes"]
-        if pos_dels and entries:
-            import bisect
-
-            epaths = sorted(e.path for e in entries)
-            kept = []
-            for d in pos_dels:
-                st = d.stats.get("file_path") or {}
-                mn, mx = st.get("min"), st.get("max")
-                if mn is None or mx is None:
-                    kept.append(d)  # no stats: conservatively relevant
-                    continue
-                i = bisect.bisect_left(epaths, mn)
-                if i < len(epaths) and epaths[i] <= mx:
-                    kept.append(d)
-            pos_dels = kept
-        if eq_dels and entries:
-            # symmetric key-range pruning for the eq form: an eq-delete
-            # row can only kill a row whose key it equals, so a delete
-            # file whose key [min,max] misses the union key range of the
-            # entries being read is irrelevant to THIS scan (a
-            # point-lookup of 3 files skips delete files targeting the
-            # rest of the keyspace).  Keys are protected from
-            # rename/retype, so one stat name reads every era; a single
-            # entry without key stats makes the union unbounded —
-            # conservative, no pruning.
-            kc = self.key_cols[0]
-            lo = hi = None
-            unknown = False
-            for e in entries:
-                st = e.stats.get(self.era_stat_name(e, kc)) or {}
-                mn, mx = st.get("min"), st.get("max")
-                if mn is None or mx is None:
-                    unknown = True
-                    break
-                lo = mn if lo is None or mn < lo else lo
-                hi = mx if hi is None or mx > hi else hi
-            if not unknown and lo is not None:
-                kept = []
-                for d in eq_dels:
-                    st = d.stats.get(kc) or {}
-                    dmn, dmx = st.get("min"), st.get("max")
-                    if dmn is None or dmx is None or (dmx >= lo and dmn <= hi):
-                        kept.append(d)
-                eq_dels = kept
+        eq_dels, pos_dels = self.prune_deletes_for(entries, dels)
         if (not eq_dels and not pos_dels) or not entries:
             return self.read_files(
                 spark, entries, target_schema_id=target_schema_id,

@@ -171,44 +171,54 @@ def test_doctor_flags_dangling_ref_and_stale_stage(spark, tmp_table_root):
     assert any(v["kind"] == "dangling-ref" for v in rep["violations"])
 
 
-def test_doctor_flags_dangling_pos_delete(spark, tmp_table_root):
-    """A pos-delete file referencing a non-live data path (only
-    reachable by hand-editing metadata — the commit guards make it
-    unrepresentable through the API) is flagged: a dangling reference
-    is a delete that silently kills nothing."""
-    import json as _json
-
+def test_doctor_dangling_pos_delete_is_warning_not_violation(spark, tmp_table_root):
+    """Dangling pos-delete references are NORMAL debt (every rewrite
+    strands its references by design) — doctor must report them as a
+    warning pointing at rewrite_pos_deletes, with ok staying True.  A
+    pos-delete file that is not readable as (file_path, pos) rows at
+    all, though, is a real violation (wrong-schema swap)."""
+    from canal_spark.compact import compact
     from canal_spark.merge import delete_where
 
     t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
     append(spark, t, base_table_df(spark, 200).repartition(4))
     delete_where(spark, t, "n_tok % 5 = 0", mode="mor-pos")
-    assert t.refresh().pos_delete_files()
+    t.refresh()
+    assert t.pos_delete_files()
+    rep = check_table(spark, t)
+    assert rep["ok"] and rep["warnings"] == []
+
+    # a rewrite strands the references — healthy table, warning only
+    compact(spark, t, target_bytes=1 << 20)
+    t.refresh()
+    assert t.pos_delete_files()  # still live, now dangling
     rep = check_table(spark, t)
     assert rep["ok"], rep["violations"]
+    warn = [w for w in rep["warnings"] if w["kind"] == "dangling-pos-delete"]
+    assert warn and "rewrite_pos_deletes" in warn[0]["detail"]
 
-    # hand-edit: swap one referenced data path out of the live set by
-    # renaming it in the manifest (the file itself stays on disk so no
-    # `missing` violation fires — isolate the dangling check)
-    victim = t.files()[0]
+    # wrong-schema swap: the delete file's parquet is readable but has
+    # no file_path column -> violation, not a silent pass
+    victim = t.pos_delete_files()[0]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = os.path.join(t.root, victim.path)
+    pq.write_table(pa.table({"wrong": [1, 2, 3]}), p)
+    # keep the size/footer checks out of the way: align manifest bytes
     snap = t.current_snapshot()
     for mname in snap.manifests:
         mpath = os.path.join(t.root, "metadata", mname)
-        m = _json.load(open(mpath))
+        m = json.load(open(mpath))
         hit = False
         for entry in m:
             if entry["path"] == victim.path:
-                newrel = victim.path + ".moved.parquet"
-                os.rename(
-                    os.path.join(t.root, victim.path),
-                    os.path.join(t.root, newrel),
-                )
-                entry["path"] = newrel
+                entry["bytes"] = os.path.getsize(p)
+                entry["rows"] = 3
                 hit = True
         if hit:
-            _json.dump(m, open(mpath, "w"))
+            json.dump(m, open(mpath, "w"))
             break
-
     rep = check_table(spark, load_table(t.root))
-    dangle = [v for v in rep["violations"] if v["kind"] == "dangling-pos-delete"]
-    assert dangle and victim.path in dangle[0]["detail"]
+    assert not rep["ok"]
+    assert any(v["kind"] == "pos-delete-schema" for v in rep["violations"])

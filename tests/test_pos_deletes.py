@@ -427,3 +427,28 @@ def test_mixed_predicate_still_row_level(spark, token_table):
     assert m.files_added >= 1  # real pos-delete files
     t.refresh()
     assert scan_dict(spark, t) == expect
+
+
+def test_run_pass_pos_rewrite_policy(spark, token_table):
+    """run_pass(rewrite_pos_debt_files=2): accumulated pos-delete files
+    consolidate during the pass (before clustering), and the post-pass
+    table matches the expected survivors."""
+    from canal_spark.maintenance import run_pass
+
+    t, _ = token_table
+    before = scan_dict(spark, t)
+    for k in (4, 6):
+        delete_where(spark, t, f"n_tok % 10 = {k}", mode="mor-pos")
+    t.refresh()
+    assert len(t.pos_delete_files()) == 2
+
+    rep = run_pass(
+        spark, t, None,
+        rewrite_pos_debt_files=2, max_pending_delete_files=10,
+        measure=False, keep_snapshots=10,
+    )
+    assert rep.pos_rewrite.get("applied") is True
+    assert rep.pos_rewrite.get("pos_files_removed") == 2
+    t.refresh()
+    expect = {k: v for k, v in before.items() if v[1] % 10 not in (4, 6)}
+    assert scan_dict(spark, t) == expect
