@@ -253,7 +253,33 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
         mor_scan_wall = time.perf_counter() - t0
         phases["mor_scan"] = mor_scan_wall
 
+        # Delete-debt DML verbs, machine-readable round over round:
+        # convert the eq debt the MoR pass just left (minor delete
+        # compaction, zero data rewrites), re-scan to capture the
+        # cheaper pos-debt tax, then one predicate position-delete.
+        # Skipped for kept tables: the scaling harness re-scans the
+        # kept table and must see the unmutated post-pass state.
+        dml: dict = {}
+        if not keep_dir:
+            from canal_spark.merge import convert_eq_deletes, delete_where
+
+            t0 = time.perf_counter()
+            conv = convert_eq_deletes(spark, table)
+            dml["convert_sec"] = round(time.perf_counter() - t0, 3)
+            dml["convert_rows"] = conv.rows_deleted
+            t0 = time.perf_counter()
+            table.scan(spark).agg(F.count("*")).collect()
+            dml["pos_debt_scan_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            dw = delete_where(spark, table, "n_tok % 97 = 3", mode="mor-pos")
+            dml["pos_delete_sec"] = round(time.perf_counter() - t0, 3)
+            dml["pos_delete_rows"] = dw.rows_deleted
+            phases.update(
+                {f"dml_{k}": v for k, v in dml.items() if k.endswith("_sec")}
+            )
+
         return {
+            "dml": dml,
             "mor_pass_sec": round(mor_wall, 3),
             "mor_merge_files_rewritten": rep3.merge.get("files_rewritten"),
             "mor_scan_sec": round(mor_scan_wall, 3),
