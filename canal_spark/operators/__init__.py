@@ -17,11 +17,12 @@ from canal_spark.operators import (
     similarity,
     temporal,
     text,
+    tokenops,
 )
 
 _MODULES = (
     relational, cdc_ext, mv, dedup, text, similarity, multimodal, funcreg,
-    temporal, curation,
+    temporal, curation, tokenops,
 )
 
 
