@@ -527,6 +527,46 @@ def main() -> None:
             ))
             break
 
+    # 25. duplicated token spans: window extraction is ONE Generate
+    # (posexplode of a map-side transform over the token array), the
+    # dup set is an aggregate consumed by a semi-join — never a
+    # doc x doc join, no window function, no Python.
+    from canal_spark.operators.tokenops import q_dup_span_cut, q_dup_span_detect, q_token_drift
+
+    p25 = plan_of(q_dup_span_detect(spark, sf_dir))
+    sections.append((
+        "Dup-span detect: map-side windows, aggregate + semi-join, no doc x doc",
+        p25,
+        ["Generate", "LeftSemi"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
+    # 26. dup-span cut: covered positions anti-joined against the
+    # posexploded corpus; reassembly is array_sort over (pos, tok)
+    # structs (ObjectHashAggregate), not a window.
+    p26 = plan_of(q_dup_span_cut(spark, sf_dir))
+    sections.append((
+        "Dup-span cut: match-bounded anti-join, array_sort reassembly, no window",
+        p26,
+        ["Generate", "LeftAnti", "ObjectHashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
+    # 27. token drift: one corpus-scale partial-agg shuffle; everything
+    # after is vocab-bounded and broadcast (the 1-row totals enter via
+    # a broadcast nest-loop cross join — constant build side by
+    # construction, so BNLJ is EXPECTED here, unlike the corpus ops).
+    p27 = plan_of(q_token_drift(spark, sf_dir))
+    sections.append((
+        "Token drift: single corpus shuffle, vocab-bounded broadcast joins",
+        p27,
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
