@@ -43,6 +43,22 @@ def main() -> None:
     p.add_argument("--max-delete-fraction", type=float, default=0.5,
                    help="with --self-dedup --wap: abort if the dedup would "
                         "shrink the corpus by more than this fraction")
+    p.add_argument("--span-cut", action="store_true",
+                   help="duplicated-span excision: cut every w-token run "
+                        "occurring in >=2 docs (keep the first copy), "
+                        "applied as an out-of-band UPDATE/DELETE merge; "
+                        "refreshes the band index for touched keys")
+    p.add_argument("--span-w", type=int, default=None,
+                   help="with --span-cut: window width in tokens")
+    p.add_argument("--span-sample-mod", type=int, default=1,
+                   help="with --span-cut: 1-in-k hash-threshold window "
+                        "sampling (the cluster-scale knob)")
+    p.add_argument("--span-keep-all", action="store_true",
+                   help="with --span-cut: excise EVERY occurrence instead "
+                        "of keeping the first copy")
+    p.add_argument("--max-cut-fraction", type=float, default=0.5,
+                   help="with --span-cut: abort before writing if more than "
+                        "this fraction of docs would be touched")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -60,6 +76,40 @@ def main() -> None:
         index = load_table(args.index)
     else:
         index = create_band_index(args.index)
+
+    if args.span_cut:
+        from canal_spark.dupspan import dup_span_cut_pass
+        from canal_spark.operators.tokenops import DUP_W
+
+        res = dup_span_cut_pass(
+            spark, table,
+            w=args.span_w or DUP_W,
+            sample_mod=args.span_sample_mod,
+            keep_one=not args.span_keep_all,
+            dry_run=args.dry_run,
+            wap=args.wap,
+            max_cut_fraction=args.max_cut_fraction,
+            index=index,
+            job_id=args.job_id,
+        )
+        if args.lineage and res.applied:
+            lineage = ensure_lineage(args.lineage)
+            record(
+                spark, lineage, res.job_id, "span_cut",
+                snapshot_id=res.snapshot_id,
+                metrics={
+                    "dup_windows": res.dup_windows,
+                    "docs_affected": res.docs_affected,
+                    "docs_deleted": res.docs_deleted,
+                    "tokens_removed": res.tokens_removed,
+                },
+            )
+        emit({"job": "span_cut", **dict(res.__dict__)})
+        if res.aborted or (
+            args.wap and res.wap and not res.wap.get("published", True)
+        ):
+            raise SystemExit(3)
+        return
 
     if args.self_dedup:
         res = corpus_dedup_pass(

@@ -446,6 +446,43 @@ def test_dedup_cli_self_dedup(tmp_path):
     assert "web:d0" in ids and "web:d1" not in ids
 
 
+def test_dedup_cli_span_cut(tmp_path):
+    """--span-cut end-to-end: dry-run reports, real run excises the
+    shared run keeping the first copy, band index follows."""
+    from canal_spark import create_table, get_spark, load_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    spark = get_spark("span-cut-cli-fixture", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "tbl")
+    idx = str(tmp_path / "bands")
+    run = list(range(7000, 7006))
+    rows = [
+        ("web:a", [100 + i for i in range(8)] + run, 8 + len(run), "web"),
+        ("web:b", [200 + i for i in range(8)] + run, 8 + len(run), "web"),
+        ("web:c", [300 + i for i in range(12)], 12, "web"),
+    ]
+    t = create_table(root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, spark.createDataFrame(rows, TOKEN_TABLE_SCHEMA))
+    run_job("canal_spark.jobs.dedup", root, "--index", idx, "--full")
+
+    dry = run_job("canal_spark.jobs.dedup", root, "--index", idx,
+                  "--span-cut", "--span-w", "4", "--dry-run")
+    assert dry["dry_run"] and dry["docs_affected"] == 1
+    assert dry["tokens_removed"] == len(run)
+
+    res = run_job("canal_spark.jobs.dedup", root, "--index", idx,
+                  "--span-cut", "--span-w", "4", "--wap")
+    assert res["applied"] and res["docs_affected"] == 1
+    assert res["index_refresh"]["applied"]
+    t = load_table(root)
+    got = {r["doc_id"]: list(r["tokens"]) for r in t.scan(spark).collect()}
+    assert got["web:a"] == rows[0][1]          # first copy kept
+    assert got["web:b"] == rows[1][1][:8]      # run excised
+    assert got["web:c"] == rows[2][1]
+
+
 def test_tag_cli_set_list_delete(cli_table):
     root, _, _, _ = cli_table
     res = run_job("canal_spark.jobs.tag", root, "--set", "train-v1")
