@@ -59,6 +59,17 @@ def main() -> None:
                    help="with --branch: leave the chain unpublished for "
                         "out-of-band audit (publish via jobs/branch.py "
                         "--fast-forward, discard via --delete)")
+    p.add_argument("--span-cut", action="store_true",
+                   help="excise cross-document duplicated token runs "
+                        "before clustering (dupspan.py; keep-first-copy, "
+                        "out-of-band merge, mainline only)")
+    p.add_argument("--span-cut-w", type=int, default=None,
+                   help="with --span-cut: window width in tokens")
+    p.add_argument("--span-cut-sample-mod", type=int, default=1,
+                   help="with --span-cut: 1-in-k window sampling")
+    p.add_argument("--span-cut-max-fraction", type=float, default=0.5,
+                   help="with --span-cut: abort before writing past this "
+                        "touched-docs fraction")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -95,11 +106,16 @@ def main() -> None:
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         branch=args.branch,
         publish_branch=not args.branch_no_publish,
+        span_cut=args.span_cut,
+        span_cut_w=args.span_cut_w,
+        span_cut_sample_mod=args.span_cut_sample_mod,
+        span_cut_max_fraction=args.span_cut_max_fraction,
     )
     emit({"job": "run_pass", "job_id": rep.job_id, "merge": rep.merge,
           "wap": rep.wap, "branch": rep.branch,
           "materialize": rep.materialize, "convert": rep.convert,
           "pos_rewrite": rep.pos_rewrite,
+          "span_cut": rep.span_cut,
           "ivf_index": rep.ivf_index,
           "compact": rep.compact, "cluster": rep.cluster, "expire": rep.expire,
           "band_index": rep.band_index,

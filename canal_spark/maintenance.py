@@ -34,6 +34,7 @@ class MaintenanceReport:
     materialize: dict = field(default_factory=dict)
     convert: dict = field(default_factory=dict)
     pos_rewrite: dict = field(default_factory=dict)
+    span_cut: dict = field(default_factory=dict)
     compact: dict = field(default_factory=dict)
     cluster: dict = field(default_factory=dict)
     expire: dict = field(default_factory=dict)
@@ -175,6 +176,10 @@ def run_pass(
     wap_max_delete_fraction: float | None = None,
     branch: str | None = None,
     publish_branch: bool = True,
+    span_cut: bool = False,
+    span_cut_w: int | None = None,
+    span_cut_sample_mod: int = 1,
+    span_cut_max_fraction: float = 0.5,
 ) -> MaintenanceReport:
     """One maintenance pass.  ``merge_mode="mor"`` applies the changelog
     as merge-on-read equality deletes (O(batch) write, zero base-table
@@ -210,6 +215,11 @@ def run_pass(
         if band_index is not None or ivf_index is not None:
             raise ValueError(
                 "derived-index sync tracks published mainline state — "
+                "run it on a mainline pass, not a branch pass"
+            )
+        if span_cut:
+            raise ValueError(
+                "span_cut applies an out-of-band mainline merge — "
                 "run it on a mainline pass, not a branch pass"
             )
     job_id = job_id or uuid.uuid4().hex[:12]
@@ -380,6 +390,40 @@ def run_pass(
                         "dangling_rows": pr.extra.get("dangling_rows", 0),
                     },
                 )
+
+    # Span-level curation BEFORE clustering: excise cross-document
+    # duplicated token runs (dupspan.py) so the cluster/compact phases
+    # below lay out the CUT arrays, not bytes about to be rewritten
+    # again.  Out-of-band merge by contract; touched keys refresh the
+    # band index inside the pass (same path as the changelog sync).
+    if span_cut:
+        from canal_spark.dupspan import dup_span_cut_pass
+        from canal_spark.operators.tokenops import DUP_W
+
+        _t0 = time.perf_counter()
+        sc = dup_span_cut_pass(
+            spark, table,
+            w=span_cut_w or DUP_W,
+            sample_mod=span_cut_sample_mod,
+            max_cut_fraction=span_cut_max_fraction,
+            index=band_index,
+            job_id=job_id,
+        )
+        rep.span_cut = {
+            k: v for k, v in sc.__dict__.items() if k != "extra"
+        }
+        rep.timings["span_cut"] = round(time.perf_counter() - _t0, 3)
+        if lineage and sc.applied:
+            _ckpt.record(
+                spark, lineage, job_id, "span_cut",
+                snapshot_id=sc.snapshot_id,
+                metrics={
+                    "dup_windows": sc.dup_windows,
+                    "docs_affected": sc.docs_affected,
+                    "docs_deleted": sc.docs_deleted,
+                    "tokens_removed": sc.tokens_removed,
+                },
+            )
 
     # Cluster BEFORE compacting: the incremental cluster pass rewrites
     # every untagged file (exactly what merge just produced) into

@@ -128,6 +128,37 @@ def test_band_index_refresh_for_touched_keys(spark, tmp_table_root, tmp_path):
     assert idx.scan(spark).where(F.col("doc_id") == "s:100").count() == 0
 
 
+def test_run_pass_span_cut_phase(spark, tmp_table_root):
+    """span_cut=True runs the excision between the DML phases and the
+    cluster/compact layout phases; the final table is both cut AND
+    maintenance-consistent (n_tok matches, snapshots advance once per
+    writing phase)."""
+    from canal_spark.maintenance import run_pass
+
+    t, orig = _mk_table(spark, tmp_table_root)
+    rep = run_pass(
+        spark, t, changes=None, span_cut=True, span_cut_w=W,
+        span_cut_max_fraction=0.99,
+    )
+    assert rep.span_cut["applied"]
+    assert rep.span_cut["docs_affected"] == 4
+    assert "span_cut" in rep.timings
+    got = _scan(spark, t)
+    assert got["s:001"] == orig["s:001"]
+    assert got["s:003"] == orig["s:003"][:8]
+    assert "s:100" not in got
+    bad = t.scan(spark).where(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+
+
+def test_run_pass_span_cut_rejects_branch(spark, tmp_table_root):
+    from canal_spark.maintenance import run_pass
+
+    t, _ = _mk_table(spark, tmp_table_root)
+    with pytest.raises(ValueError, match="mainline"):
+        run_pass(spark, t, changes=None, span_cut=True, branch="audit")
+
+
 def test_no_duplicates_is_a_noop(spark, tmp_table_root):
     t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
     df = spark.createDataFrame(
