@@ -1,0 +1,332 @@
+"""Multi-destination instance management — the CanalController analogue.
+
+The reference deployer runs MANY named instances inside one server:
+``CanalController`` scans a conf dir for per-destination directories,
+parses each ``instance.properties``, and starts/stops/reloads one
+``CanalInstance`` per destination as the files appear, change, or
+vanish (deployer/.../CanalController.java:90,145-170,221-247;
+deployer/.../monitor/SpringInstanceConfigMonitor.java:96-170 — the
+5-second auto-scan, :39).  The Spark-native analogue: an *instance* is
+a per-table maintenance configuration — a JSON spec in
+``<conf_dir>/<destination>/instance.json`` naming the token table, its
+changelog staging dir, the source white/black filter regexes
+(``canal.instance.filter.regex`` / ``filter.black.regex``,
+deployer/.../example/instance.properties:42-45), and the maintenance
+knobs — and the *server* (``jobs/server.py``) polls the conf dir and
+runs one ``run_pass`` per active instance per round.
+
+Design notes, Spark-first:
+
+* Instances share ONE SparkSession (they are configs, not processes —
+  exactly as the reference's instances share one JVM).  Concurrent
+  passes come from the server's thread pool: Spark's scheduler
+  multiplexes jobs submitted from separate driver threads, and each
+  worker tags its jobs with a per-destination scheduler pool + job
+  group so FAIR scheduling and cancellation stay per-instance.
+* Resume/replay safety needs no per-instance position files: the
+  changelog dir is re-read whole every round and ``merge_into``'s
+  high-water mark (stored IN the destination table's snapshot
+  metadata) drops already-applied ordinals — the reference's
+  meta-manager position persist (K1/K2) collapsed into the table
+  itself.
+* Reload detection is content-addressed (sha256 of the spec bytes)
+  rather than the reference's lastModified compare
+  (SpringInstanceConfigMonitor.java:151) — a rewrite with identical
+  bytes is NOT a reload, which keeps the control loop idempotent on
+  config-management systems that rewrite files in place.
+* Unknown spec keys are a hard error, not silently ignored: a typoed
+  knob (``target_md``) silently falling back to defaults is the worst
+  failure mode a fleet config can have.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INSTANCE_FILE = "instance.json"
+
+# knobs forwarded verbatim to run_pass(**kwargs) — single source of
+# truth for names AND defaults (defaults live in run_pass itself; the
+# spec only records explicit overrides)
+_PASS_KNOBS = {
+    "merge_mode": str,
+    "target_file_rows": int,
+    "curve": str,
+    "cluster_scope": str,
+    "do_cluster": bool,
+    "do_compact": bool,
+    "keep_snapshots": int,
+    "max_pending_delete_files": int,
+    "convert_eq_debt": bool,
+    "rewrite_pos_debt_files": int,
+    "wap": bool,
+    "wap_max_delete_fraction": float,
+    "branch": str,
+    "publish_branch": bool,
+    "span_cut": bool,
+    "span_cut_w": int,
+    "span_cut_sample_mod": int,
+    "span_cut_max_fraction": float,
+}
+
+_TOP_KEYS = {
+    "table",            # required: destination table root
+    "changelog",        # parquet staging dir (optional; may not exist yet)
+    "filter_regex",     # whitelist on changelog `source` (schema.table analogue)
+    "filter_black_regex",  # blacklist — wins over the whitelist, Canal order
+    "lineage",          # lineage table root
+    "band_index",       # MinHash band-index table root (created if absent)
+    "ivf_index",        # IVF ANN-index table root (must be pre-built)
+    "target_mb",        # compaction target file size (MB)
+} | set(_PASS_KNOBS)
+
+
+@dataclass(frozen=True)
+class InstanceSpec:
+    """One destination's validated maintenance configuration."""
+
+    destination: str
+    table: str
+    changelog: str | None = None
+    filter_regex: str | None = None
+    filter_black_regex: str | None = None
+    lineage: str | None = None
+    band_index: str | None = None
+    ivf_index: str | None = None
+    target_mb: int | None = None
+    pass_kwargs: dict = field(default_factory=dict)
+    fingerprint: str = ""
+
+    def run_pass_kwargs(self) -> dict:
+        kw = dict(self.pass_kwargs)
+        if self.target_mb is not None:
+            kw["target_file_bytes"] = int(self.target_mb) << 20
+        if self.lineage is not None:
+            kw["lineage_root"] = self.lineage
+        return kw
+
+
+def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
+    """Parse + validate ``<conf_dir>/<destination>/instance.json``."""
+    path = os.path.join(conf_dir, destination, INSTANCE_FILE)
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"[{destination}] {INSTANCE_FILE} is not valid JSON: {e}")
+    if not isinstance(doc, dict):
+        raise ValueError(f"[{destination}] {INSTANCE_FILE} must be a JSON object")
+    unknown = sorted(set(doc) - _TOP_KEYS)
+    if unknown:
+        raise ValueError(
+            f"[{destination}] unknown instance keys {unknown} — "
+            f"known: {sorted(_TOP_KEYS)}"
+        )
+    if not doc.get("table"):
+        raise ValueError(f"[{destination}] 'table' is required")
+    pass_kwargs = {}
+    for k, typ in _PASS_KNOBS.items():
+        if k in doc and doc[k] is not None:
+            v = doc[k]
+            # bool is an int subclass — check it first and exactly
+            if typ is bool:
+                if not isinstance(v, bool):
+                    raise ValueError(f"[{destination}] '{k}' must be a boolean")
+            elif typ in (int, float):
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise ValueError(f"[{destination}] '{k}' must be a number")
+                v = typ(v)
+            elif not isinstance(v, typ):
+                raise ValueError(f"[{destination}] '{k}' must be {typ.__name__}")
+            pass_kwargs[k] = v
+    for k in ("changelog", "filter_regex", "filter_black_regex", "lineage",
+              "band_index", "ivf_index"):
+        if doc.get(k) is not None and not isinstance(doc[k], str):
+            raise ValueError(f"[{destination}] '{k}' must be a string")
+    tmb = doc.get("target_mb")
+    if tmb is not None and (isinstance(tmb, bool) or not isinstance(tmb, int) or tmb <= 0):
+        raise ValueError(f"[{destination}] 'target_mb' must be a positive integer")
+    return InstanceSpec(
+        destination=destination,
+        table=doc["table"],
+        changelog=doc.get("changelog"),
+        filter_regex=doc.get("filter_regex"),
+        filter_black_regex=doc.get("filter_black_regex"),
+        lineage=doc.get("lineage"),
+        band_index=doc.get("band_index"),
+        ivf_index=doc.get("ivf_index"),
+        target_mb=tmb,
+        pass_kwargs=pass_kwargs,
+        fingerprint=hashlib.sha256(raw).hexdigest(),
+    )
+
+
+def scan_instances(conf_dir: str) -> tuple[dict[str, InstanceSpec], dict[str, str]]:
+    """One conf-dir sweep: ``{destination: spec}`` for every subdir
+    carrying an ``instance.json`` plus ``{destination: error}`` for the
+    ones that fail validation (a broken config must not take down its
+    healthy neighbours — the reference logs and skips too,
+    SpringInstanceConfigMonitor.java:116-126 restricts the scan to
+    ``instance.properties`` files for the same reason)."""
+    specs: dict[str, InstanceSpec] = {}
+    errors: dict[str, str] = {}
+    if not os.path.isdir(conf_dir):
+        return specs, errors
+    for name in sorted(os.listdir(conf_dir)):
+        sub = os.path.join(conf_dir, name)
+        if not os.path.isdir(sub):
+            continue
+        if not os.path.isfile(os.path.join(sub, INSTANCE_FILE)):
+            continue  # spring/ and tsdb/ style support dirs are not instances
+        try:
+            specs[name] = load_instance(conf_dir, name)
+        except (ValueError, OSError) as e:
+            errors[name] = str(e)
+    return specs, errors
+
+
+def diff_registry(
+    registry: dict[str, str], specs: dict[str, InstanceSpec]
+) -> list[dict]:
+    """Start/reload/stop events from one scan, CanalController-style
+    (SpringInstanceConfigMonitor.scan:127-170: present+unregistered →
+    start, fingerprint changed → reload, registered+gone → stop).
+    Mutates ``registry`` (destination → fingerprint) in place."""
+    events: list[dict] = []
+    for dest, spec in specs.items():
+        old = registry.get(dest)
+        if old is None:
+            events.append({"event": "start", "destination": dest})
+        elif old != spec.fingerprint:
+            events.append({"event": "reload", "destination": dest})
+        registry[dest] = spec.fingerprint
+    for dest in sorted(set(registry) - set(specs)):
+        events.append({"event": "stop", "destination": dest})
+        del registry[dest]
+    return events
+
+
+def _read_changelog(spark: SparkSession, spec: InstanceSpec) -> DataFrame | None:
+    """The instance's staged changelog, source-filtered; None when the
+    staging dir is absent/empty (a destination may be configured before
+    its producer starts — the pass still compacts/clusters)."""
+    if not spec.changelog or not os.path.isdir(spec.changelog):
+        return None
+    if not any(
+        n.endswith(".parquet") or os.path.isdir(os.path.join(spec.changelog, n))
+        for n in os.listdir(spec.changelog)
+        if not n.startswith(("_", "."))
+    ):
+        return None
+    df = spark.read.parquet(spec.changelog)
+    # canal.instance.filter.regex / filter.black.regex on the event's
+    # schema.table — here the changelog's `source`.  Black wins (the
+    # reference applies the blacklist after the whitelist:
+    # filter/.../AviatorRegexFilter usage in
+    # parse/.../AbstractEventParser.java filter chain).  NULL source is
+    # KEPT by both filters: delete events carry no after-image source
+    # (CHANGELOG_SCHEMA — D rows are (doc_id, NULLs)), and silently
+    # dropping an unclassifiable delete would leak the key forever;
+    # the merge's key lookup routes it to the right row regardless.
+    if spec.filter_regex:
+        df = df.where(
+            F.col("source").isNull() | F.col("source").rlike(spec.filter_regex)
+        )
+    if spec.filter_black_regex:
+        df = df.where(
+            F.col("source").isNull()
+            | ~F.col("source").rlike(spec.filter_black_regex)
+        )
+    return df
+
+
+def run_instance_pass(
+    spark: SparkSession, spec: InstanceSpec, job_id: str | None = None
+) -> dict:
+    """One maintenance pass for one destination; returns the flat
+    per-instance report the server emits (prometheus metrics labeled
+    with the DESTINATION name, not the table path — matching the
+    reference's per-instance exposition labels)."""
+    from canal_spark import load_table
+    from canal_spark.dedup_index import create_band_index
+    from canal_spark.maintenance import prometheus_metrics, run_pass
+
+    table = load_table(spec.table)
+    band_index = None
+    if spec.band_index:
+        if os.path.exists(os.path.join(spec.band_index, "metadata")):
+            band_index = load_table(spec.band_index)
+        else:
+            band_index = create_band_index(spec.band_index)
+    rep = run_pass(
+        spark,
+        table,
+        changes=_read_changelog(spark, spec),
+        job_id=job_id,
+        band_index=band_index,
+        ivf_index=load_table(spec.ivf_index) if spec.ivf_index else None,
+        **spec.run_pass_kwargs(),
+    )
+    return {
+        "destination": spec.destination,
+        "job_id": rep.job_id,
+        "merge": rep.merge,
+        "compact": rep.compact,
+        "cluster": rep.cluster,
+        "expire": rep.expire,
+        "timings": rep.timings,
+        "metrics": prometheus_metrics(rep, destination=spec.destination),
+    }
+
+
+def run_server_round(
+    spark: SparkSession,
+    specs: dict[str, InstanceSpec],
+    parallel: int = 1,
+    job_id_prefix: str | None = None,
+) -> dict[str, dict]:
+    """Run one pass per active instance; per-instance failures are
+    captured (``{"error": ...}``), never propagated — one destination's
+    bad table must not starve the fleet (the reference's per-instance
+    ServerRunningMonitor isolates failures the same way,
+    CanalController.java:145-170).
+
+    ``parallel > 1`` submits passes from a thread pool: each worker
+    pins its jobs to a per-destination scheduler pool and job group, so
+    under ``spark.scheduler.mode=FAIR`` instances share the cluster
+    fairly and a hung destination can be cancelled by group without
+    touching its neighbours."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+
+    def one(item: tuple[str, InstanceSpec]) -> tuple[str, dict]:
+        dest, spec = item
+        sc.setLocalProperty("spark.scheduler.pool", dest)
+        sc.setJobGroup(f"instance:{dest}", f"maintenance pass [{dest}]",
+                       interruptOnCancel=True)
+        try:
+            jid = f"{job_id_prefix}-{dest}" if job_id_prefix else None
+            return dest, run_instance_pass(spark, spec, job_id=jid)
+        except Exception as e:  # noqa: BLE001 — fleet isolation boundary
+            return dest, {"destination": dest, "error": f"{type(e).__name__}: {e}"}
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+            # pyspark has no clearJobGroup; nulling the local properties
+            # is the documented equivalent
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+    items = sorted(specs.items())
+    if parallel <= 1 or len(items) <= 1:
+        return dict(one(it) for it in items)
+    with ThreadPoolExecutor(max_workers=parallel) as pool:
+        return dict(pool.map(one, items))

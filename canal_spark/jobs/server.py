@@ -1,0 +1,85 @@
+"""spark-submit job: the multi-instance maintenance server — the
+CanalLauncher/CanalController analogue (deployer/.../CanalLauncher.java,
+CanalController.java:90,145-247).  Polls a conf dir of per-destination
+``instance.json`` specs (SpringInstanceConfigMonitor.java:96-170 — the
+5 s auto-scan that starts new instances, reloads changed ones, stops
+removed ones) and runs one maintenance pass per active instance per
+round, optionally in parallel under FAIR scheduling.
+
+  spark-submit --py-files canal_spark.zip canal_spark/jobs/server.py \\
+      /etc/canal-spark/instances --rounds 0 --scan-interval 30 --parallel 4
+
+Emits one JSON line per lifecycle event, one per instance pass, and a
+round summary — the machine surface a fleet scheduler tails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="multi-instance maintenance server")
+    p.add_argument("conf_dir", help="dir of <destination>/instance.json specs")
+    p.add_argument("--rounds", type=int, default=1,
+                   help="maintenance rounds to run (0 = run forever)")
+    p.add_argument("--scan-interval", type=float, default=5.0,
+                   help="seconds between rounds (reference default 5, "
+                        "SpringInstanceConfigMonitor.java:39)")
+    p.add_argument("--parallel", type=int, default=1,
+                   help="concurrent instance passes (thread pool; each "
+                        "pass tagged with a per-destination FAIR pool "
+                        "and job group)")
+    p.add_argument("--app-name", default=None)
+    args = p.parse_args()
+
+    from canal_spark import get_spark
+    from canal_spark.instance import diff_registry, run_server_round, scan_instances
+    from canal_spark.jobs.common import emit
+
+    # FAIR mode so --parallel shares executor slots across destinations
+    # instead of FIFO head-of-line blocking on the biggest table
+    import os
+
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if not master and "PYSPARK_GATEWAY_PORT" in os.environ:
+        master = "from-submit"  # spark-submit supplies spark.master
+    spark = get_spark(
+        args.app_name or "canal-server",
+        master=master,
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+
+    registry: dict[str, str] = {}
+    round_no = 0
+    while True:
+        round_no += 1
+        specs, errors = scan_instances(args.conf_dir)
+        for dest, err in sorted(errors.items()):
+            emit({"event": "config_error", "destination": dest, "error": err})
+        for ev in diff_registry(registry, specs):
+            emit(ev)
+        results = run_server_round(
+            spark, specs, parallel=args.parallel,
+            job_id_prefix=f"srv-{uuid.uuid4().hex[:8]}-r{round_no}",
+        )
+        ok = failed = 0
+        for dest in sorted(results):
+            r = results[dest]
+            if "error" in r:
+                failed += 1
+                emit({"event": "pass_error", **r})
+            else:
+                ok += 1
+                emit({"event": "pass", **r})
+        emit({"event": "round", "round": round_no, "instances": len(specs),
+              "ok": ok, "failed": failed, "config_errors": len(errors)})
+        if args.rounds and round_no >= args.rounds:
+            break
+        time.sleep(args.scan_interval)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""Multi-destination instance management (instance.py + jobs/server.py)
+— the CanalController / SpringInstanceConfigMonitor analogue: conf-dir
+scan, start/reload/stop lifecycle, source white/black filters, fleet
+failure isolation, parallel == sequential equivalence."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import oracle_dict, scan_dict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_spec(conf_dir, dest, **doc):
+    d = conf_dir / dest
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "instance.json").write_text(json.dumps(doc))
+    return d / "instance.json"
+
+
+def _mk_dest(spark, root_dir, name, n=300, n_changes=120, seed=7):
+    """One destination: table + staged changelog dir; returns
+    (spec_doc, base_rows, change_rows)."""
+    from canal_spark import create_table
+    from canal_spark.changelog import (base_table_df, changelog_df,
+                                       synth_changelog_rows, synth_token_rows)
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    troot = str(root_dir / f"{name}_tbl")
+    cdir = str(root_dir / f"{name}_cl")
+    t = create_table(troot, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(n, seed=seed)
+    append(spark, t, base_table_df(spark, n, seed=seed).repartition(4))
+    rows = synth_changelog_rows(base, n_changes, seed=seed + 1)
+    changelog_df(spark, rows).write.parquet(cdir)
+    return {"table": troot, "changelog": cdir}, base, rows
+
+
+# ---- spec parsing -----------------------------------------------------
+
+
+def test_spec_defaults_and_fingerprint(tmp_path):
+    from canal_spark.instance import load_instance
+
+    _write_spec(tmp_path, "a", table="/x", target_mb=64, merge_mode="mor")
+    s = load_instance(str(tmp_path), "a")
+    assert s.destination == "a"
+    assert s.run_pass_kwargs() == {
+        "merge_mode": "mor", "target_file_bytes": 64 << 20,
+    }
+    assert len(s.fingerprint) == 64
+    # identical bytes -> identical fingerprint (idempotent rewrite is
+    # NOT a reload); any byte change -> different
+    fp = s.fingerprint
+    _write_spec(tmp_path, "a", table="/x", target_mb=64, merge_mode="mor")
+    assert load_instance(str(tmp_path), "a").fingerprint == fp
+    _write_spec(tmp_path, "a", table="/x", target_mb=65, merge_mode="mor")
+    assert load_instance(str(tmp_path), "a").fingerprint != fp
+
+
+@pytest.mark.parametrize("doc,msg", [
+    ({"table": "/x", "target_md": 64}, "unknown instance keys"),
+    ({}, "'table' is required"),
+    ({"table": "/x", "wap": "yes"}, "must be a boolean"),
+    ({"table": "/x", "target_mb": -1}, "positive integer"),
+    ({"table": "/x", "keep_snapshots": "5"}, "must be a number"),
+    ({"table": "/x", "changelog": 3}, "must be a string"),
+])
+def test_spec_validation_errors(tmp_path, doc, msg):
+    from canal_spark.instance import load_instance
+
+    _write_spec(tmp_path, "bad", **doc)
+    with pytest.raises(ValueError, match=msg):
+        load_instance(str(tmp_path), "bad")
+
+
+def test_scan_skips_support_dirs_and_collects_errors(tmp_path):
+    from canal_spark.instance import scan_instances
+
+    _write_spec(tmp_path, "good", table="/x")
+    (tmp_path / "spring").mkdir()  # support dir without instance.json
+    (tmp_path / "bad").mkdir()
+    (tmp_path / "bad" / "instance.json").write_text("{not json")
+    specs, errors = scan_instances(str(tmp_path))
+    assert set(specs) == {"good"}
+    assert set(errors) == {"bad"} and "JSON" in errors["bad"]
+    # missing conf dir is an empty fleet, not a crash
+    assert scan_instances(str(tmp_path / "nope")) == ({}, {})
+
+
+# ---- lifecycle (auto-scan) -------------------------------------------
+
+
+def test_diff_registry_start_reload_stop(tmp_path):
+    from canal_spark.instance import diff_registry, scan_instances
+
+    registry = {}
+    _write_spec(tmp_path, "a", table="/x")
+    _write_spec(tmp_path, "b", table="/y")
+    specs, _ = scan_instances(str(tmp_path))
+    evs = diff_registry(registry, specs)
+    assert [(e["event"], e["destination"]) for e in evs] == [
+        ("start", "a"), ("start", "b")]
+    # unchanged round: no events
+    specs, _ = scan_instances(str(tmp_path))
+    assert diff_registry(registry, specs) == []
+    # change a's config -> reload; remove b -> stop
+    _write_spec(tmp_path, "a", table="/x", target_mb=128)
+    import shutil
+
+    shutil.rmtree(tmp_path / "b")
+    specs, _ = scan_instances(str(tmp_path))
+    evs = diff_registry(registry, specs)
+    assert [(e["event"], e["destination"]) for e in evs] == [
+        ("reload", "a"), ("stop", "b")]
+    assert set(registry) == {"a"}
+
+
+# ---- server rounds ----------------------------------------------------
+
+
+def test_two_instances_one_round(spark, tmp_path):
+    """Two destinations maintained in one round; each table matches its
+    own oracle (per-instance isolation of tables + checkpoints)."""
+    from canal_spark import load_table
+    from canal_spark.instance import run_server_round, scan_instances
+
+    conf = tmp_path / "conf"
+    d1, b1, r1 = _mk_dest(spark, tmp_path, "one", seed=11)
+    d2, b2, r2 = _mk_dest(spark, tmp_path, "two", seed=22)
+    _write_spec(conf, "one", **d1)
+    _write_spec(conf, "two", **d2)
+    specs, errors = scan_instances(str(conf))
+    assert errors == {}
+    results = run_server_round(spark, specs)
+    assert set(results) == {"one", "two"}
+    for dest, (base, rows, doc) in {
+        "one": (b1, r1, d1), "two": (b2, r2, d2),
+    }.items():
+        assert "error" not in results[dest]
+        assert results[dest]["merge"]["applied"]
+        lbl = f'canal_instance_put_rows{{destination="{dest}"}}'
+        assert results[dest]["metrics"][lbl] > 0
+        assert scan_dict(spark, load_table(doc["table"])) == oracle_dict(base, rows)
+    # second round replays the same changelog dirs -> hwm no-op
+    results2 = run_server_round(spark, specs)
+    assert all(not r["merge"]["applied"] for r in results2.values())
+
+
+def test_source_black_filter_excludes_rows(spark, tmp_path):
+    """filter_black_regex drops matching sources from the changelog
+    before apply — Canal's filter.black.regex semantics."""
+    from canal_spark import load_table
+    from canal_spark.instance import load_instance, run_instance_pass
+
+    conf = tmp_path / "conf"
+    doc, base, rows = _mk_dest(spark, tmp_path, "flt", seed=5)
+    sources = sorted({r[5] for r in rows if r[5] is not None})
+    black = sources[0]
+    _write_spec(conf, "flt", **doc, filter_black_regex=f"^{black}$")
+    spec = load_instance(str(conf), "flt")
+    run_instance_pass(spark, spec)
+    kept = [r for r in rows if r[5] != black]
+    assert scan_dict(spark, load_table(doc["table"])) == oracle_dict(base, kept)
+
+
+def test_fleet_isolation_bad_table(spark, tmp_path):
+    """A destination pointing at a missing table errors in ITS slot;
+    the healthy neighbour still applies."""
+    from canal_spark import load_table
+    from canal_spark.instance import run_server_round, scan_instances
+
+    conf = tmp_path / "conf"
+    doc, base, rows = _mk_dest(spark, tmp_path, "ok", seed=3)
+    _write_spec(conf, "ok", **doc)
+    _write_spec(conf, "broken", table=str(tmp_path / "missing_tbl"))
+    specs, _ = scan_instances(str(conf))
+    results = run_server_round(spark, specs)
+    assert "error" in results["broken"]
+    assert results["ok"]["merge"]["applied"]
+    assert scan_dict(spark, load_table(doc["table"])) == oracle_dict(base, rows)
+
+
+def test_parallel_round_matches_sequential(spark, tmp_path):
+    """parallel=2 (thread pool, per-destination pools/job groups)
+    produces the same table states as sequential."""
+    from canal_spark import load_table
+    from canal_spark.instance import run_server_round, scan_instances
+
+    conf = tmp_path / "conf"
+    d1, b1, r1 = _mk_dest(spark, tmp_path, "p1", seed=41)
+    d2, b2, r2 = _mk_dest(spark, tmp_path, "p2", seed=42)
+    _write_spec(conf, "p1", **d1)
+    _write_spec(conf, "p2", **d2)
+    specs, _ = scan_instances(str(conf))
+    results = run_server_round(spark, specs, parallel=2)
+    assert all("error" not in r for r in results.values())
+    assert scan_dict(spark, load_table(d1["table"])) == oracle_dict(b1, r1)
+    assert scan_dict(spark, load_table(d2["table"])) == oracle_dict(b2, r2)
+
+
+def test_changelog_dir_absent_still_maintains(spark, tmp_path):
+    """An instance whose producer hasn't started yet (no changelog dir)
+    still gets compaction/clustering — changes=None pass."""
+    from canal_spark.instance import load_instance, run_instance_pass
+
+    conf = tmp_path / "conf"
+    doc, _, _ = _mk_dest(spark, tmp_path, "idle", seed=9)
+    doc["changelog"] = str(tmp_path / "never_created")
+    _write_spec(conf, "idle", **doc)
+    r = run_instance_pass(spark, load_instance(str(conf), "idle"))
+    assert "error" not in r
+    assert not r["merge"].get("applied")
+    assert r["compact"] is not None
+
+
+# ---- CLI --------------------------------------------------------------
+
+
+def test_server_cli_subprocess(tmp_path):
+    """jobs/server.py end-to-end: scan -> start events -> passes ->
+    round summary, one JSON line each (the tailable machine surface)."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=REPO)
+    setup = f"""
+import json, sys
+sys.path.insert(0, {REPO!r})
+from canal_spark import get_spark, create_table
+from canal_spark.changelog import (base_table_df, changelog_df,
+    synth_changelog_rows, synth_token_rows)
+from canal_spark.schema import TOKEN_TABLE_SCHEMA
+from canal_spark.table.writer import append
+spark = get_spark("fixture", master="local[4]", shuffle_partitions=4)
+for name, seed in [("alpha", 1), ("beta", 2)]:
+    troot = {str(tmp_path)!r} + "/" + name + "_tbl"
+    cdir = {str(tmp_path)!r} + "/" + name + "_cl"
+    t = create_table(troot, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(200, seed=seed)
+    append(spark, t, base_table_df(spark, 200, seed=seed).repartition(2))
+    changelog_df(spark, synth_changelog_rows(base, 60, seed=seed)).write.parquet(cdir)
+    import os, json as j
+    os.makedirs({str(tmp_path)!r} + "/conf/" + name, exist_ok=True)
+    with open({str(tmp_path)!r} + "/conf/" + name + "/instance.json", "w") as f:
+        j.dump({{"table": troot, "changelog": cdir, "keep_snapshots": 3}}, f)
+spark.stop()
+"""
+    out = subprocess.run([sys.executable, "-c", setup], capture_output=True,
+                         text=True, timeout=600, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = subprocess.run(
+        [sys.executable, "-m", "canal_spark.jobs.server",
+         str(tmp_path / "conf"), "--rounds", "1", "--parallel", "2"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    events = [l["event"] for l in lines]
+    assert events.count("start") == 2
+    assert events.count("pass") == 2
+    summary = [l for l in lines if l["event"] == "round"][0]
+    assert summary == {"event": "round", "round": 1, "instances": 2,
+                       "ok": 2, "failed": 0, "config_errors": 0}
+    for l in lines:
+        if l["event"] == "pass":
+            lbl = f'canal_instance_put_rows{{destination="{l["destination"]}"}}'
+            assert l["metrics"][lbl] > 0
