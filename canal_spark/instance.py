@@ -75,6 +75,20 @@ _PASS_KNOBS = {
     "span_cut_max_fraction": float,
 }
 
+# knobs forwarded verbatim to stream_apply(**kwargs) in stream mode;
+# the intersection with _PASS_KNOBS is deliberately the shared contract
+_STREAM_KNOBS = {
+    "merge_mode": str,
+    "target_file_rows": int,
+    "max_files_per_trigger": int,
+    "max_pending_delete_files": int,
+    "convert_eq_debt_files": int,
+    "rewrite_pos_debt_files": int,
+    "wap": bool,
+    "wap_max_delete_fraction": float,
+    "quarantine_dir": str,
+}
+
 _TOP_KEYS = {
     "table",            # required: destination table root
     "changelog",        # parquet staging dir (optional; may not exist yet)
@@ -84,7 +98,15 @@ _TOP_KEYS = {
     "band_index",       # MinHash band-index table root (created if absent)
     "ivf_index",        # IVF ANN-index table root (must be pre-built)
     "target_mb",        # compaction target file size (MB)
-} | set(_PASS_KNOBS)
+    "mode",             # "batch" (default: one run_pass per round) | "stream"
+    "checkpoint",       # stream mode: Structured Streaming checkpoint dir
+} | set(_PASS_KNOBS) | set(_STREAM_KNOBS)
+
+# keys meaningless for the other mode — configuring them is a spec bug
+_BATCH_ONLY = (set(_PASS_KNOBS) - set(_STREAM_KNOBS)) | {
+    "band_index", "ivf_index", "lineage", "target_mb",
+}
+_STREAM_ONLY = (set(_STREAM_KNOBS) - set(_PASS_KNOBS)) | {"checkpoint"}
 
 
 @dataclass(frozen=True)
@@ -93,7 +115,9 @@ class InstanceSpec:
 
     destination: str
     table: str
+    mode: str = "batch"
     changelog: str | None = None
+    checkpoint: str | None = None
     filter_regex: str | None = None
     filter_black_regex: str | None = None
     lineage: str | None = None
@@ -110,6 +134,9 @@ class InstanceSpec:
         if self.lineage is not None:
             kw["lineage_root"] = self.lineage
         return kw
+
+    def stream_kwargs(self) -> dict:
+        return {k: v for k, v in self.pass_kwargs.items() if k in _STREAM_KNOBS}
 
 
 def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
@@ -131,8 +158,27 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
         )
     if not doc.get("table"):
         raise ValueError(f"[{destination}] 'table' is required")
+    mode = doc.get("mode", "batch")
+    if mode not in ("batch", "stream"):
+        raise ValueError(f"[{destination}] 'mode' must be 'batch' or 'stream'")
+    wrong_mode = sorted(
+        (set(doc) & (_STREAM_ONLY if mode == "batch" else _BATCH_ONLY))
+    )
+    if wrong_mode:
+        raise ValueError(
+            f"[{destination}] keys {wrong_mode} do not apply to "
+            f"mode={mode!r} — a silently-ignored knob is a config bug"
+        )
+    if mode == "stream":
+        if not doc.get("checkpoint"):
+            raise ValueError(
+                f"[{destination}] stream mode requires 'checkpoint' "
+                "(exactly-once resume lives there)"
+            )
+        if not doc.get("changelog"):
+            raise ValueError(f"[{destination}] stream mode requires 'changelog'")
     pass_kwargs = {}
-    for k, typ in _PASS_KNOBS.items():
+    for k, typ in {**_PASS_KNOBS, **_STREAM_KNOBS}.items():
         if k in doc and doc[k] is not None:
             v = doc[k]
             # bool is an int subclass — check it first and exactly
@@ -146,8 +192,8 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
             elif not isinstance(v, typ):
                 raise ValueError(f"[{destination}] '{k}' must be {typ.__name__}")
             pass_kwargs[k] = v
-    for k in ("changelog", "filter_regex", "filter_black_regex", "lineage",
-              "band_index", "ivf_index"):
+    for k in ("changelog", "checkpoint", "filter_regex", "filter_black_regex",
+              "lineage", "band_index", "ivf_index"):
         if doc.get(k) is not None and not isinstance(doc[k], str):
             raise ValueError(f"[{destination}] '{k}' must be a string")
     tmb = doc.get("target_mb")
@@ -156,6 +202,8 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
     return InstanceSpec(
         destination=destination,
         table=doc["table"],
+        mode=mode,
+        checkpoint=doc.get("checkpoint"),
         changelog=doc.get("changelog"),
         filter_regex=doc.get("filter_regex"),
         filter_black_regex=doc.get("filter_black_regex"),
@@ -225,16 +273,19 @@ def _read_changelog(spark: SparkSession, spec: InstanceSpec) -> DataFrame | None
         if not n.startswith(("_", "."))
     ):
         return None
-    df = spark.read.parquet(spec.changelog)
-    # canal.instance.filter.regex / filter.black.regex on the event's
-    # schema.table — here the changelog's `source`.  Black wins (the
-    # reference applies the blacklist after the whitelist:
-    # filter/.../AviatorRegexFilter usage in
-    # parse/.../AbstractEventParser.java filter chain).  NULL source is
-    # KEPT by both filters: delete events carry no after-image source
-    # (CHANGELOG_SCHEMA — D rows are (doc_id, NULLs)), and silently
-    # dropping an unclassifiable delete would leak the key forever;
-    # the merge's key lookup routes it to the right row regardless.
+    return _source_filter(spark.read.parquet(spec.changelog), spec)
+
+
+def _source_filter(df: DataFrame, spec: InstanceSpec) -> DataFrame:
+    """canal.instance.filter.regex / filter.black.regex on the event's
+    schema.table — here the changelog's `source`.  Black wins (the
+    reference applies the blacklist after the whitelist:
+    filter/.../AviatorRegexFilter usage in
+    parse/.../AbstractEventParser.java filter chain).  NULL source is
+    KEPT by both filters: delete events carry no after-image source
+    (CHANGELOG_SCHEMA — D rows are (doc_id, NULLs)), and silently
+    dropping an unclassifiable delete would leak the key forever;
+    the merge's key lookup routes it to the right row regardless."""
     if spec.filter_regex:
         df = df.where(
             F.col("source").isNull() | F.col("source").rlike(spec.filter_regex)
@@ -258,6 +309,11 @@ def run_instance_pass(
     from canal_spark.dedup_index import create_band_index
     from canal_spark.maintenance import prometheus_metrics, run_pass
 
+    if spec.mode != "batch":
+        raise ValueError(
+            f"[{spec.destination}] mode={spec.mode!r} instances are "
+            "supervised by StreamFleet, not the batch round"
+        )
     table = load_table(spec.table)
     band_index = None
     if spec.band_index:
@@ -330,3 +386,114 @@ def run_server_round(
         return dict(one(it) for it in items)
     with ThreadPoolExecutor(max_workers=parallel) as pool:
         return dict(pool.map(one, items))
+
+
+# ---- streaming instances ----------------------------------------------
+
+
+def start_instance_stream(spark: SparkSession, spec: InstanceSpec):
+    """Launch one destination's continuous apply as a supervised
+    StreamingQuery (the reference's ``embededCanalServer.start(
+    destination)``, CanalController.java:145-160 — an instance IS an
+    always-on pipeline there; batch mode is our maintenance-round
+    specialization)."""
+    from canal_spark import load_table
+    from canal_spark.streaming.apply import stream_apply
+
+    return stream_apply(
+        spark,
+        load_table(spec.table),
+        spec.changelog,
+        spec.checkpoint,
+        transform=(lambda df: _source_filter(df, spec))
+        if (spec.filter_regex or spec.filter_black_regex) else None,
+        return_query=True,
+        **spec.stream_kwargs(),
+    )
+
+
+class StreamFleet:
+    """Supervisor for ``mode="stream"`` instances: conf-dir lifecycle
+    events map onto StreamingQuery start/stop/restart — the
+    InstanceConfigMonitor's notifyStart/notifyReload/notifyStop
+    (SpringInstanceConfigMonitor.java:173-205) with Structured
+    Streaming as the runtime.  Restart-on-reload is safe by
+    construction: the checkpoint + the table's high-water mark make a
+    replayed micro-batch a no-op, so a config change never double-
+    applies or skips ordinals."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._running: dict[str, tuple[str, object]] = {}  # dest -> (fp, handle)
+
+    def sync(self, specs: dict[str, InstanceSpec]) -> list[dict]:
+        """Reconcile the running queries against one scan's stream-mode
+        specs; returns lifecycle events.  A failed start is an event,
+        not an exception (fleet isolation)."""
+        events: list[dict] = []
+        stream_specs = {d: s for d, s in specs.items() if s.mode == "stream"}
+        for dest in sorted(set(self._running) - set(stream_specs)):
+            fp, handle = self._running.pop(dest)
+            handle.stop()
+            events.append({"event": "stop", "destination": dest})
+        for dest in sorted(stream_specs):
+            spec = stream_specs[dest]
+            cur = self._running.get(dest)
+            if cur is not None and cur[0] == spec.fingerprint:
+                continue
+            ev = "start" if cur is None else "reload"
+            if cur is not None:
+                cur[1].stop()
+            try:
+                handle = start_instance_stream(self.spark, spec)
+            except Exception as e:  # noqa: BLE001 — fleet isolation boundary
+                if cur is not None:
+                    del self._running[dest]
+                events.append({"event": "start_error", "destination": dest,
+                               "error": f"{type(e).__name__}: {e}"})
+                continue
+            self._running[dest] = (spec.fingerprint, handle)
+            events.append({"event": ev, "destination": dest})
+        return events
+
+    def health(self) -> list[dict]:
+        """One row per running query: active flag, progress counters,
+        and any terminal exception (a died query stays in the registry
+        so the NEXT sync's unchanged-fingerprint check doesn't mask it
+        — report, let the operator fix the spec, reload restarts it)."""
+        rows = []
+        for dest in sorted(self._running):
+            _fp, handle = self._running[dest]
+            exc = handle.query.exception()
+            rows.append({
+                "destination": dest,
+                "active": handle.query.isActive,
+                "batches_seen": handle.result.batches_seen,
+                "batches_applied": handle.result.batches_applied,
+                "quarantined": len(handle.result.quarantined),
+                "error": str(exc) if exc else None,
+            })
+        return rows
+
+    def restart(self, destination: str, spec: InstanceSpec) -> None:
+        """Force-restart one destination (operator verb for a died
+        query whose spec did not change)."""
+        cur = self._running.pop(destination, None)
+        if cur is not None:
+            cur[1].stop()
+        self._running[destination] = (
+            spec.fingerprint, start_instance_stream(self.spark, spec)
+        )
+
+    def stop_all(self) -> dict[str, dict]:
+        """Graceful shutdown; returns final per-destination counters."""
+        out = {}
+        for dest in sorted(self._running):
+            _fp, handle = self._running.pop(dest)
+            res = handle.stop()
+            out[dest] = {
+                "batches_seen": res.batches_seen,
+                "batches_applied": res.batches_applied,
+                "quarantined": len(res.quarantined),
+            }
+        return out

@@ -36,7 +36,8 @@ def main() -> None:
     args = p.parse_args()
 
     from canal_spark import get_spark
-    from canal_spark.instance import diff_registry, run_server_round, scan_instances
+    from canal_spark.instance import (StreamFleet, diff_registry,
+                                      run_server_round, scan_instances)
     from canal_spark.jobs.common import emit
 
     # FAIR mode so --parallel shares executor slots across destinations
@@ -53,16 +54,20 @@ def main() -> None:
     )
 
     registry: dict[str, str] = {}
+    fleet = StreamFleet(spark)
     round_no = 0
     while True:
         round_no += 1
         specs, errors = scan_instances(args.conf_dir)
         for dest, err in sorted(errors.items()):
             emit({"event": "config_error", "destination": dest, "error": err})
-        for ev in diff_registry(registry, specs):
+        batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
+        for ev in diff_registry(registry, batch_specs):
             emit(ev)
+        for ev in fleet.sync(specs):  # stream-mode lifecycle
+            emit({**ev, "mode": "stream"})
         results = run_server_round(
-            spark, specs, parallel=args.parallel,
+            spark, batch_specs, parallel=args.parallel,
             job_id_prefix=f"srv-{uuid.uuid4().hex[:8]}-r{round_no}",
         )
         ok = failed = 0
@@ -74,11 +79,15 @@ def main() -> None:
             else:
                 ok += 1
                 emit({"event": "pass", **r})
+        for h in fleet.health():
+            emit({"event": "stream_health", **h})
         emit({"event": "round", "round": round_no, "instances": len(specs),
               "ok": ok, "failed": failed, "config_errors": len(errors)})
         if args.rounds and round_no >= args.rounds:
             break
         time.sleep(args.scan_interval)
+    for dest, final in fleet.stop_all().items():
+        emit({"event": "stream_final", "destination": dest, **final})
 
 
 if __name__ == "__main__":

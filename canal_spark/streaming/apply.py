@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 
 from canal_spark.merge import merge_into
 from canal_spark.schema import CHANGELOG_SCHEMA
@@ -227,6 +228,25 @@ class StreamApplyResult:
     quarantined: list = field(default_factory=list)
 
 
+@dataclass
+class StreamApplyHandle:
+    """A RUNNING continuous apply query (``stream_apply(return_query=
+    True)``): the supervisor owns the lifecycle.  ``result`` fills in
+    live as micro-batches commit (the foreachBatch closure runs on the
+    driver, so reading it from the supervising thread is safe)."""
+
+    query: "StreamingQuery"
+    result: StreamApplyResult
+
+    def stop(self, await_seconds: float | None = 30.0) -> StreamApplyResult:
+        """Graceful stop: halt the trigger loop, wait for the in-flight
+        micro-batch to finish (merge commits are atomic either way —
+        a killed batch just replays on restart)."""
+        self.query.stop()
+        self.query.awaitTermination(timeout=await_seconds)
+        return self.result
+
+
 def stream_apply(
     spark: SparkSession,
     table: Table,
@@ -246,7 +266,9 @@ def stream_apply(
     wap: bool = False,
     wap_max_delete_fraction: float | None = None,
     quarantine_dir: str | None = None,
-) -> StreamApplyResult:
+    transform=None,
+    return_query: bool = False,
+) -> StreamApplyResult | StreamApplyHandle:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
     the batch-oriented test/ops mode.  Set ``available_now=False``
@@ -276,7 +298,14 @@ def stream_apply(
     ``result.quarantined`` and the stream keeps going: the hwm never
     advanced, so after the upstream fix a replay of the quarantined
     ordinals applies cleanly while already-published batches replay to
-    no-ops.  Readers of the table only ever see audited snapshots."""
+    no-ops.  Readers of the table only ever see audited snapshots.
+
+    ``transform`` (optional) rewrites the streaming frame before the
+    sink — the instance server uses it for the per-destination
+    source white/black filters.  ``return_query=True`` starts the
+    continuous query and returns a :class:`StreamApplyHandle`
+    immediately instead of blocking — the multi-instance supervisor's
+    mode (its caller owns stop/health)."""
     result = StreamApplyResult()
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -348,11 +377,16 @@ def stream_apply(
         reader=reader, kafka_options=kafka_options,
         kafka_subscribe_mode=kafka_subscribe_mode,
     )
+    if transform is not None:
+        stream = transform(stream)
     w = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+    if return_query:
+        q = w.trigger(processingTime="1 second").start()
+        return StreamApplyHandle(query=q, result=result)
     if available_now:
         q = w.trigger(availableNow=True).start()
         q.awaitTermination()

@@ -219,6 +219,153 @@ def test_changelog_dir_absent_still_maintains(spark, tmp_path):
     assert r["compact"] is not None
 
 
+# ---- streaming instances ---------------------------------------------
+
+
+def test_stream_spec_validation(tmp_path):
+    from canal_spark.instance import load_instance
+
+    # stream mode requires checkpoint + changelog
+    _write_spec(tmp_path, "s1", table="/x", mode="stream", changelog="/c")
+    with pytest.raises(ValueError, match="checkpoint"):
+        load_instance(str(tmp_path), "s1")
+    _write_spec(tmp_path, "s2", table="/x", mode="stream", checkpoint="/k")
+    with pytest.raises(ValueError, match="changelog"):
+        load_instance(str(tmp_path), "s2")
+    # batch-only knob in stream mode is a config bug, not ignored
+    _write_spec(tmp_path, "s3", table="/x", mode="stream", changelog="/c",
+                checkpoint="/k", curve="hilbert")
+    with pytest.raises(ValueError, match="do not apply to mode='stream'"):
+        load_instance(str(tmp_path), "s3")
+    # stream-only knob in batch mode likewise
+    _write_spec(tmp_path, "s4", table="/x", checkpoint="/k")
+    with pytest.raises(ValueError, match="do not apply to mode='batch'"):
+        load_instance(str(tmp_path), "s4")
+    # valid stream spec forwards only the stream knobs
+    _write_spec(tmp_path, "s5", table="/x", mode="stream", changelog="/c",
+                checkpoint="/k", merge_mode="mor", max_files_per_trigger=2)
+    s = load_instance(str(tmp_path), "s5")
+    assert s.mode == "stream"
+    assert s.stream_kwargs() == {"merge_mode": "mor", "max_files_per_trigger": 2}
+
+
+def _wait_until(fn, timeout=120.0, interval=0.5):
+    import time
+
+    end = time.time() + timeout
+    while time.time() < end:
+        if fn():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_stream_fleet_lifecycle(spark, tmp_path):
+    """StreamFleet start -> apply -> second batch -> reload (restart)
+    -> stop; the black filter rides the stream transform; final table
+    matches the Python oracle over both batches."""
+    from canal_spark import create_table, load_table
+    from canal_spark.changelog import (base_table_df, changelog_df,
+                                       synth_changelog_rows, synth_token_rows)
+    from canal_spark.instance import StreamFleet, scan_instances
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    conf = tmp_path / "conf"
+    troot = str(tmp_path / "st_tbl")
+    cdir = tmp_path / "st_cl"
+    cdir.mkdir()
+    t = create_table(troot, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(200, seed=31)
+    append(spark, t, base_table_df(spark, 200, seed=31).repartition(2))
+    rows1 = synth_changelog_rows(base, 60, seed=32)
+    changelog_df(spark, rows1).coalesce(1).write.mode("append").parquet(str(cdir))
+    sources = sorted({r[5] for r in rows1 if r[5] is not None})
+    black = sources[0]
+
+    _write_spec(conf, "st", table=troot, mode="stream",
+                changelog=str(cdir), checkpoint=str(tmp_path / "ckpt"),
+                filter_black_regex=f"^{black}$")
+    specs, errors = scan_instances(str(conf))
+    assert errors == {}
+
+    fleet = StreamFleet(spark)
+    try:
+        evs = fleet.sync(specs)
+        assert [(e["event"], e["destination"]) for e in evs] == [("start", "st")]
+        assert fleet.sync(specs) == []  # unchanged round: no events
+
+        def kept(rows):
+            return [r for r in rows if r[5] != black]
+
+        want1 = oracle_dict(base, kept(rows1))
+        assert _wait_until(
+            lambda: scan_dict(spark, load_table(troot)) == want1
+        )
+        rows2 = synth_changelog_rows(base, 40, seed=33, start_ordinal=61)
+        changelog_df(spark, rows2).coalesce(1).write.mode("append").parquet(str(cdir))
+        want2 = oracle_dict(base, kept(rows1) + kept(rows2))
+        assert _wait_until(
+            lambda: scan_dict(spark, load_table(troot)) == want2
+        )
+        h = fleet.health()
+        assert h[0]["active"] and h[0]["batches_applied"] >= 1
+        assert h[0]["error"] is None
+
+        # reload: changed spec restarts the query (new run id), and the
+        # checkpoint + hwm make the replay a no-op
+        old_run = fleet._running["st"][1].query.runId
+        _write_spec(conf, "st", table=troot, mode="stream",
+                    changelog=str(cdir), checkpoint=str(tmp_path / "ckpt"),
+                    filter_black_regex=f"^{black}$", max_files_per_trigger=1)
+        specs, _ = scan_instances(str(conf))
+        evs = fleet.sync(specs)
+        assert [e["event"] for e in evs] == ["reload"]
+        assert fleet._running["st"][1].query.runId != old_run
+        assert _wait_until(lambda: fleet._running["st"][1].query.isActive)
+        assert scan_dict(spark, load_table(troot)) == want2
+
+        # removing the spec stops the query
+        import shutil
+
+        shutil.rmtree(conf / "st")
+        specs, _ = scan_instances(str(conf))
+        evs = fleet.sync(specs)
+        assert [e["event"] for e in evs] == ["stop"]
+        assert fleet._running == {}
+    finally:
+        fleet.stop_all()
+
+
+def test_stream_fleet_start_error_isolated(spark, tmp_path):
+    """A stream spec with a missing table emits start_error; a healthy
+    neighbour starts."""
+    from canal_spark import create_table
+    from canal_spark.changelog import base_table_df, synth_token_rows
+    from canal_spark.instance import StreamFleet, scan_instances
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    conf = tmp_path / "conf"
+    troot = str(tmp_path / "ok_tbl")
+    cdir = tmp_path / "ok_cl"
+    cdir.mkdir()
+    t = create_table(troot, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 50, seed=61).repartition(1))
+    _write_spec(conf, "okst", table=troot, mode="stream",
+                changelog=str(cdir), checkpoint=str(tmp_path / "k1"))
+    _write_spec(conf, "badst", table=str(tmp_path / "missing"), mode="stream",
+                changelog=str(cdir), checkpoint=str(tmp_path / "k2"))
+    specs, _ = scan_instances(str(conf))
+    fleet = StreamFleet(spark)
+    try:
+        evs = {e["destination"]: e["event"] for e in fleet.sync(specs)}
+        assert evs == {"okst": "start", "badst": "start_error"}
+        assert set(fleet._running) == {"okst"}
+    finally:
+        fleet.stop_all()
+
+
 # ---- CLI --------------------------------------------------------------
 
 
