@@ -32,10 +32,15 @@ def main() -> None:
                    help="concurrent instance passes (thread pool; each "
                         "pass tagged with a per-destination FAIR pool "
                         "and job group)")
+    p.add_argument("--metrics-port", type=int, default=None,
+                   help="serve Prometheus /metrics on this port (0 = "
+                        "ephemeral; reference default 11112, "
+                        "canal.properties canal.metrics.pull.port)")
     p.add_argument("--app-name", default=None)
     args = p.parse_args()
 
     from canal_spark import get_spark
+    from canal_spark.exporter import MetricsRegistry, start_exporter
     from canal_spark.instance import (StreamFleet, diff_registry,
                                       run_server_round, scan_instances)
     from canal_spark.jobs.common import emit
@@ -55,6 +60,12 @@ def main() -> None:
 
     registry: dict[str, str] = {}
     fleet = StreamFleet(spark)
+    metrics = exporter = None
+    if args.metrics_port is not None:
+        metrics = MetricsRegistry()
+        exporter = start_exporter(metrics, args.metrics_port)
+        emit({"event": "metrics_endpoint",
+              "port": exporter.server_address[1], "path": "/metrics"})
     round_no = 0
     while True:
         round_no += 1
@@ -64,8 +75,12 @@ def main() -> None:
         batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
         for ev in diff_registry(registry, batch_specs):
             emit(ev)
+            if metrics and ev["event"] == "stop":
+                metrics.remove_instance(ev["destination"])
         for ev in fleet.sync(specs):  # stream-mode lifecycle
             emit({**ev, "mode": "stream"})
+            if metrics and ev["event"] == "stop":
+                metrics.remove_instance(ev["destination"])
         results = run_server_round(
             spark, batch_specs, parallel=args.parallel,
             job_id_prefix=f"srv-{uuid.uuid4().hex[:8]}-r{round_no}",
@@ -79,15 +94,34 @@ def main() -> None:
             else:
                 ok += 1
                 emit({"event": "pass", **r})
+                if metrics:
+                    metrics.update_instance(dest, r["metrics"])
         for h in fleet.health():
             emit({"event": "stream_health", **h})
+            if metrics:
+                lbl = f'{{destination="{h["destination"]}"}}'
+                metrics.update_instance(h["destination"], {
+                    f"canal_spark_stream_active{lbl}": 1 if h["active"] else 0,
+                    f"canal_spark_stream_batches_seen{lbl}": h["batches_seen"],
+                    f"canal_spark_stream_batches_applied{lbl}": h["batches_applied"],
+                    f"canal_spark_stream_quarantined_batches{lbl}": h["quarantined"],
+                })
         emit({"event": "round", "round": round_no, "instances": len(specs),
               "ok": ok, "failed": failed, "config_errors": len(errors)})
+        if metrics:
+            metrics.update_server({
+                "canal_spark_server_rounds_total": round_no,
+                "canal_spark_server_instances": len(specs),
+                "canal_spark_server_pass_errors": failed,
+                "canal_spark_server_config_errors": len(errors),
+            })
         if args.rounds and round_no >= args.rounds:
             break
         time.sleep(args.scan_interval)
     for dest, final in fleet.stop_all().items():
         emit({"event": "stream_final", "destination": dest, **final})
+    if exporter is not None:
+        exporter.shutdown()
 
 
 if __name__ == "__main__":

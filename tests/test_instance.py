@@ -400,7 +400,8 @@ spark.stop()
     assert out.returncode == 0, out.stderr[-2000:]
     out = subprocess.run(
         [sys.executable, "-m", "canal_spark.jobs.server",
-         str(tmp_path / "conf"), "--rounds", "1", "--parallel", "2"],
+         str(tmp_path / "conf"), "--rounds", "1", "--parallel", "2",
+         "--metrics-port", "0"],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -408,6 +409,8 @@ spark.stop()
     events = [l["event"] for l in lines]
     assert events.count("start") == 2
     assert events.count("pass") == 2
+    ep = [l for l in lines if l["event"] == "metrics_endpoint"][0]
+    assert ep["path"] == "/metrics" and ep["port"] > 0
     summary = [l for l in lines if l["event"] == "round"][0]
     assert summary == {"event": "round", "round": 1, "instances": 2,
                        "ok": 2, "failed": 0, "config_errors": 0}
