@@ -36,11 +36,25 @@ def main() -> None:
                    help="serve Prometheus /metrics on this port (0 = "
                         "ephemeral; reference default 11112, "
                         "canal.properties canal.metrics.pull.port)")
+    p.add_argument("--ha", action="store_true",
+                   help="active/standby failover: run only destinations "
+                        "whose per-destination lease this server holds "
+                        "(ServerRunningMonitor analogue — N servers on "
+                        "one conf dir split the fleet, a dead server's "
+                        "destinations migrate after --ha-ttl)")
+    p.add_argument("--server-id", default=None,
+                   help="this server's identity in lease files "
+                        "(default host:pid)")
+    p.add_argument("--ha-ttl", type=float, default=None,
+                   help="lease TTL seconds (default 30; must exceed the "
+                        "scan interval or the holder expires between "
+                        "its own rounds)")
     p.add_argument("--app-name", default=None)
     args = p.parse_args()
 
     from canal_spark import get_spark
     from canal_spark.exporter import MetricsRegistry, start_exporter
+    from canal_spark.ha import DEFAULT_TTL_S, FleetHA
     from canal_spark.instance import (StreamFleet, diff_registry,
                                       run_server_round, scan_instances)
     from canal_spark.jobs.common import emit
@@ -58,6 +72,17 @@ def main() -> None:
         extra_conf={"spark.scheduler.mode": "FAIR"},
     )
 
+    ha = None
+    if args.ha:
+        import socket
+
+        server_id = args.server_id or f"{socket.gethostname()}:{os.getpid()}"
+        ttl = args.ha_ttl if args.ha_ttl is not None else max(
+            DEFAULT_TTL_S, 3 * args.scan_interval
+        )
+        ha = FleetHA(args.conf_dir, server_id, ttl_s=ttl)
+        emit({"event": "ha_enabled", "server_id": server_id, "ttl_s": ttl})
+
     registry: dict[str, str] = {}
     fleet = StreamFleet(spark)
     metrics = exporter = None
@@ -72,6 +97,15 @@ def main() -> None:
         specs, errors = scan_instances(args.conf_dir)
         for dest, err in sorted(errors.items()):
             emit({"event": "config_error", "destination": dest, "error": err})
+        if ha is not None:
+            # ownership gate BEFORE lifecycle diffing: a standby never
+            # claims start events for destinations it doesn't hold, and
+            # losing a lease reads as the spec vanishing (stop + stream
+            # shutdown) exactly like a conf-dir removal
+            owned, ha_events = ha.select(list(specs))
+            for ev in ha_events:
+                emit(ev)
+            specs = {d: s for d, s in specs.items() if d in owned}
         batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
         for ev in diff_registry(registry, batch_specs):
             emit(ev)
@@ -120,6 +154,9 @@ def main() -> None:
         time.sleep(args.scan_interval)
     for dest, final in fleet.stop_all().items():
         emit({"event": "stream_final", "destination": dest, **final})
+    if ha is not None:
+        for dest in ha.release_all():
+            emit({"event": "ha_release", "destination": dest})
     if exporter is not None:
         exporter.shutdown()
 
