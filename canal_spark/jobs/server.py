@@ -49,10 +49,16 @@ def main() -> None:
                    help="lease TTL seconds (default 30; must exceed the "
                         "scan interval or the holder expires between "
                         "its own rounds)")
+    p.add_argument("--client-port", type=int, default=None,
+                   help="serve the batch-consumer protocol "
+                        "(subscribe/get/ack/rollback, C5) on this port "
+                        "(0 = ephemeral; reference netty default 11111, "
+                        "canal.properties canal.port)")
     p.add_argument("--app-name", default=None)
     args = p.parse_args()
 
     from canal_spark import get_spark
+    from canal_spark.consumer import ConsumerServer, start_consumer_http
     from canal_spark.exporter import MetricsRegistry, start_exporter
     from canal_spark.ha import DEFAULT_TTL_S, FleetHA
     from canal_spark.instance import (StreamFleet, diff_registry,
@@ -91,6 +97,19 @@ def main() -> None:
         exporter = start_exporter(metrics, args.metrics_port)
         emit({"event": "metrics_endpoint",
               "port": exporter.server_address[1], "path": "/metrics"})
+    consumers: dict[str, ConsumerServer] = {}
+    owned_now: set[str] = set()
+    client_http = None
+    if args.client_port is not None:
+        # under --ha a standby answers 503 so clients re-seek the
+        # running server (ClusterCanalConnector redirect semantics);
+        # without HA every destination this server scans is active
+        client_http = start_consumer_http(
+            consumers, args.client_port,
+            is_active=(lambda d: d in owned_now) if args.ha else None,
+        )
+        emit({"event": "client_endpoint",
+              "port": client_http.server_address[1], "path": "/client"})
     round_no = 0
     while True:
         round_no += 1
@@ -106,6 +125,22 @@ def main() -> None:
             for ev in ha_events:
                 emit(ev)
             specs = {d: s for d, s in specs.items() if d in owned}
+        owned_now.clear()
+        owned_now.update(specs)
+        if client_http is not None:
+            # register consumer endpoints for every active destination
+            # with a staged changelog; drop vanished ones
+            for dest in sorted(set(consumers) - set(specs)):
+                del consumers[dest]
+            for dest, s in specs.items():
+                if s.changelog and (
+                    dest not in consumers
+                    or consumers[dest].changelog_dir != s.changelog
+                ):
+                    consumers[dest] = ConsumerServer(
+                        spark, s.changelog,
+                        os.path.join(args.conf_dir, dest, "consumer_meta"),
+                    )
         batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
         for ev in diff_registry(registry, batch_specs):
             emit(ev)
@@ -157,6 +192,8 @@ def main() -> None:
     if ha is not None:
         for dest in ha.release_all():
             emit({"event": "ha_release", "destination": dest})
+    if client_http is not None:
+        client_http.shutdown()
     if exporter is not None:
         exporter.shutdown()
 
