@@ -144,12 +144,18 @@ class ConsumerServer:
         meta_dir: str,
         database: str = "lakehouse",
         table: str = "tokens",
+        archive_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.changelog_dir = changelog_dir
         self.meta_dir = meta_dir
         self.database = database
         self.table = table
+        # cold-archive fallback (S3, archive.py): a client whose cursor
+        # predates the staging dir's retention resumes from archived
+        # segments and hands off to the live dir seamlessly — the
+        # RdsBinlogEventParserProxy behavior
+        self.archive_dir = archive_dir
         self._lock = threading.Lock()  # HTTP handlers are threaded
         self._clients: dict[str, _ClientMeta] = {}
         os.makedirs(meta_dir, exist_ok=True)
@@ -219,13 +225,22 @@ class ConsumerServer:
     def get_without_ack(self, client_id: str, batch_size: int = 1000) -> Message:
         with self._lock:
             m = self._client(client_id)
-            store = self._scan()
-            if store is None:
-                return Message(-1)
             # get-pointer: past every outstanding batch, else the cursor
             # (getLastestBatch / getCursor split, :318-327)
             fetch_from = max([m.cursor] + [e for _, e in m.batches.values()])
-            sl = store.where(F.col("ordinal") > F.lit(int(fetch_from)))
+            if self.archive_dir is not None:
+                from canal_spark.archive import resolve_changelog
+
+                sl, _ = resolve_changelog(
+                    self.spark, self.changelog_dir, self.archive_dir, fetch_from
+                )
+                if sl is None:
+                    return Message(-1)
+            else:
+                store = self._scan()
+                if store is None:
+                    return Message(-1)
+                sl = store.where(F.col("ordinal") > F.lit(int(fetch_from)))
             # client-side subscription filter on the event's source —
             # NULL kept (a D row's after-image source is null; dropping
             # an unclassifiable delete would leak the key forever)

@@ -92,6 +92,7 @@ _STREAM_KNOBS = {
 _TOP_KEYS = {
     "table",            # required: destination table root
     "changelog",        # parquet staging dir (optional; may not exist yet)
+    "archive",          # cold-archive root for purged changelog segments (S3)
     "filter_regex",     # whitelist on changelog `source` (schema.table analogue)
     "filter_black_regex",  # blacklist — wins over the whitelist, Canal order
     "lineage",          # lineage table root
@@ -117,6 +118,7 @@ class InstanceSpec:
     table: str
     mode: str = "batch"
     changelog: str | None = None
+    archive: str | None = None
     checkpoint: str | None = None
     filter_regex: str | None = None
     filter_black_regex: str | None = None
@@ -192,8 +194,8 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
             elif not isinstance(v, typ):
                 raise ValueError(f"[{destination}] '{k}' must be {typ.__name__}")
             pass_kwargs[k] = v
-    for k in ("changelog", "checkpoint", "filter_regex", "filter_black_regex",
-              "lineage", "band_index", "ivf_index"):
+    for k in ("changelog", "archive", "checkpoint", "filter_regex",
+              "filter_black_regex", "lineage", "band_index", "ivf_index"):
         if doc.get(k) is not None and not isinstance(doc[k], str):
             raise ValueError(f"[{destination}] '{k}' must be a string")
     tmb = doc.get("target_mb")
@@ -205,6 +207,7 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
         mode=mode,
         checkpoint=doc.get("checkpoint"),
         changelog=doc.get("changelog"),
+        archive=doc.get("archive"),
         filter_regex=doc.get("filter_regex"),
         filter_black_regex=doc.get("filter_black_regex"),
         lineage=doc.get("lineage"),

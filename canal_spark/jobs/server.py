@@ -136,10 +136,12 @@ def main() -> None:
                 if s.changelog and (
                     dest not in consumers
                     or consumers[dest].changelog_dir != s.changelog
+                    or consumers[dest].archive_dir != s.archive
                 ):
                     consumers[dest] = ConsumerServer(
                         spark, s.changelog,
                         os.path.join(args.conf_dir, dest, "consumer_meta"),
+                        archive_dir=s.archive,
                     )
         batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
         for ev in diff_registry(registry, batch_specs):
