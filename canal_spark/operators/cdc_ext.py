@@ -554,6 +554,111 @@ FROM j WHERE op AND np AND o_val <> n_val
 """
 
 
+# --------------------------------------------------------------------------
+# S3 — cold-archive resolve: whole-file segment catalog pruned by range,
+# cold ∪ live union with exactly-once delivery across the crash-overlap
+# window (parse/.../mysql/rds/RdsBinlogOpenApi.listBinlogFiles:28-49 range
+# query; BinlogDownloadQueue.prepareBinlogList:76-104 sort;
+# RdsLocalBinlogEventParser:196-217 gap-free switch back to live).
+# Engine implementation: canal_spark/archive.py; this query restates the
+# same semantics as one SQL-checkable plan over `events`.
+# --------------------------------------------------------------------------
+
+
+def q_archive_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold∪live changelog resolve over ``events`` (ordinal = event_id):
+
+    * the archive holds whole 100-ordinal *segments* (binlog files)
+      covering ordinals below ``retain`` = 60% of the stream head;
+    * live staging holds ordinals from ``live_from`` = 55% — the
+      [live_from, retain) band exists in BOTH stores (the crash window
+      between the manifest commit and the staging delete);
+    * a consumer resumes from ``resume`` = 50%: cold segments are
+      fetched only when their FILE-LEVEL max ordinal passes the cursor
+      (the listBinlogFiles range query — whole segments, so a fetched
+      boundary segment still carries rows below the cursor that the
+      row filter then drops), unioned with live, row-filtered to
+      ordinal > resume, delivered exactly once per ordinal.
+
+    Output per segment: exact-once event count (``n_events``), the raw
+    per-arm row counts showing the overlap band double-fetched
+    (``n_cold + n_live > n_events`` there), and the delivered range.
+    All thresholds derive from one broadcast 1-row MAX — the query is
+    scale-relative, no literal depends on the corpus size.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id")
+    head = ev.agg((F.max("event_id") + F.lit(1)).cast("long").alias("m"))
+    base = ev.crossJoin(F.broadcast(head)).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.floor(F.col("m") * 3 / 5).alias("retain"),
+        F.floor(F.col("m") * 11 / 20).alias("live_from"),
+        F.floor(F.col("m") / 2).alias("resume"),
+    )
+    seg = F.floor(F.col("event_id") / 100)
+    # cold arm: archived segments, pruned at FILE granularity by the
+    # per-segment max ordinal (parquet-footer stats in archive.py)
+    cold = base.where(F.col("event_id") < F.col("retain")).withColumn("seg", seg)
+    segmax = Window.partitionBy("seg")
+    cold = (
+        cold.withColumn("_segmax", F.max("event_id").over(segmax))
+        .where(F.col("_segmax") > F.col("resume"))
+        .drop("_segmax")
+        .withColumn("arm", F.lit("cold"))
+    )
+    live = (
+        base.where(F.col("event_id") >= F.col("live_from"))
+        .withColumn("seg", seg)
+        .withColumn("arm", F.lit("live"))
+    )
+    resolved = cold.unionByName(live).where(F.col("event_id") > F.col("resume"))
+    return (
+        resolved.groupBy("seg")
+        .agg(
+            F.countDistinct("event_id").alias("n_events"),
+            F.sum(F.when(F.col("arm") == "cold", 1).otherwise(0))
+            .cast("long")
+            .alias("n_cold"),
+            F.sum(F.when(F.col("arm") == "live", 1).otherwise(0))
+            .cast("long")
+            .alias("n_live"),
+            F.min("event_id").alias("min_ord"),
+            F.max("event_id").alias("max_ord"),
+        )
+        .orderBy("seg")
+    )
+
+
+SQL_ARCHIVE_RESOLVE = """
+WITH head AS (SELECT CAST(MAX(event_id) + 1 AS BIGINT) AS m FROM events),
+t AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST((head.m * 3) // 5 AS BIGINT) AS retain,
+         CAST((head.m * 11) // 20 AS BIGINT) AS live_from,
+         CAST(head.m // 2 AS BIGINT) AS resume
+  FROM events, head),
+cold0 AS (
+  SELECT *, CAST(event_id // 100 AS BIGINT) AS seg
+  FROM t WHERE event_id < retain),
+fetched AS (
+  SELECT seg FROM cold0 GROUP BY seg HAVING MAX(event_id) > MAX(resume)),
+cold AS (
+  SELECT c.*, 'cold' AS arm FROM cold0 c JOIN fetched f ON c.seg = f.seg),
+live AS (
+  SELECT *, CAST(event_id // 100 AS BIGINT) AS seg, 'live' AS arm
+  FROM t WHERE event_id >= live_from),
+resolved AS (
+  SELECT * FROM cold UNION ALL SELECT * FROM live)
+SELECT seg,
+       COUNT(DISTINCT event_id) AS n_events,
+       CAST(SUM(CASE WHEN arm = 'cold' THEN 1 ELSE 0 END) AS BIGINT) AS n_cold,
+       CAST(SUM(CASE WHEN arm = 'live' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       MIN(event_id) AS min_ord,
+       MAX(event_id) AS max_ord
+FROM resolved WHERE event_id > resume
+GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES = {
     "timeline_merge": q_timeline_merge,
     "flat_message_roundtrip": q_flat_message_roundtrip,
@@ -565,6 +670,7 @@ QUERIES = {
     "pos_delete_scan": q_pos_delete_scan,
     "incremental_diff": q_incremental_diff,
     "cdf_read": q_cdf_read,
+    "archive_resolve": q_archive_resolve,
 }
 
 ORACLES = {
@@ -578,4 +684,5 @@ ORACLES = {
     "pos_delete_scan": SQL_POS_DELETE_SCAN,
     "incremental_diff": SQL_INCREMENTAL_DIFF,
     "cdf_read": SQL_CDF_READ,
+    "archive_resolve": SQL_ARCHIVE_RESOLVE,
 }
