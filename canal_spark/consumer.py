@@ -410,7 +410,12 @@ def start_consumer_http(
                 return
             srv, client_id, verb, q = r
             n = int(self.headers.get("Content-Length") or 0)
-            body = json.loads(self.rfile.read(n) or b"{}") if n else {}
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}") if n else {}
+            except json.JSONDecodeError as e:
+                # a malformed body must be a 400, not a dead connection
+                self._send(400, {"error": f"invalid JSON body: {e}"})
+                return
             try:
                 if verb == "subscribe":
                     out = srv.subscribe(

@@ -429,6 +429,18 @@ class StreamFleet:
         self.spark = spark
         self._running: dict[str, tuple[str, object]] = {}  # dest -> (fp, handle)
 
+    @staticmethod
+    def _safe_stop(handle) -> tuple[object, str | None]:
+        """Stop one query WITHOUT letting a died query poison the fleet:
+        ``awaitTermination`` re-raises a failed query's
+        StreamingQueryException, so a destination that crashed and was
+        then removed/reloaded would otherwise abort the whole sync.
+        Returns (result, error_string)."""
+        try:
+            return handle.stop(), None
+        except Exception as e:  # noqa: BLE001 — fleet isolation boundary
+            return handle.result, f"{type(e).__name__}: {e}"
+
     def sync(self, specs: dict[str, InstanceSpec]) -> list[dict]:
         """Reconcile the running queries against one scan's stream-mode
         specs; returns lifecycle events.  A failed start is an event,
@@ -437,8 +449,11 @@ class StreamFleet:
         stream_specs = {d: s for d, s in specs.items() if s.mode == "stream"}
         for dest in sorted(set(self._running) - set(stream_specs)):
             fp, handle = self._running.pop(dest)
-            handle.stop()
-            events.append({"event": "stop", "destination": dest})
+            _res, err = self._safe_stop(handle)
+            ev = {"event": "stop", "destination": dest}
+            if err:
+                ev["error"] = err  # the query had already died — surface it
+            events.append(ev)
         for dest in sorted(stream_specs):
             spec = stream_specs[dest]
             cur = self._running.get(dest)
@@ -446,7 +461,7 @@ class StreamFleet:
                 continue
             ev = "start" if cur is None else "reload"
             if cur is not None:
-                cur[1].stop()
+                self._safe_stop(cur[1])  # reload restarts a died query too
             try:
                 handle = start_instance_stream(self.spark, spec)
             except Exception as e:  # noqa: BLE001 — fleet isolation boundary
@@ -483,7 +498,7 @@ class StreamFleet:
         query whose spec did not change)."""
         cur = self._running.pop(destination, None)
         if cur is not None:
-            cur[1].stop()
+            self._safe_stop(cur[1])  # restart IS the died-query verb
         self._running[destination] = (
             spec.fingerprint, start_instance_stream(self.spark, spec)
         )
@@ -493,10 +508,12 @@ class StreamFleet:
         out = {}
         for dest in sorted(self._running):
             _fp, handle = self._running.pop(dest)
-            res = handle.stop()
+            res, err = self._safe_stop(handle)
             out[dest] = {
                 "batches_seen": res.batches_seen,
                 "batches_applied": res.batches_applied,
                 "quarantined": len(res.quarantined),
             }
+            if err:
+                out[dest]["error"] = err
         return out

@@ -325,3 +325,25 @@ spark.stop()
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_http_malformed_body_is_400(staged):
+    """A garbage JSON body must come back as a 400 error payload, not a
+    dropped connection (the parse happens inside the handler's error
+    boundary)."""
+    srv, _rows = staged
+    http = start_consumer_http({"example": srv}, port=0)
+    try:
+        base = f"http://127.0.0.1:{http.server_address[1]}/client/example/cbad"
+        req = urllib.request.Request(
+            f"{base}/subscribe", method="POST", data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                code, out = resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            code, out = e.code, json.loads(e.read())
+        assert code == 400 and "invalid JSON body" in out["error"]
+    finally:
+        http.shutdown()

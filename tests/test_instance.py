@@ -418,3 +418,45 @@ spark.stop()
         if l["event"] == "pass":
             lbl = f'canal_instance_put_rows{{destination="{l["destination"]}"}}'
             assert l["metrics"][lbl] > 0
+
+
+class _DeadHandle:
+    """Stub of a StreamApplyHandle whose query died: stop() re-raises
+    the streaming exception (awaitTermination semantics)."""
+
+    class _Res:
+        batches_seen = 3
+        batches_applied = 2
+        quarantined = ()
+
+    result = _Res()
+
+    def stop(self, await_seconds=None):
+        raise RuntimeError("query terminated with exception: boom")
+
+
+def test_fleet_sync_survives_died_query(spark):
+    """A destination whose query died and whose spec then disappears
+    must produce a stop event with the error — never abort the sync
+    (fleet isolation through the stop path)."""
+    from canal_spark.instance import StreamFleet
+
+    fleet = StreamFleet(spark)
+    fleet._running["dead"] = ("fp0", _DeadHandle())
+    events = fleet.sync({})  # spec gone -> stop the died query
+    assert events == [
+        {"event": "stop", "destination": "dead",
+         "error": "RuntimeError: query terminated with exception: boom"}
+    ]
+    assert fleet._running == {}
+
+
+def test_stop_all_reports_died_query(spark):
+    from canal_spark.instance import StreamFleet
+
+    fleet = StreamFleet(spark)
+    fleet._running["dead"] = ("fp0", _DeadHandle())
+    out = fleet.stop_all()
+    assert out["dead"]["batches_seen"] == 3
+    assert out["dead"]["batches_applied"] == 2
+    assert "RuntimeError" in out["dead"]["error"]
