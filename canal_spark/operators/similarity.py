@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canal_spark.operators.common import load
+from canal_spark.operators.common import attach_cached_deps, load
 
 TOPK = 3
 Q_MOD = 50  # vec_id % 50 == 0 -> query sample pool
@@ -153,28 +153,19 @@ def _cent_structs(cent_rows: list) -> list:
     ]
 
 
-def _assign_cell_udf(cent_rows: list):
-    """Map-side nearest-centroid assignment against the collected
-    codebook as a VECTORIZED Arrow UDF: each batch is one numpy
-    (B×64)·(64×K) matmul, scores rounded to 9 (the cross-engine ulp
-    absorber), argmax with first-occurrence tie-break = lowest centroid
-    id (ids are sorted ascending).  The cell column is computed INSIDE
-    the scan stage: the alternative (crossJoin to n×K rows,
-    groupBy(vec_id) argmax, join the assignment back to the wide
-    vectors) costs two corpus-scale exchanges, and the pure-expression
-    variant (array_max over K cosine structs) drops the projection out
-    of codegen into per-element interpreted lambdas — measured 2×
-    slower.  BLAS against the broadcast codebook is how FAISS assigns,
-    and it shuffles nothing."""
+def _assign_kernel(cent_rows: list):
+    """Shared numpy assignment kernel: batch of vectors -> (cell ids,
+    9-rounded cosine to the assigned centroid).  One (B×64)·(64×K)
+    matmul per Arrow batch, argmax with first-occurrence tie-break =
+    lowest centroid id (ids sorted ascending).  Both assignment UDFs
+    wrap THIS kernel so the cell a vector lands in and the centroid
+    cosine it is ranked by can never drift apart."""
     srt = sorted(cent_rows, key=lambda r: r[0])
     ids = np.array([cid for cid, _, _ in srt], dtype=np.int64)
     C = np.array([cv for _, cv, _ in srt], dtype=np.float64)  # K×64
     cn = np.sqrt((C * C).sum(axis=1))
 
-    @F.pandas_udf("long")
-    def assign(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
+    def kernel(v: pd.Series):
         V = np.vstack(v.to_numpy())
         vn = np.sqrt((V * V).sum(axis=1))
         denom = vn[:, None] * cn[None, :]
@@ -184,7 +175,49 @@ def _assign_cell_udf(cent_rows: list):
             np.divide(V @ C.T, denom, out=np.zeros_like(denom), where=denom > 0),
             9,
         )
-        return pd.Series(ids[scores.argmax(axis=1)], index=v.index)
+        am = scores.argmax(axis=1)
+        return ids[am], scores[np.arange(len(am)), am]
+
+    return kernel
+
+
+def _assign_cell_udf(cent_rows: list):
+    """Map-side nearest-centroid assignment against the collected
+    codebook as a VECTORIZED Arrow UDF (see `_assign_kernel`).  The
+    cell column is computed INSIDE the scan stage: the alternative
+    (crossJoin to n×K rows, groupBy(vec_id) argmax, join the
+    assignment back to the wide vectors) costs two corpus-scale
+    exchanges, and the pure-expression variant (array_max over K
+    cosine structs) drops the projection out of codegen into
+    per-element interpreted lambdas — measured 2× slower.  BLAS
+    against the broadcast codebook is how FAISS assigns, and it
+    shuffles nothing."""
+    kernel = _assign_kernel(cent_rows)
+
+    @F.pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        cells, _ = kernel(v)
+        return pd.Series(cells, index=v.index)
+
+    return assign
+
+
+def _assign_cell_cc_udf(cent_rows: list):
+    """Nearest-centroid assignment returning BOTH the cell and the
+    9-rounded cosine to that centroid as a struct — the ranking key
+    SemDedup-style kept-set selection orders cluster members by.
+    Same kernel, same scan-stage placement, zero shuffles."""
+    kernel = _assign_kernel(cent_rows)
+
+    @F.pandas_udf("struct<cell: long, cc: double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "cc": pd.Series([], dtype="float64")})
+        cells, cc = kernel(v)
+        return pd.DataFrame({"cell": cells, "cc": cc}, index=v.index)
 
     return assign
 
@@ -322,7 +355,12 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBED_IVF_TOPK = f"""
+# Shared DuckDB CTE block: codebook training (seed pick + one Lloyd
+# step over the bounded train sample) + full-corpus cell assignment.
+# Both the IVF top-k oracle and the SemDedup oracle build on THIS
+# string, so the two oracles can never disagree about which cell a
+# vector lands in or its centroid cosine (cc).
+_IVF_CTES = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 train AS (SELECT vec_id, v FROM e
           ORDER BY {SEED_HASH_SQL}, vec_id LIMIT {TRAIN_N}),
@@ -345,11 +383,15 @@ c AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cv
       FROM dim_means GROUP BY cell),
 assign AS (
   SELECT e.vec_id, c.cent_id,
+         round(list_cosine_similarity(e.v, c.cv), 9) AS cc,
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC,
                                      c.cent_id ASC) AS rn
   FROM e, c),
-cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+cells AS (SELECT vec_id, cent_id AS cell, cc FROM assign WHERE rn = 1)"""
+
+
+SQL_EMBED_IVF_TOPK = _IVF_CTES + f""",
 qids AS (SELECT vec_id FROM e WHERE vec_id % {Q_MOD} = 0
          ORDER BY vec_id LIMIT {MAX_QUERIES}),
 probes AS (SELECT a.vec_id AS q_id, a.cent_id AS cell FROM assign a
@@ -366,6 +408,97 @@ ranked AS (
          row_number() OVER (PARTITION BY q_id ORDER BY c9 DESC, n_id ASC) AS rank
   FROM scored)
 SELECT q_id, cell, n_id, round(c9, 4) AS cosine FROM ranked WHERE rank = 1
+"""
+
+
+SEM_EPS = 0.3  # SemDedup pruning threshold on 9-rounded cosine
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): quantize the corpus into IVF cells, and within
+    each cell DROP every vector that has a semantic duplicate
+    (9-rounded cosine >= SEM_EPS) ranking better under the paper's
+    keep-furthest-from-centroid policy — rank = (cc ASC, vec_id ASC)
+    where cc is the cosine to the assigned centroid, so of two
+    duplicates the one CLOSER to the centroid (higher cc, i.e. less
+    diverse) is pruned, ties broken by id.  Output is the pruned set
+    with the winner-exists evidence implicit: (cell, vec_id, c_cent).
+
+    This is the kept-SET curation verb, distinct from the pairwise
+    `embed_near_dup` report: a corpus pass would anti-join the output
+    against the training mix.  Deviation from the paper, documented:
+    we use the deterministic tournament rule ("exists a better-ranked
+    duplicate -> drop") instead of the paper's sequential sweep — the
+    same kept set on duplicate PAIRS, a slightly more aggressive prune
+    on chains (a<b<c with sim(a,b),sim(b,c)>=eps but sim(a,c)<eps
+    drops both b and c; the sweep keeps c) — chosen because it is
+    order-free and engine-exact, which the paper's GPU sweep is not.
+
+    Scale shape: cell assignment + centroid cosine are ONE map-side
+    vectorized kernel in the scan stage (no shuffle); the duplicate
+    probe is a LEFT SEMI self-join keyed on the cell — at real scale
+    cells are corpus/K (K = 2^16-2^20 in production codebooks), so the
+    pair work is sum(cell²/2) per the SemDedup paper's own clustering
+    argument, never a global cross join; semi-join semantics stop at
+    the first witness, and output is O(corpus).  Reference parity:
+    this plays the role of Canal's row-image dedupe before apply
+    (`parse/.../LogEventConvert.java` suppressing no-op images) lifted
+    to semantic space."""
+    e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
+    cent_rows = _collect_cents(ivf_centroids(e))
+    asg = _assign_cell_cc_udf(cent_rows)
+    # persist the assigned frame: the self-join would otherwise run the
+    # scan + assignment kernel once per side, and Catalyst additionally
+    # pushes an inferred isnotnull(cell) below the exchange, re-running
+    # the Arrow UDF a second time per side (audited) — persisting makes
+    # it exactly ONE kernel pass; ownership passes to the caller via
+    # attach_cached_deps (release_cached_deps once consumed)
+    cells = (
+        e.select("vec_id", "v", "norm", asg("v").alias("_a"))
+        .select("vec_id", "v", "norm", F.col("_a.cell").alias("cell"),
+                F.col("_a.cc").alias("cc"))
+        .persist()
+    )
+    a = cells.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("norm").alias("an"), "cell", F.col("cc").alias("a_cc"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("norm").alias("bn"), F.col("cell").alias("b_cell"),
+        F.col("cc").alias("b_cc"),
+    )
+    better = (F.col("b_cc") < F.col("a_cc")) | (
+        (F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id"))
+    )
+    sim = F.round(
+        _cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 9
+    ) >= SEM_EPS
+    dropped = a.join(
+        b, (F.col("cell") == F.col("b_cell")) & better & sim, "left_semi"
+    )
+    return attach_cached_deps(
+        dropped.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("a_id").alias("vec_id"),
+            F.round("a_cc", 4).alias("c_cent"),
+        ),
+        [cells],
+    )
+
+
+SQL_SEMANTIC_DEDUP = _IVF_CTES + f""",
+m AS (SELECT c.vec_id, c.cell, c.cc, e.v
+      FROM cells c JOIN e ON e.vec_id = c.vec_id),
+dropped AS (
+  SELECT DISTINCT a.cell, a.vec_id, a.cc
+  FROM m a JOIN m b
+    ON a.cell = b.cell
+   AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+   AND round(list_cosine_similarity(a.v, b.v), 9) >= {SEM_EPS})
+SELECT CAST(cell AS BIGINT) AS cell, vec_id, round(cc, 4) AS c_cent
+FROM dropped
 """
 
 
@@ -485,6 +618,7 @@ FROM r WHERE rnk <= {OUTLIER_K}
 QUERIES = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
+    "semantic_dedup": q_semantic_dedup,
     "embed_near_dup": q_embed_near_dup,
     "label_outliers": q_label_outliers,
 }
@@ -492,6 +626,7 @@ QUERIES = {
 ORACLES = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "label_outliers": SQL_LABEL_OUTLIERS,
 }

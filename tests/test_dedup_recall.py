@@ -449,3 +449,62 @@ def test_decontaminate_spans_matches_python_reference(spark):
     ]
     assert injected_ids
     assert all(want[d][1] >= CONTAM_WORDS for d in injected_ids)
+
+
+def test_semantic_dedup_tournament_matches_numpy(spark):
+    """q_semantic_dedup's kept-set rule verified against an independent
+    numpy reference: given the module's own cell assignment (tested by
+    test_ivf_cells_are_true_argmax_and_recall_floor), a vector is
+    dropped iff its cell contains a better-ranked member (lower
+    centroid cosine, tie lower id — the paper's keep-furthest-from-
+    centroid policy) with 9-rounded cosine >= SEM_EPS.  Also pins the
+    invariant that each cell's best-ranked member survives."""
+    import numpy as np
+    import pandas as pd
+
+    from canal_spark.operators.common import load
+    from canal_spark.operators.similarity import (
+        SEM_EPS,
+        _assign_kernel,
+        _collect_cents,
+        _with_norm,
+        ivf_centroids,
+        q_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _with_norm(load(spark, sf, "embeddings"))
+    kernel = _assign_kernel(_collect_cents(ivf_centroids(e)))
+    rows = e.select("vec_id", "v").collect()
+    v = pd.Series([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    cells, cc = kernel(v)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.vstack(v.to_numpy())
+
+    expected = set()
+    for cell in np.unique(cells):
+        idx = np.where(cells == cell)[0]
+        Vc = V[idx]
+        nrm = np.sqrt((Vc * Vc).sum(axis=1))
+        denom = nrm[:, None] * nrm[None, :]
+        S = np.round(
+            np.divide(Vc @ Vc.T, denom, out=np.zeros_like(denom), where=denom > 0), 9
+        )
+        for ip, i in enumerate(idx):
+            for jp, j in enumerate(idx):
+                if i == j:
+                    continue
+                better = (cc[j] < cc[i]) or (cc[j] == cc[i] and ids[j] < ids[i])
+                if better and S[ip, jp] >= SEM_EPS:
+                    expected.add((int(cell), int(ids[i])))
+                    break
+
+    got = {(r["cell"], r["vec_id"]) for r in q_semantic_dedup(spark, sf).collect()}
+    assert got == expected
+    assert expected, "fixture must exercise the prune (else the test is vacuous)"
+
+    # survivor floor: the best-ranked member of every cell is kept
+    for cell in np.unique(cells):
+        idx = np.where(cells == cell)[0]
+        best = min(idx, key=lambda k: (cc[k], ids[k]))
+        assert (int(cell), int(ids[best])) not in got
