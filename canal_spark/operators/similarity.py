@@ -234,8 +234,14 @@ def _probe_cells_expr(cent_rows: list, nprobe: int):
 
 def _collect_cents(cents: DataFrame) -> list:
     """Codebook DataFrame -> driver list [(cent_id, cv, cn)] — O(IVF_K)
-    rows by construction, constant at any corpus size."""
-    return [(r["cent_id"], list(r["cv"]), r["cn"]) for r in cents.collect()]
+    rows by construction, constant at any corpus size.  Releases any
+    cached deps the builder attached (the persisted train sample) once
+    the codebook is on the driver."""
+    from canal_spark.operators.common import release_cached_deps
+
+    out = [(r["cent_id"], list(r["cv"]), r["cn"]) for r in cents.collect()]
+    release_cached_deps(cents)
+    return out
 
 
 def ivf_centroids(e: DataFrame) -> DataFrame:
@@ -263,10 +269,17 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     per-dimension means (K×64 cells — centroid-scale, not data-scale).
     Empty cells simply drop out of the codebook.
     """
+    # persist the TRAIN_N-row sample: the seed collect below and the
+    # caller's codebook collect would otherwise each re-run the
+    # corpus-scale TakeOrderedAndProject — with the cache the corpus is
+    # scanned ONCE per codebook train; the frame is TRAIN_N rows
+    # (constant), and _collect_cents releases it with the attached-deps
+    # contract once the codebook lands on the driver
     train = (
         e.select("vec_id", "v", "norm", _seed_hash().alias("_h"))
         .orderBy("_h", "vec_id")
         .limit(TRAIN_N)
+        .persist()
     )
     seed_rows = _collect_cents(
         train.limit(IVF_K).select(
@@ -292,7 +305,7 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("cv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    return cents.withColumn("cn", F.sqrt(dot))
+    return attach_cached_deps(cents.withColumn("cn", F.sqrt(dot)), [train])
 
 
 def ivf_cells(e: DataFrame, cents: DataFrame | None = None) -> DataFrame:
