@@ -567,6 +567,25 @@ def main() -> None:
          "ArrowEvalPython", "BatchEvalPython"],
     ))
 
+    # 28. SemDedup pruning: the assigned-cells frame is persisted so
+    # the Arrow assignment kernel runs ONCE (both self-join sides are
+    # InMemoryTableScan over the same relation — without the persist,
+    # Catalyst's pushed isnotnull(cell) filter re-ran the UDF twice per
+    # side); the duplicate probe is a cell-keyed LEFT SEMI join, never
+    # a product.
+    from canal_spark.operators.common import release_cached_deps
+    from canal_spark.operators.similarity import q_semantic_dedup
+
+    sem = q_semantic_dedup(spark, sf_dir)
+    p28 = plan_of(sem)
+    sections.append((
+        "SemDedup prune: one cached assignment pass, cell-keyed semi-join, no product",
+        p28,
+        ["InMemoryTableScan", "LeftSemi"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+    release_cached_deps(sem)
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
