@@ -53,6 +53,8 @@ from pyspark.sql.types import (
 from canal_spark.operators.similarity import (
     IVF_K,
     NPROBE,
+    SEM_EPS,
+    _assign_cell_cc_udf,
     _assign_cell_udf,
     _collect_cents,
     _cosine,
@@ -393,3 +395,166 @@ def ann_search(
             F.round("c9", 4).alias("cosine"),
         )
     )
+
+
+@dataclass
+class SemanticPruneResult:
+    """Outcome of one SemDedup pass over the embedding table."""
+
+    applied: bool
+    dry_run: bool = False
+    vecs_scored: int = 0
+    losers_removed: int = 0
+    snapshot_id: int | None = None
+    codebook_version: int = 0
+    wap: dict = field(default_factory=dict)
+    index_refresh: dict = field(default_factory=dict)
+    job_id: str = ""
+
+
+def semantic_prune_pass(
+    spark: SparkSession,
+    emb_table: Table,
+    index_table: Table,
+    eps: float = SEM_EPS,
+    emb_col: str = "embedding",
+    dry_run: bool = False,
+    wap: bool = False,
+    max_delete_fraction: float = 0.5,
+    job_id: str | None = None,
+) -> SemanticPruneResult:
+    """SemDedup as a MAINTENANCE VERB (the embedding-space sibling of
+    `dedup_index.corpus_dedup_pass`): under the index's FROZEN codebook,
+    drop every vector whose IVF cell holds a semantic duplicate
+    (9-rounded cosine >= ``eps``) ranking better by the
+    keep-furthest-from-centroid rule (cc ASC, vec_id ASC — the
+    `operators.similarity.q_semantic_dedup` tournament, so the pass and
+    the driver query can never disagree on who survives a given cell).
+    Losers apply as a DELETE changelog through the ordinary MERGE, then
+    their index rows drop via the incremental refresh.
+
+    Scale shape: like the SemDedup paper this is inherently a
+    full-corpus pass — ONE map-side Arrow kernel pass computes (cell,
+    cc) per vector (the frozen codebook makes recomputation exactly
+    equal to the maintained index rows, and one matmul beats a
+    corpus-scale index join just to avoid it), persisted once; the
+    duplicate probe is the cell-keyed LEFT SEMI self-join (cells are
+    corpus/K); the deletes flow through `merge_into`'s manifest-pruned
+    COW.  Safety contract shared with corpus self-dedup: the merge is
+    OUT-OF-BAND (`advance_checkpoint=False` — engine-generated deletes
+    never shadow an unapplied upstream event), ``wap=True`` stages and
+    audits with the runaway-delete bound ``max_delete_fraction``,
+    ``dry_run`` touches nothing, a crash between the delete merge and
+    the index refresh self-heals on re-run (stale index keys fold into
+    the refresh set), and a re-run finds no losers -> no-op idempotence.
+    """
+    from canal_spark.merge import merge_into
+
+    job_id = job_id or uuid.uuid4().hex[:12]
+    if CODEBOOK_PATH_PROP not in index_table.refresh().properties:
+        raise ValueError(
+            "semantic_prune_pass needs a trained codebook — run "
+            "refresh_ivf_index (full build) first"
+        )
+    cent_rows = load_codebook(spark, index_table)
+    version = int(index_table.properties.get(CODEBOOK_VERSION_PROP, "0"))
+
+    e = _emb_frame(emb_table, spark, emb_col)
+    asg = _assign_cell_cc_udf(cent_rows)
+    assigned = (
+        e.select("vec_id", "v", "norm", asg("v").alias("_a"))
+        .select(
+            "vec_id", "v", "norm",
+            F.col("_a.cell").alias("cell"), F.col("_a.cc").alias("cc"),
+        )
+        .persist()
+    )
+    losers = None
+    try:
+        n_vecs = assigned.count()
+        a = assigned.select(
+            F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+            F.col("norm").alias("an"), "cell", F.col("cc").alias("a_cc"),
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+            F.col("norm").alias("bn"), F.col("cell").alias("b_cell"),
+            F.col("cc").alias("b_cc"),
+        )
+        better = (F.col("b_cc") < F.col("a_cc")) | (
+            (F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id"))
+        )
+        sim = F.round(
+            _cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 9
+        ) >= eps
+        losers = (
+            a.join(b, (F.col("cell") == F.col("b_cell")) & better & sim,
+                   "left_semi")
+            .select(F.col("a_id").alias("vec_id"))
+            .persist()
+        )
+        n_losers = losers.count()
+        rep = SemanticPruneResult(
+            applied=False, dry_run=dry_run, vecs_scored=int(n_vecs),
+            losers_removed=int(n_losers), codebook_version=version,
+            job_id=job_id,
+        )
+        if dry_run:
+            return rep
+
+        # self-heal index drift first (keys in the index but gone from
+        # the table — e.g. a prior pass that crashed after its delete
+        # merge): fold them into the refresh set so the interrupted
+        # repair completes on re-run
+        stale = index_table.scan(spark).select("vec_id").distinct().join(
+            e.select("vec_id"), "vec_id", "left_anti"
+        )
+        refresh_keys = losers.unionByName(stale).distinct()
+
+        if n_losers > 0:
+            key_col = emb_table.key_cols[0]
+            schema = emb_table.spark_schema()
+            sel = [
+                F.lit(1).cast("long").alias("ordinal"),
+                F.lit("D").alias("op"),
+            ]
+            for fld in schema.fields:
+                if fld.name == key_col:
+                    sel.append(
+                        F.col("vec_id").cast(fld.dataType).alias(fld.name)
+                    )
+                else:
+                    sel.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            m = merge_into(
+                spark, emb_table, losers.select(*sel), job_id=job_id,
+                stage_only=wap, advance_checkpoint=False,
+            )
+            rep.applied = m.applied
+            rep.snapshot_id = m.snapshot_id
+            if wap and m.applied:
+                from canal_spark.maintenance import wap_finalize, wap_parent_rows
+
+                rep.wap = wap_finalize(
+                    spark, emb_table, m,
+                    parent_rows=wap_parent_rows(spark, emb_table),
+                    max_delete_fraction=max_delete_fraction,
+                )
+                if not rep.wap["published"]:
+                    rep.applied = False
+                    return rep
+        elif stale.isEmpty():
+            return rep  # nothing to remove, nothing to repair
+
+        r = refresh_ivf_index(
+            spark, emb_table, index_table, keys=refresh_keys,
+            emb_col=emb_col, job_id=job_id,
+        )
+        rep.index_refresh = {
+            "applied": r.applied, "vecs_changed": r.vecs_changed,
+            "files_rewritten": r.files_rewritten, "snapshot_id": r.snapshot_id,
+        }
+        return rep
+    finally:
+        if losers is not None:
+            losers.unpersist()
+        assigned.unpersist()

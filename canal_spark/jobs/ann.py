@@ -32,6 +32,20 @@ def main() -> None:
                    help="embedding column name in the data table")
     p.add_argument("--keep-snapshots", type=int, default=5,
                    help="index snapshots to retain after the refresh")
+    p.add_argument("--semantic-prune", action="store_true",
+                   help="SemDedup pass: drop semantic duplicates within "
+                        "IVF cells under the frozen codebook "
+                        "(keep-furthest-from-centroid), deletes via the "
+                        "ordinary MERGE + index refresh")
+    p.add_argument("--eps", type=float, default=None,
+                   help="semantic-prune cosine threshold (default SEM_EPS)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="semantic-prune: report would-be removals only")
+    p.add_argument("--wap", action="store_true",
+                   help="semantic-prune: stage + audit before publish")
+    p.add_argument("--max-delete-fraction", type=float, default=0.5,
+                   help="semantic-prune WAP audit: abort if the pass "
+                        "would delete more than this corpus fraction")
     args = p.parse_args()
 
     from canal_spark import load_table
@@ -44,6 +58,31 @@ def main() -> None:
         index = load_table(args.index)
     else:
         index = create_ivf_index(args.index)
+
+    if args.semantic_prune:
+        from canal_spark.ann_index import semantic_prune_pass
+        from canal_spark.operators.similarity import SEM_EPS
+
+        res = semantic_prune_pass(
+            spark, table, index,
+            eps=args.eps if args.eps is not None else SEM_EPS,
+            emb_col=args.emb_col, dry_run=args.dry_run, wap=args.wap,
+            max_delete_fraction=args.max_delete_fraction,
+            job_id=args.job_id,
+        )
+        if args.lineage and res.applied:
+            lineage = ensure_lineage(args.lineage)
+            record(
+                spark, lineage, res.job_id, "semantic_prune",
+                snapshot_id=res.snapshot_id,
+                metrics={
+                    "vecs_scored": res.vecs_scored,
+                    "losers_removed": res.losers_removed,
+                    "codebook_version": res.codebook_version,
+                },
+            )
+        emit({"job": "semantic_prune", **res.__dict__})
+        return
 
     keys = None
     if not args.full and args.changelog:

@@ -236,3 +236,109 @@ def test_run_pass_expires_ivf_index_snapshots(spark, emb_table):
         run_pass(spark, t, cl, ivf_index=idx, keep_snapshots=1,
                  do_cluster=False, do_compact=False)
     assert len(idx.refresh().snapshots) <= 2  # bounded, not one per batch
+
+
+def _near_dup(i: int, scale: float = 1.0, jitter: float = 1e-3) -> list[float]:
+    """A vector almost colinear with _vec(i): cosine ~0.999+."""
+    rng = np.random.default_rng(100_000 + i)
+    base = np.array(_vec(i), dtype=np.float64) * scale
+    return [float(x) for x in (base + jitter * rng.standard_normal(EMB_DIM))]
+
+
+def _prune_reference(spark, t, idx, eps):
+    """Independent numpy tournament: expected loser vec_ids under the
+    index's frozen codebook."""
+    import pandas as pd
+
+    from canal_spark.operators.similarity import _assign_kernel
+
+    kernel = _assign_kernel(load_codebook(spark, idx))
+    rows = t.scan(spark).select("vec_id", "embedding").collect()
+    v = pd.Series([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cells, cc = kernel(v)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.vstack(v.to_numpy())
+    losers = set()
+    for cell in np.unique(cells):
+        loc = np.where(cells == cell)[0]
+        Vc = V[loc]
+        nrm = np.sqrt((Vc * Vc).sum(axis=1))
+        den = nrm[:, None] * nrm[None, :]
+        S = np.round(np.divide(Vc @ Vc.T, den, out=np.zeros_like(den),
+                               where=den > 0), 9)
+        for ip, i in enumerate(loc):
+            for jp, j in enumerate(loc):
+                if i == j:
+                    continue
+                better = (cc[j] < cc[i]) or (cc[j] == cc[i] and ids[j] < ids[i])
+                if better and S[ip, jp] >= eps:
+                    losers.add(int(ids[i]))
+                    break
+    return losers
+
+
+def test_semantic_prune_pass_removes_cell_duplicates(spark, tmp_path):
+    """SemDedup maintenance verb end-to-end: planted near-duplicate
+    vectors are pruned (matching an independent numpy tournament under
+    the frozen codebook), survivors keep their rows, the index drops the
+    losers, and a re-run is a no-op."""
+    from canal_spark.ann_index import semantic_prune_pass
+
+    t = create_table(
+        str(tmp_path / "emb"), EMB_SCHEMA,
+        partition_by=["source"], properties={"key-cols": "vec_id"},
+    )
+    rows = _base_rows(120) + [
+        (1000 + i, _near_dup(i), f"s{i % 3}") for i in range(10)
+    ]
+    append(spark, t, spark.createDataFrame(rows, EMB_SCHEMA).repartition(6))
+    idx = create_ivf_index(str(tmp_path / "ivf"))
+    refresh_ivf_index(spark, t, idx)
+
+    expected = _prune_reference(spark, t, idx, eps=0.9)
+    assert expected, "fixture must contain semantic duplicates"
+
+    # dry run: reports, touches nothing
+    dr = semantic_prune_pass(spark, t, idx, eps=0.9, dry_run=True)
+    assert dr.dry_run and not dr.applied
+    assert dr.losers_removed == len(expected)
+    assert t.refresh().scan(spark).count() == len(rows)
+
+    res = semantic_prune_pass(spark, t, idx, eps=0.9)
+    assert res.applied and res.losers_removed == len(expected)
+    live = {r["vec_id"] for r in t.refresh().scan(spark).select("vec_id").collect()}
+    assert live == {r[0] for r in rows} - expected
+    # index followed: losers gone, survivors unchanged under the frozen codebook
+    assert res.index_refresh["applied"]
+    assert set(_index_dict(spark, idx.refresh())) == live
+    assert _index_dict(spark, idx) == _expected_cells(spark, t, idx)
+
+    # idempotent: the pruned corpus has no remaining duplicates to drop
+    again = semantic_prune_pass(spark, t, idx, eps=0.9)
+    assert again.losers_removed == 0 and not again.applied
+
+
+def test_semantic_prune_wap_bound_aborts_runaway(spark, emb_table):
+    """eps=-1 makes every non-best cell member a 'duplicate' — the WAP
+    delete-fraction audit must abort the publish and leave the table
+    and index untouched."""
+    from canal_spark.ann_index import semantic_prune_pass
+
+    t, idx, rows = emb_table
+    refresh_ivf_index(spark, t, idx)
+    idx_before = _index_dict(spark, idx)
+
+    res = semantic_prune_pass(spark, t, idx, eps=-1.0, wap=True,
+                              max_delete_fraction=0.5)
+    assert res.losers_removed > len(rows) * 0.5
+    assert not res.applied and res.wap and not res.wap["published"]
+    assert t.refresh().scan(spark).count() == len(rows)
+    assert _index_dict(spark, idx.refresh()) == idx_before
+
+
+def test_semantic_prune_requires_codebook(spark, emb_table):
+    from canal_spark.ann_index import semantic_prune_pass
+
+    t, idx, _ = emb_table  # index never built
+    with pytest.raises(ValueError, match="codebook"):
+        semantic_prune_pass(spark, t, idx)

@@ -316,6 +316,28 @@ def test_ann_index_cli_full_then_incremental(tmp_path):
     ids = {r["vec_id"] for r in idx.scan(spark).collect()}
     assert 3 not in ids and 999 in ids and len(ids) == 200
 
+    # semantic prune through the same CLI: plant a near-duplicate of
+    # vec 0 and prune at a high threshold — exactly one loser, the
+    # table and index both shrink by one, lineage records the pass
+    dup = [x + 1e-3 for x in vec(0)]
+    merge_into(spark, t, spark.createDataFrame(
+        [(3, "I", 777, dup, "s0")], cl_schema))
+    run_job("canal_spark.jobs.ann", root, "--index", idx_root,
+            "--changelog", cl_dir)  # keep index in sync pre-prune
+    cl2_dir = str(tmp_path / "cl2")
+    spark.createDataFrame([(777,)], "vec_id long").write.parquet(cl2_dir)
+    run_job("canal_spark.jobs.ann", root, "--index", idx_root,
+            "--changelog", cl2_dir)
+    rep3 = run_job("canal_spark.jobs.ann", root, "--index", idx_root,
+                   "--semantic-prune", "--eps", "0.9",
+                   "--lineage", str(tmp_path / "lineage"))
+    assert rep3["job"] == "semantic_prune" and rep3["applied"]
+    assert rep3["losers_removed"] == 1
+    t2 = load_table(root)
+    live = {r["vec_id"] for r in t2.scan(spark).select("vec_id").collect()}
+    assert len(live) == 200 and (777 not in live) != (0 not in live)
+    assert {r["vec_id"] for r in load_table(idx_root).scan(spark).collect()} == live
+
 
 def test_apply_changelog_cli_mor_mode(tmp_path):
     """--merge-mode mor through the CLI: the batch commits as
