@@ -341,11 +341,122 @@ GROUP BY h.source, thr.threshold_milli, thr.n_docs
 """
 
 
+# --- DSIR-style hashed n-gram importance weights ------------------------------
+
+DSIR_B = 4096  # hashed feature buckets (the paper uses 10k; B is a constant)
+DSIR_TGT_MOD = 97  # doc_id % 97 == 0 -> target-domain docs (contamination rule)
+PPM_SCALE = 1_000_000
+
+
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al. 2023,
+    arXiv:2302.03169): score every RAW-pool document by how much its
+    hashed n-gram feature distribution looks like the target domain
+    (here the `doc_id % 97 == 0` held-out set — the same stand-in the
+    contamination check uses).  Features are unigrams + word bigrams
+    hashed into DSIR_B buckets by the shared cross-engine md5;
+    per-bucket importance is the add-1-smoothed target/raw count ratio.
+
+    Deviation from the paper, documented: DSIR resamples by the
+    log-product of per-feature ratios; this module's exact-math
+    convention (see `q_bigram_lm_score`) replaces float logs with the
+    count-weighted MEAN per-occurrence importance ratio in ppm —
+    integer DIV on integer counts end to end, so the weight is
+    bit-identical across engines and order-independent at any
+    parallelism (a float log-sum is neither).  The global total-count
+    normalizer folds into one integer scalar (ppm_g); at extreme corpus
+    scale keep (tgt_c+1)*ppm_g inside int64 by raising the ppm scale
+    into the per-doc divide (counts are per-BUCKET, B is constant).
+
+    Scale shape: gram explode pre-aggregates to (doc, bucket) counts
+    map-side and persists (the dictionary and the probe both consume
+    it); the feature dictionary is B-bounded (constant), broadcast into
+    the probe join; the only corpus-scale shuffles are the two
+    doc-keyed partial aggs.  No window, no Python."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    ws = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % DSIR_TGT_MOD == 0).alias("is_tgt"),
+        F.explode(
+            F.concat(
+                ws,
+                F.when(
+                    F.size(ws) >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 2), "
+                        "i -> concat(split(text, ' ')[i], ' ', "
+                        "split(text, ' ')[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    )
+    dfc = (
+        grams.select("doc_id", "is_tgt", (md5int(F.col("g")) % DSIR_B).alias("b"))
+        .groupBy("doc_id", "is_tgt", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # released by the caller via release_cached_deps
+    )
+    dic = dfc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(0)).cast("long").alias("tc"),
+        F.sum(F.when(~F.col("is_tgt"), F.col("c")).otherwise(0)).cast("long").alias("sc"),
+    )
+    tot = dic.agg(
+        F.expr(
+            f"CAST({PPM_SCALE} * (sum(sc) + {DSIR_B}) "
+            f"DIV (sum(tc) + {DSIR_B}) AS BIGINT)"
+        ).alias("ppm_g")
+    )
+    rdic = dic.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr("(tc + 1) * ppm_g DIV (sc + 1)").alias("r_ppm")
+    )
+    probe = dfc.where(~F.col("is_tgt")).join(F.broadcast(rdic), "b")
+    out = probe.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.expr("CAST(sum(c * r_ppm) DIV sum(c) AS BIGINT)").alias("dsir_ppm"),
+    )
+    return attach_cached_deps(out, [dfc])
+
+
+_DUCK_GB = duck_md5int("g") + f" % {DSIR_B}"
+
+SQL_DSIR_WEIGHT = f"""
+WITH w AS (SELECT doc_id, doc_id % {DSIR_TGT_MOD} = 0 AS is_tgt,
+                  string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, is_tgt, u.g FROM w, UNNEST(ws) AS u(g)
+  UNION ALL
+  SELECT doc_id, is_tgt,
+         ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS g
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2),
+dfc AS (SELECT doc_id, is_tgt, {_DUCK_GB} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, is_tgt, b),
+dic AS (SELECT b,
+               CAST(sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS tc,
+               CAST(sum(CASE WHEN NOT is_tgt THEN c ELSE 0 END) AS BIGINT) AS sc
+        FROM dfc GROUP BY b),
+tot AS (SELECT CAST({PPM_SCALE} * (sum(sc) + {DSIR_B})
+               // (sum(tc) + {DSIR_B}) AS BIGINT) AS ppm_g FROM dic),
+rdic AS (SELECT b, CAST((tc + 1) * ppm_g // (sc + 1) AS BIGINT) AS r_ppm
+         FROM dic, tot)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_grams,
+       CAST(sum(d.c * r.r_ppm) // sum(d.c) AS BIGINT) AS dsir_ppm
+FROM dfc d JOIN rdic r USING (b)
+WHERE NOT d.is_tgt
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "train_split": q_train_split,
     "mixture_plan": q_mixture_plan,
     "doc_chunk": q_doc_chunk,
     "quality_cut": q_quality_cut,
+    "dsir_weight": q_dsir_weight,
 }
 
 ORACLES = {
@@ -353,4 +464,5 @@ ORACLES = {
     "mixture_plan": SQL_MIXTURE_PLAN,
     "doc_chunk": SQL_DOC_CHUNK,
     "quality_cut": SQL_QUALITY_CUT,
+    "dsir_weight": SQL_DSIR_WEIGHT,
 }

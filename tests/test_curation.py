@@ -112,3 +112,38 @@ def test_quality_cut_keeps_at_least_pct_and_is_tie_minimal(spark):
         assert row["n_kept"] == len(kept) >= need  # quota met
         # minimal: excluding the threshold bucket would miss the quota
         assert len([q for q in qs if q > t]) < need
+
+
+def test_dsir_weight_ranks_target_like_docs_higher(spark, tmp_path):
+    """Planted fixture: docs sharing the target domain's vocabulary must
+    out-score docs with disjoint vocabulary, and the weight must be
+    deterministic across re-runs (exact integer math)."""
+    from canal_spark.operators.curation import DSIR_TGT_MOD, q_dsir_weight
+
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    like_text = "alpha beta gamma delta epsilon"
+    far_text = "zork quux blarg wibble frotz"
+    rows = []
+    # target docs: ids divisible by DSIR_TGT_MOD
+    for k in range(1, 4):
+        rows.append((k * DSIR_TGT_MOD, tgt_text, "s0"))
+    # raw pool: 5 target-like, 5 far
+    for i in range(5):
+        rows.append((1 + i, like_text, "s1"))
+        rows.append((10 + i, far_text, "s2"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    q1 = q_dsir_weight(spark, sf)
+    out = {r["doc_id"]: r["dsir_ppm"] for r in q1.collect()}
+    release_cached_deps(q1)
+    assert set(out) == {1, 2, 3, 4, 5, 10, 11, 12, 13, 14}
+    like = [out[i] for i in range(1, 6)]
+    far = [out[i] for i in range(10, 15)]
+    assert min(like) > max(far), (like, far)
+    # determinism: identical weights on a re-run
+    q2 = q_dsir_weight(spark, sf)
+    out2 = {r["doc_id"]: r["dsir_ppm"] for r in q2.collect()}
+    release_cached_deps(q2)
+    assert out == out2

@@ -586,6 +586,23 @@ def main() -> None:
     ))
     release_cached_deps(sem)
 
+    # 29. DSIR weights: the gram explode pre-aggregates to (doc,
+    # bucket) counts once (persisted); the B-bounded feature dictionary
+    # broadcasts into the probe join — corpus-scale work is the two
+    # doc-keyed partial aggs, no window, no Python, no product.
+    from canal_spark.operators.curation import q_dsir_weight
+
+    dsir = q_dsir_weight(spark, sf_dir)
+    p29 = plan_of(dsir)
+    sections.append((
+        "DSIR weights: one gram agg, broadcast B-bounded dictionary, no window",
+        p29,
+        ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+    release_cached_deps(dsir)
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
