@@ -218,5 +218,28 @@ def check_table(
                            "delete_branch"}
             )
 
+    # pinned artifacts outside the manifests: an IVF index whose
+    # codebook parquet is missing or unreadable fails every
+    # ann_search/semantic_prune with an obscure read error — surface it
+    # as a table-health violation here instead (artifact GC races,
+    # partial copies)
+    cb = table.properties.get("ivf-codebook-path")
+    if cb:
+        p = os.path.join(table.root, cb)
+        if not os.path.exists(p):
+            violations.append(
+                {"file": cb, "kind": "codebook-missing", "detail": p}
+            )
+        else:
+            try:
+                from canal_spark.ann_index import CODEBOOK_SCHEMA
+
+                spark.read.schema(CODEBOOK_SCHEMA).parquet(p).limit(1).collect()
+            except Exception as ex:  # unreadable/partial artifact
+                violations.append(
+                    {"file": cb, "kind": "codebook-unreadable",
+                     "detail": str(ex)[:200]}
+                )
+
     return {"ok": not violations, "files": len(entries),
             "violations": violations, "warnings": warnings}

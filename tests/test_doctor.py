@@ -222,3 +222,61 @@ def test_doctor_dangling_pos_delete_is_warning_not_violation(spark, tmp_table_ro
     rep = check_table(spark, load_table(t.root))
     assert not rep["ok"]
     assert any(v["kind"] == "pos-delete-schema" for v in rep["violations"])
+
+
+def test_doctor_flags_missing_or_corrupt_codebook(spark, tmp_path):
+    """An IVF index whose pinned codebook artifact vanished (GC race,
+    partial copy) is a table-health violation, not an obscure read
+    error at the next ann_search."""
+    import shutil
+
+    import numpy as np
+
+    from canal_spark import create_table, load_table
+    from canal_spark.ann_index import (
+        CODEBOOK_PATH_PROP,
+        create_ivf_index,
+        refresh_ivf_index,
+    )
+    from canal_spark.doctor import check_table
+    from canal_spark.operators.similarity import EMB_DIM
+    from canal_spark.table.writer import append
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+        StructField("source", StringType(), True),
+    ])
+    t = create_table(str(tmp_path / "emb"), schema, partition_by=["source"],
+                     properties={"key-cols": "vec_id"})
+    rows = [
+        (i,
+         [float(x) for x in
+          np.random.default_rng(i).standard_normal(EMB_DIM).astype("float32")],
+         f"s{i % 2}")
+        for i in range(64)
+    ]
+    append(spark, t, spark.createDataFrame(rows, schema).repartition(2))
+    idx = create_ivf_index(str(tmp_path / "ivf"))
+    refresh_ivf_index(spark, t, idx)
+
+    assert check_table(spark, idx.refresh())["ok"]
+
+    # corrupt: truncate the pinned artifact's parquet part file
+    import os
+    rel = idx.properties[CODEBOOK_PATH_PROP]
+    cb_dir = os.path.join(idx.root, rel)
+    part = next(p for p in os.listdir(cb_dir) if p.endswith(".parquet"))
+    with open(os.path.join(cb_dir, part), "wb") as f:
+        f.write(b"not a parquet file")
+    rep = check_table(spark, load_table(idx.root))
+    assert not rep["ok"]
+    assert any(v["kind"] == "codebook-unreadable" for v in rep["violations"])
+
+    # missing: remove the artifact dir entirely
+    shutil.rmtree(cb_dir)
+    rep2 = check_table(spark, load_table(idx.root))
+    assert any(v["kind"] == "codebook-missing" for v in rep2["violations"])
