@@ -104,8 +104,10 @@ _TOP_KEYS = {
 } | set(_PASS_KNOBS) | set(_STREAM_KNOBS)
 
 # keys meaningless for the other mode — configuring them is a spec bug
+# (band_index / ivf_index are valid in BOTH modes: run_pass refreshes
+# them per round, stream mode per micro-batch)
 _BATCH_ONLY = (set(_PASS_KNOBS) - set(_STREAM_KNOBS)) | {
-    "band_index", "ivf_index", "lineage", "target_mb",
+    "lineage", "target_mb",
 }
 _STREAM_ONLY = (set(_STREAM_KNOBS) - set(_PASS_KNOBS)) | {"checkpoint"}
 
@@ -403,6 +405,15 @@ def start_instance_stream(spark: SparkSession, spec: InstanceSpec):
     from canal_spark import load_table
     from canal_spark.streaming.apply import stream_apply
 
+    band_index = None
+    if spec.band_index:
+        from canal_spark.dedup_index import create_band_index
+
+        if os.path.exists(os.path.join(spec.band_index, "metadata")):
+            band_index = load_table(spec.band_index)
+        else:
+            band_index = create_band_index(spec.band_index)
+
     return stream_apply(
         spark,
         load_table(spec.table),
@@ -411,6 +422,8 @@ def start_instance_stream(spark: SparkSession, spec: InstanceSpec):
         transform=(lambda df: _source_filter(df, spec))
         if (spec.filter_regex or spec.filter_black_regex) else None,
         return_query=True,
+        band_index=band_index,
+        ivf_index=load_table(spec.ivf_index) if spec.ivf_index else None,
         **spec.stream_kwargs(),
     )
 

@@ -62,6 +62,13 @@ def main() -> None:
     p.add_argument("--quarantine", default=None,
                    help="with --wap: dead-letter dir for batches that "
                         "fail the audit")
+    p.add_argument("--band-index", default=None,
+                   help="MinHash band-index table root — kept in sync "
+                        "per micro-batch (created if absent)")
+    p.add_argument("--ivf-index", default=None,
+                   help="IVF ANN-index table root — kept in sync per "
+                        "micro-batch (first batch on an empty index "
+                        "trains the codebook)")
     p.add_argument("--kafka-bootstrap", default=None,
                    help="Kafka bootstrap servers (switches to the Kafka "
                         "FlatMessage reader)")
@@ -86,6 +93,16 @@ def main() -> None:
 
     spark = session(args, "canal-stream")
     table = load_table(args.table)
+    band_index = None
+    if args.band_index:
+        import os as _os
+
+        from canal_spark.dedup_index import create_band_index
+
+        if _os.path.exists(_os.path.join(args.band_index, "metadata")):
+            band_index = load_table(args.band_index)
+        else:
+            band_index = create_band_index(args.band_index)
     res = stream_apply(
         spark, table,
         changelog_dir=args.changelog,
@@ -103,10 +120,13 @@ def main() -> None:
         wap=args.wap,
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         quarantine_dir=args.quarantine,
+        band_index=band_index,
+        ivf_index=load_table(args.ivf_index) if args.ivf_index else None,
     )
     emit({"job": "stream", "batches_seen": res.batches_seen,
           "batches_applied": res.batches_applied, "merges": res.merges,
-          "quarantined": res.quarantined})
+          "quarantined": res.quarantined,
+          "index_refreshes": res.index_refreshes})
     if res.quarantined:
         raise SystemExit(3)
 

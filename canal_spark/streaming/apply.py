@@ -226,6 +226,9 @@ class StreamApplyResult:
     # WAP mode: micro-batches whose staged merge failed the audit and
     # was aborted — {epoch, checks}; their ordinals stay above the hwm
     quarantined: list = field(default_factory=list)
+    # per-micro-batch derived-store syncs (band/IVF index): {epoch,
+    # kind, applied, files_rewritten}
+    index_refreshes: list = field(default_factory=list)
 
 
 @dataclass
@@ -268,6 +271,8 @@ def stream_apply(
     quarantine_dir: str | None = None,
     transform=None,
     return_query: bool = False,
+    band_index: "Table | None" = None,
+    ivf_index: "Table | None" = None,
 ) -> StreamApplyResult | StreamApplyHandle:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
@@ -305,7 +310,19 @@ def stream_apply(
     source white/black filters.  ``return_query=True`` starts the
     continuous query and returns a :class:`StreamApplyHandle`
     immediately instead of blocking — the multi-instance supervisor's
-    mode (its caller owns stop/health)."""
+    mode (its caller owns stop/health).
+
+    ``band_index`` / ``ivf_index`` (optional) keep the derived stores
+    in sync PER MICRO-BATCH: after each applied merge the batch's
+    changed keys refresh the MinHash band index / IVF cell index
+    through the same manifest-pruned incremental path the batch pass
+    uses — the always-on shape of the reference's adapter sync
+    (ESSyncService syncs the derived view per consumed batch, not per
+    maintenance window).  Work per trigger is O(batch + overlapping
+    index files); a crash between merge and refresh self-heals: the
+    epoch replays to a merge no-op and the refresh re-runs with the
+    same keys (idempotent), and the next corpus_dedup/semantic_prune
+    pass folds any residual drift."""
     result = StreamApplyResult()
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -371,6 +388,36 @@ def stream_apply(
                 {"epoch": epoch_id, "hwm": m.high_water_mark,
                  "snapshot_id": m.snapshot_id, "rows_upserted": m.rows_upserted}
             )
+        if band_index is not None or ivf_index is not None:
+            # sync even on a no-op merge: a replayed epoch whose merge
+            # no-ops may still be repairing a crash that landed between
+            # last epoch's merge and its index refresh
+            keys = batch_df.select(t.key_cols[0]).distinct()
+            if band_index is not None:
+                from canal_spark.dedup_index import refresh_band_index
+
+                # refresh(): the handle is stale after the PREVIOUS
+                # epoch's index commit — planning the rewrite from old
+                # metadata drops rows
+                rb = refresh_band_index(
+                    spark, t, band_index.refresh(), keys=keys
+                )
+                result.index_refreshes.append(
+                    {"epoch": epoch_id, "kind": "band",
+                     "applied": rb.applied,
+                     "files_rewritten": rb.files_rewritten}
+                )
+            if ivf_index is not None:
+                from canal_spark.ann_index import refresh_ivf_index
+
+                rv = refresh_ivf_index(
+                    spark, t, ivf_index.refresh(), keys=keys
+                )
+                result.index_refreshes.append(
+                    {"epoch": epoch_id, "kind": "ivf",
+                     "applied": rv.applied,
+                     "files_rewritten": rv.files_rewritten}
+                )
 
     stream = stream_changelog_reader(
         spark, changelog_dir, max_files_per_trigger,

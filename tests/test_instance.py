@@ -247,6 +247,13 @@ def test_stream_spec_validation(tmp_path):
     s = load_instance(str(tmp_path), "s5")
     assert s.mode == "stream"
     assert s.stream_kwargs() == {"merge_mode": "mor", "max_files_per_trigger": 2}
+    # derived-store roots are valid in BOTH modes (per-round vs
+    # per-micro-batch sync); they ride the spec, not stream_kwargs
+    _write_spec(tmp_path, "s6", table="/x", mode="stream", changelog="/c",
+                checkpoint="/k", band_index="/b", ivf_index="/v")
+    s6 = load_instance(str(tmp_path), "s6")
+    assert s6.band_index == "/b" and s6.ivf_index == "/v"
+    assert "band_index" not in s6.stream_kwargs()
 
 
 def _wait_until(fn, timeout=120.0, interval=0.5):

@@ -244,3 +244,53 @@ def test_stream_apply_wap_quarantines_corrupt_batch(spark, token_table, tmp_path
     table = table.refresh()
     assert res2.batches_applied == 1 and not res2.quarantined
     assert scan_dict(spark, table) == oracle_dict(base, good + fixed)
+
+
+def test_stream_apply_syncs_band_index_per_batch(spark, token_table, tmp_path):
+    """stream_apply(band_index=...) keeps the derived store in sync per
+    micro-batch: after draining, the index holds band rows for exactly
+    the live shingle-able docs (deleted keys fell out, inserts/updates
+    are in; docs under SHINGLE_K tokens are absent by design),
+    identical to a from-scratch rebuild of the final table state."""
+    from canal_spark.changelog import synth_changelog_rows
+    from canal_spark.dedup_index import (
+        SHINGLE_K,
+        create_band_index,
+        refresh_band_index,
+    )
+    from canal_spark.streaming import stream_apply
+
+    table, base = token_table
+    index = create_band_index(str(tmp_path / "bands"))
+    refresh_band_index(spark, table, index)  # initial full build
+
+    cl_dir = str(tmp_path / "changelog")
+    rows1 = synth_changelog_rows(base, 200, seed=5, start_ordinal=1)
+    rows2 = synth_changelog_rows(base, 200, seed=6, start_ordinal=1001)
+    _write_slice(spark, rows1, cl_dir)
+    _write_slice(spark, rows2, cl_dir)
+
+    res = stream_apply(
+        spark, table, cl_dir, str(tmp_path / "ck"),
+        max_files_per_trigger=1, band_index=index,
+    )
+    assert res.batches_applied >= 1
+    assert any(r["kind"] == "band" and r["applied"]
+               for r in res.index_refreshes)
+
+    table = table.refresh()
+    live = {r["doc_id"] for r in
+            table.scan(spark)
+            .where(f"size(tokens) >= {SHINGLE_K}")
+            .select("doc_id").collect()}
+    got = {r["doc_id"] for r in
+           index.refresh().scan(spark).select("doc_id").distinct().collect()}
+    assert got == live
+
+    # equivalence with a from-scratch rebuild on the final state
+    rebuilt = create_band_index(str(tmp_path / "bands2"))
+    refresh_band_index(spark, table, rebuilt)
+    def band_set(ix):
+        return {(r["doc_id"], r["band"], r["bucket"])
+                for r in ix.refresh().scan(spark).collect()}
+    assert band_set(index) == band_set(rebuilt)
