@@ -60,6 +60,7 @@ from canal_spark.operators.similarity import (
     _cosine,
     _probe_cells_expr,
     ivf_centroids,
+    semantic_losers,
 )
 from canal_spark.table.format import Table, create_table
 from canal_spark.table.writer import write_datafiles
@@ -86,6 +87,17 @@ CODEBOOK_VERSION_PROP = "ivf-codebook-version"
 def create_ivf_index(root: str) -> Table:
     """An empty IVF index table (keyed by vec_id for manifest pruning)."""
     return create_table(root, IVF_INDEX_SCHEMA, properties={"key-cols": "vec_id"})
+
+
+def load_or_create_ivf_index(root: str) -> Table:
+    """Load an existing IVF index or create an empty one (the first
+    refresh on an empty index full-trains the codebook) — the shared
+    bootstrap for every entry point that takes an index ROOT."""
+    from canal_spark.table.format import load_table
+
+    if os.path.exists(os.path.join(root, "metadata")):
+        return load_table(root)
+    return create_ivf_index(root)
 
 
 def expire_codebooks(index_table: Table) -> list[str]:
@@ -472,24 +484,8 @@ def semantic_prune_pass(
     losers = None
     try:
         n_vecs = assigned.count()
-        a = assigned.select(
-            F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
-            F.col("norm").alias("an"), "cell", F.col("cc").alias("a_cc"),
-        )
-        b = assigned.select(
-            F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
-            F.col("norm").alias("bn"), F.col("cell").alias("b_cell"),
-            F.col("cc").alias("b_cc"),
-        )
-        better = (F.col("b_cc") < F.col("a_cc")) | (
-            (F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id"))
-        )
-        sim = F.round(
-            _cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 9
-        ) >= eps
         losers = (
-            a.join(b, (F.col("cell") == F.col("b_cell")) & better & sim,
-                   "left_semi")
+            semantic_losers(assigned, eps)
             .select(F.col("a_id").alias("vec_id"))
             .persist()
         )

@@ -89,6 +89,19 @@ def token_band_frame(df: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("band").cast("int"), "bucket")
 
 
+def load_or_create_band_index(root: str) -> Table:
+    """Load an existing band index or create an empty one — the shared
+    bootstrap for every entry point that takes an index ROOT (run_pass,
+    jobs/stream, instance specs)."""
+    import os
+
+    from canal_spark.table.format import load_table
+
+    if os.path.exists(os.path.join(root, "metadata")):
+        return load_table(root)
+    return create_band_index(root)
+
+
 def create_band_index(root: str) -> Table:
     """An empty band-index table (keyed by doc_id for manifest pruning)."""
     return create_table(

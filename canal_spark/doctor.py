@@ -223,7 +223,9 @@ def check_table(
     # ann_search/semantic_prune with an obscure read error — surface it
     # as a table-health violation here instead (artifact GC races,
     # partial copies)
-    cb = table.properties.get("ivf-codebook-path")
+    from canal_spark.ann_index import CODEBOOK_PATH_PROP, CODEBOOK_SCHEMA
+
+    cb = table.properties.get(CODEBOOK_PATH_PROP)
     if cb:
         p = os.path.join(table.root, cb)
         if not os.path.exists(p):
@@ -232,14 +234,21 @@ def check_table(
             )
         else:
             try:
-                from canal_spark.ann_index import CODEBOOK_SCHEMA
-
-                spark.read.schema(CODEBOOK_SCHEMA).parquet(p).limit(1).collect()
+                rows = spark.read.schema(CODEBOOK_SCHEMA).parquet(p).limit(1).collect()
             except Exception as ex:  # unreadable/partial artifact
                 violations.append(
                     {"file": cb, "kind": "codebook-unreadable",
                      "detail": str(ex)[:200]}
                 )
+            else:
+                if not rows:
+                    # dir survives but the part files are gone (GC race,
+                    # partial copy): an explicit schema makes the empty
+                    # read succeed, so zero rows IS the violation
+                    violations.append(
+                        {"file": cb, "kind": "codebook-unreadable",
+                         "detail": "artifact directory reads zero rows"}
+                    )
 
     return {"ok": not violations, "files": len(entries),
             "violations": violations, "warnings": warnings}

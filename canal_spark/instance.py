@@ -311,7 +311,7 @@ def run_instance_pass(
     with the DESTINATION name, not the table path — matching the
     reference's per-instance exposition labels)."""
     from canal_spark import load_table
-    from canal_spark.dedup_index import create_band_index
+    from canal_spark.dedup_index import load_or_create_band_index
     from canal_spark.maintenance import prometheus_metrics, run_pass
 
     if spec.mode != "batch":
@@ -320,12 +320,9 @@ def run_instance_pass(
             "supervised by StreamFleet, not the batch round"
         )
     table = load_table(spec.table)
-    band_index = None
-    if spec.band_index:
-        if os.path.exists(os.path.join(spec.band_index, "metadata")):
-            band_index = load_table(spec.band_index)
-        else:
-            band_index = create_band_index(spec.band_index)
+    band_index = (
+        load_or_create_band_index(spec.band_index) if spec.band_index else None
+    )
     rep = run_pass(
         spark,
         table,
@@ -403,16 +400,9 @@ def start_instance_stream(spark: SparkSession, spec: InstanceSpec):
     always-on pipeline there; batch mode is our maintenance-round
     specialization)."""
     from canal_spark import load_table
+    from canal_spark.ann_index import load_or_create_ivf_index
+    from canal_spark.dedup_index import load_or_create_band_index
     from canal_spark.streaming.apply import stream_apply
-
-    band_index = None
-    if spec.band_index:
-        from canal_spark.dedup_index import create_band_index
-
-        if os.path.exists(os.path.join(spec.band_index, "metadata")):
-            band_index = load_table(spec.band_index)
-        else:
-            band_index = create_band_index(spec.band_index)
 
     return stream_apply(
         spark,
@@ -422,8 +412,14 @@ def start_instance_stream(spark: SparkSession, spec: InstanceSpec):
         transform=(lambda df: _source_filter(df, spec))
         if (spec.filter_regex or spec.filter_black_regex) else None,
         return_query=True,
-        band_index=band_index,
-        ivf_index=load_table(spec.ivf_index) if spec.ivf_index else None,
+        band_index=(
+            load_or_create_band_index(spec.band_index)
+            if spec.band_index else None
+        ),
+        ivf_index=(
+            load_or_create_ivf_index(spec.ivf_index)
+            if spec.ivf_index else None
+        ),
         **spec.stream_kwargs(),
     )
 

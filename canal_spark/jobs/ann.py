@@ -16,8 +16,6 @@ derived-store sync instance; see canal_spark/ann_index).
 
 from __future__ import annotations
 
-import os
-
 from canal_spark.jobs.common import base_parser, emit, session
 
 
@@ -49,15 +47,12 @@ def main() -> None:
     args = p.parse_args()
 
     from canal_spark import load_table
-    from canal_spark.ann_index import create_ivf_index, refresh_ivf_index
+    from canal_spark.ann_index import load_or_create_ivf_index, refresh_ivf_index
     from canal_spark.checkpoint import ensure_lineage, record
 
     spark = session(args, "canal-ann-index")
     table = load_table(args.table)
-    if os.path.exists(os.path.join(args.index, "metadata")):
-        index = load_table(args.index)
-    else:
-        index = create_ivf_index(args.index)
+    index = load_or_create_ivf_index(args.index)
 
     if args.semantic_prune:
         from canal_spark.ann_index import semantic_prune_pass
@@ -81,7 +76,10 @@ def main() -> None:
                     "codebook_version": res.codebook_version,
                 },
             )
-        emit({"job": "semantic_prune", **res.__dict__})
+        # the prune's incremental refresh commits an index snapshot too —
+        # same retention policy as the refresh path
+        expire = index.expire_snapshots(keep_last=args.keep_snapshots)
+        emit({"job": "semantic_prune", "expire": expire, **res.__dict__})
         return
 
     keys = None

@@ -67,8 +67,10 @@ def main() -> None:
                         "per micro-batch (created if absent)")
     p.add_argument("--ivf-index", default=None,
                    help="IVF ANN-index table root — kept in sync per "
-                        "micro-batch (first batch on an empty index "
-                        "trains the codebook)")
+                        "micro-batch (created if absent; the first "
+                        "batch on an empty index trains the codebook)")
+    p.add_argument("--emb-col", default="embedding",
+                   help="embedding column name (with --ivf-index)")
     p.add_argument("--kafka-bootstrap", default=None,
                    help="Kafka bootstrap servers (switches to the Kafka "
                         "FlatMessage reader)")
@@ -93,16 +95,15 @@ def main() -> None:
 
     spark = session(args, "canal-stream")
     table = load_table(args.table)
-    band_index = None
-    if args.band_index:
-        import os as _os
+    from canal_spark.ann_index import load_or_create_ivf_index
+    from canal_spark.dedup_index import load_or_create_band_index
 
-        from canal_spark.dedup_index import create_band_index
-
-        if _os.path.exists(_os.path.join(args.band_index, "metadata")):
-            band_index = load_table(args.band_index)
-        else:
-            band_index = create_band_index(args.band_index)
+    band_index = (
+        load_or_create_band_index(args.band_index) if args.band_index else None
+    )
+    ivf_index = (
+        load_or_create_ivf_index(args.ivf_index) if args.ivf_index else None
+    )
     res = stream_apply(
         spark, table,
         changelog_dir=args.changelog,
@@ -121,7 +122,8 @@ def main() -> None:
         wap_max_delete_fraction=args.wap_max_delete_fraction,
         quarantine_dir=args.quarantine,
         band_index=band_index,
-        ivf_index=load_table(args.ivf_index) if args.ivf_index else None,
+        ivf_index=ivf_index,
+        ivf_emb_col=args.emb_col,
     )
     emit({"job": "stream", "batches_seen": res.batches_seen,
           "batches_applied": res.batches_applied, "merges": res.merges,

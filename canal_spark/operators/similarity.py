@@ -252,6 +252,10 @@ def ivf_centroids(e: DataFrame) -> DataFrame:
     to 6 decimals so Spark and DuckDB agree bit-for-bit on the refined
     codebook despite engine-specific float summation order.
 
+    The returned frame carries the persisted train sample as a cached
+    dep: consume it through `_collect_cents` (which releases it) or
+    call `release_cached_deps` after collecting.
+
     Seeds are the IVF_K vectors with the smallest deterministic hash
     (an LCG over vec_id — a pseudo-random sample both engines compute
     identically); the training sample is the TRAIN_N smallest by the
@@ -473,6 +477,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_a.cc").alias("cc"))
         .persist()
     )
+    return attach_cached_deps(
+        semantic_losers(cells, SEM_EPS).select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("a_id").alias("vec_id"),
+            F.round("a_cc", 4).alias("c_cent"),
+        ),
+        [cells],
+    )
+
+
+def semantic_losers(cells: DataFrame, eps: float) -> DataFrame:
+    """THE SemDedup tournament join, shared by the driver query and
+    `ann_index.semantic_prune_pass` so the two can never disagree on
+    who survives a cell: given (vec_id, v, norm, cell, cc), return the
+    rows that have a better-ranked (cc ASC, vec_id ASC) cell-mate with
+    9-rounded cosine >= eps, as (a_id, a_cc, cell).  Cell-keyed LEFT
+    SEMI self-join — pass a persisted frame or the kernel runs per
+    side."""
     a = cells.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
         F.col("norm").alias("an"), "cell", F.col("cc").alias("a_cc"),
@@ -487,17 +509,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = F.round(
         _cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 9
-    ) >= SEM_EPS
-    dropped = a.join(
+    ) >= eps
+    return a.join(
         b, (F.col("cell") == F.col("b_cell")) & better & sim, "left_semi"
-    )
-    return attach_cached_deps(
-        dropped.select(
-            F.col("cell").cast("long").alias("cell"),
-            F.col("a_id").alias("vec_id"),
-            F.round("a_cc", 4).alias("c_cent"),
-        ),
-        [cells],
     )
 
 

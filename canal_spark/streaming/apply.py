@@ -273,6 +273,7 @@ def stream_apply(
     return_query: bool = False,
     band_index: "Table | None" = None,
     ivf_index: "Table | None" = None,
+    ivf_emb_col: str = "embedding",
 ) -> StreamApplyResult | StreamApplyHandle:
     """Run the streaming apply loop; with ``available_now`` (default)
     drains everything currently in ``changelog_dir`` then stops —
@@ -411,7 +412,8 @@ def stream_apply(
                 from canal_spark.ann_index import refresh_ivf_index
 
                 rv = refresh_ivf_index(
-                    spark, t, ivf_index.refresh(), keys=keys
+                    spark, t, ivf_index.refresh(), keys=keys,
+                    emb_col=ivf_emb_col,
                 )
                 result.index_refreshes.append(
                     {"epoch": epoch_id, "kind": "ivf",

@@ -130,7 +130,13 @@ def test_ivf_cells_are_true_argmax_and_recall_floor(spark):
         members = np.array([vecs[vid] for vid, c in assign0.items() if c == cell])
         refined[cell] = np.round(members.mean(axis=0), 6)
 
-    got_cents = {r["cent_id"]: np.array(r["cv"]) for r in ivf_centroids(e).collect()}
+    # collect through the cached-deps contract (the builder persists its
+    # train sample and tags the result; a raw .collect() would leak it)
+    from canal_spark.operators.common import release_cached_deps
+
+    cents_df = ivf_centroids(e)
+    got_cents = {r["cent_id"]: np.array(r["cv"]) for r in cents_df.collect()}
+    release_cached_deps(cents_df)
     assert set(got_cents) == set(refined)
     for cid in refined:
         assert np.allclose(got_cents[cid], refined[cid], atol=1e-9), cid

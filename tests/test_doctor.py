@@ -276,6 +276,16 @@ def test_doctor_flags_missing_or_corrupt_codebook(spark, tmp_path):
     assert not rep["ok"]
     assert any(v["kind"] == "codebook-unreadable" for v in rep["violations"])
 
+    # gutted: part files gone but the dir (and _SUCCESS) survives — the
+    # explicit-schema read returns zero rows instead of raising, which
+    # must still be a violation
+    for name in os.listdir(cb_dir):
+        if name.endswith(".parquet") or name.endswith(".crc"):
+            os.remove(os.path.join(cb_dir, name))
+    rep_gut = check_table(spark, load_table(idx.root))
+    assert any(v["kind"] == "codebook-unreadable"
+               for v in rep_gut["violations"])
+
     # missing: remove the artifact dir entirely
     shutil.rmtree(cb_dir)
     rep2 = check_table(spark, load_table(idx.root))
