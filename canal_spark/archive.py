@@ -29,17 +29,22 @@ therefore a pure FILE MOVE — no row rewrite:
 * :func:`resolve_changelog` is the proxy parser: given a resume
   ordinal it prunes the manifest to segments whose range reaches past
   it (the listBinlogFiles window), unions the surviving cold segments
-  with the live staging dir, filters ``ordinal > from``, and
-  de-duplicates on ordinal so a crash BETWEEN the manifest commit and
-  the staging delete (the one overlap window) replays nothing.
+  with the live staging dir, and filters ``ordinal > from``.  A crash
+  BETWEEN the manifest commit and the staging delete (the one overlap
+  window) leaves the same file in both stores; exactly-once holds BY
+  FILE-SET CONSTRUCTION — segment names embed the original staging
+  basename, so any live file already cataloged is read from the
+  archive only — never by a row-level shuffle.
 
 Scale: the catalog scan is manifest-only (driver-side, O(segments));
 cold-segment reads are footer-range pruned before any Spark job, and
 the ordinal predicate pushes into every parquet scan — a resume from
-yesterday reads yesterday's segments, not the archive.  The
-ordinal-dedup is one shuffle over the RESOLVED SLICE, not the archive.
-Bounded prefetch (``batchFileSize``) needs no analogue: Spark's
-scheduler already reads the pruned file set in task-sized chunks.
+yesterday reads yesterday's segments, not the archive.  The resolved
+frame is scan+filter+union ONLY (zero shuffles, zero wide stages):
+every consumer fetch pays a pruned columnar read, which is what makes
+`ConsumerServer` fetches O(batch) at any archive size.  Bounded
+prefetch (``batchFileSize``) needs no analogue: Spark's scheduler
+already reads the pruned file set in task-sized chunks.
 
 Single-stream contract: per-stream ordinals overlap across streams
 (GTID/Kafka ingests), so whole-file ranges are meaningless there —
@@ -180,11 +185,20 @@ def resolve_changelog(
     the range query fetched vs pruned (the listBinlogFiles window
     evidence) — so callers can assert a resume from a recent position
     reads zero cold files.
+
+    Exactly-once across the crash-overlap window is structural, not a
+    shuffle: a staging file whose basename is already cataloged (the
+    segment name embeds it) is OWNED by the archive and skipped from
+    the live read, so the returned plan is scan+filter+union with zero
+    wide stages — cheap enough to run on every consumer fetch.
     """
+    cataloged: set[str] = set()
     needed: list[str] = []
     pruned = 0
     if archive_dir is not None:
         for e in _load_manifest(archive_dir):
+            # segment-<min>-<max>-<original staging basename>
+            cataloged.add(e["name"].split("-", 3)[3])
             if e["max_ordinal"] > from_ordinal:
                 needed.append(os.path.join(archive_dir, SEGMENT_DIR, e["name"]))
             else:
@@ -192,22 +206,21 @@ def resolve_changelog(
     parts: list[DataFrame] = []
     if needed:
         parts.append(spark.read.parquet(*needed))
-    live_files = _staging_files(staging_dir)
+    all_live = _staging_files(staging_dir)
+    live_files = [p for p in all_live if os.path.basename(p) not in cataloged]
     if live_files:
-        parts.append(spark.read.parquet(staging_dir))
+        parts.append(spark.read.parquet(*live_files))
     report = {
         "segments_fetched": len(needed),
         "segments_pruned": pruned,
         "live_files": len(live_files),
+        # crash-window residue: staging copies the catalog already owns
+        # (the next archive run deletes them; reading them would replay)
+        "live_files_skipped": len(all_live) - len(live_files),
     }
     if not parts:
         return None, report
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p, allowMissingColumns=True)
-    df = df.where(F.col("ordinal") > F.lit(int(from_ordinal)))
-    # crash-window overlap (file in both archive and staging) must not
-    # replay: one ordinal, one row.  The dedup shuffles only the
-    # resolved slice, never the whole archive.
-    df = df.dropDuplicates(["ordinal"])
-    return df, report
+    return df.where(F.col("ordinal") > F.lit(int(from_ordinal))), report

@@ -95,6 +95,10 @@ class _ClientMeta:
         self.cursor: int = 0  # last ACKED ordinal (0 = store head)
         self.next_batch_id: int = 1
         self.batches: dict[int, tuple[int, int]] = {}  # id -> (start, end]
+        # per-client serialization: a fetch's Spark collect must not
+        # block OTHER clients of the destination (Spark schedules jobs
+        # from many threads fine); same-client verbs stay sequential
+        self.lock = threading.Lock()
 
     @classmethod
     def load(cls, path: str) -> "_ClientMeta":
@@ -156,6 +160,10 @@ class ConsumerServer:
         # segments and hands off to the live dir seamlessly — the
         # RdsBinlogEventParserProxy behavior
         self.archive_dir = archive_dir
+        # registry lock only (subscribe/unsubscribe/lookup); each verb
+        # then serializes on the CLIENT's own lock — lock order is
+        # always registry -> client, and the long Spark fetch holds
+        # only the client lock, so clients proceed independently
         self._lock = threading.Lock()  # HTTP handlers are threaded
         self._clients: dict[str, _ClientMeta] = {}
         os.makedirs(meta_dir, exist_ok=True)
@@ -178,7 +186,8 @@ class ConsumerServer:
     # -- protocol verbs ----------------------------------------------------
 
     def _client(self, client_id: str) -> _ClientMeta:
-        m = self._clients.get(client_id)
+        with self._lock:
+            m = self._clients.get(client_id)
         if m is None:
             raise KeyError(
                 f"something goes wrong with channel, please check if client "
@@ -206,9 +215,10 @@ class ConsumerServer:
                     "ordinals overlap, a scalar consumer cursor is not a "
                     "valid position — consume through stream_apply instead"
                 )
-            m.filter_regex = filter_regex
-            m.black_regex = black_regex
-            m.save()
+            with m.lock:  # registry -> client, same order everywhere
+                m.filter_regex = filter_regex
+                m.black_regex = black_regex
+                m.save()
             self._clients[client_id] = m
             return {"client_id": client_id, "cursor": m.cursor}
 
@@ -216,15 +226,19 @@ class ConsumerServer:
         """Drop the registration AND the durable meta (unsubscribe:
         180-184 removes the client from the meta manager)."""
         with self._lock:
-            self._clients.pop(client_id, None)
+            m = self._clients.pop(client_id, None)
+        # wait out any in-flight verb OUTSIDE the registry lock (a slow
+        # fetch must not block other clients' lookups), so a racing
+        # fetch can't resurrect the meta file with its save()
+        with (m.lock if m is not None else threading.Lock()):
             try:
                 os.remove(os.path.join(self.meta_dir, f"{client_id}.json"))
             except FileNotFoundError:
                 pass
 
     def get_without_ack(self, client_id: str, batch_size: int = 1000) -> Message:
-        with self._lock:
-            m = self._client(client_id)
+        m = self._client(client_id)
+        with m.lock:
             # get-pointer: past every outstanding batch, else the cursor
             # (getLastestBatch / getCursor split, :318-327)
             fetch_from = max([m.cursor] + [e for _, e in m.batches.values()])
@@ -282,8 +296,8 @@ class ConsumerServer:
             return Message(batch_id, [r["value"] for r in rows])
 
     def ack(self, client_id: str, batch_id: int) -> None:
-        with self._lock:
-            m = self._client(client_id)
+        m = self._client(client_id)
+        with m.lock:
             batch_id = int(batch_id)
             if batch_id not in m.batches:
                 raise ValueError(
@@ -310,8 +324,8 @@ class ConsumerServer:
         id exists (rollback:478-483 raises ``is not exist``) but still
         rolls the store back to the cursor — the reference's own
         behavior (its targeted rollback is an open TODO, :486)."""
-        with self._lock:
-            m = self._client(client_id)
+        m = self._client(client_id)
+        with m.lock:
             if batch_id is not None and int(batch_id) not in m.batches:
                 raise ValueError(
                     f"rollback error, clientId:{client_id} batchId:{batch_id} "
@@ -322,8 +336,9 @@ class ConsumerServer:
 
     def list_batch_ids(self, client_id: str) -> list[int]:
         """Outstanding batch ids, ascending (listBatchIds:373-383)."""
-        with self._lock:
-            return sorted(self._client(client_id).batches)
+        m = self._client(client_id)
+        with m.lock:
+            return sorted(m.batches)
 
 
 # -- HTTP wire form ---------------------------------------------------------

@@ -90,8 +90,14 @@ def test_crash_overlap_window_replays_nothing(spark, staged):
     seg = sorted(os.listdir(seg_dir))[0]
     orig_name = seg.split("-", 3)[3]  # segment-<min>-<max>-<basename>
     shutil.copy2(os.path.join(seg_dir, seg), os.path.join(stage, orig_name))
-    df, _ = resolve_changelog(spark, stage, cold, from_ordinal=0)
-    assert df.count() == 120  # ordinal-dedup: one row per position
+    df, rep = resolve_changelog(spark, stage, cold, from_ordinal=0)
+    assert df.count() == 120  # exactly once per position
+    # the cataloged staging copy is excluded from the live read set —
+    # exactly-once is structural, not a shuffle: the resolved plan is
+    # scan+filter+union with zero exchanges (cheap per consumer fetch)
+    assert rep["live_files_skipped"] == 1 and rep["live_files"] == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
     # the recovery archive run re-deletes the staging copy without
     # duplicating the catalog entry
     rep = archive_segments(spark, stage, cold, retain_from_ordinal=81)

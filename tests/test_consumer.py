@@ -347,3 +347,45 @@ def test_http_malformed_body_is_400(staged):
         assert code == 400 and "invalid JSON body" in out["error"]
     finally:
         http.shutdown()
+
+
+def test_concurrent_clients_are_independent(staged):
+    """Per-CLIENT locks: many clients drain the same destination from
+    concurrent threads without cross-client serialization corrupting
+    any stream — every client sees the full changelog exactly once,
+    in ordinal order, with its own monotone batch ids."""
+    import threading
+
+    srv, rows = staged
+    want = [r[2] for r in rows]
+    out: dict[str, list] = {}
+    errs: list[Exception] = []
+
+    def drain(cid: str) -> None:
+        try:
+            srv.subscribe(cid)
+            got: list = []
+            ids: list[int] = []
+            while True:
+                m = srv.get_without_ack(cid, batch_size=17)
+                if m.is_empty:
+                    break
+                ids.append(m.id)
+                got.extend(_ids(m.entries))
+                srv.ack(cid, m.id)
+            assert ids == sorted(ids) and len(set(ids)) == len(ids)
+            out[cid] = got
+        except Exception as e:  # surface to the main thread
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=drain, args=(f"c{i}",)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert len(out) == 4
+    for cid, got in out.items():
+        assert got == want, f"client {cid} stream diverged"
