@@ -252,3 +252,85 @@ def check_table(
 
     return {"ok": not violations, "files": len(entries),
             "violations": violations, "warnings": warnings}
+
+
+def check_archive(archive_dir: str) -> dict:
+    """Cold-archive consistency: ``manifest.json`` vs the segment
+    files (archive.py).  A broken archive is silent data loss for any
+    consumer whose cursor predates staging retention, so it gets the
+    same doctor treatment as the table.
+
+    Violations: ``segment-missing`` (cataloged file gone — cold
+    resumes from its range are unservable), ``segment-range`` /
+    ``segment-rows`` (footer disagrees with the catalog — the range
+    prune would skip or misdeliver rows), ``segment-name`` (entry name
+    does not parse as ``segment-<min>-<max>-<basename>``).  Warnings:
+    ``uncataloged-segment`` (file present but not in the manifest —
+    the copy-then-commit crash window; the source staging file still
+    exists, the next archive run re-catalogs it).  Driver-side and
+    footer-only: O(segments), never a data scan.
+    """
+    from canal_spark.archive import SEGMENT_DIR, _load_manifest, _ordinal_range
+
+    violations: list[dict] = []
+    warnings: list[dict] = []
+    seg_root = os.path.join(archive_dir, SEGMENT_DIR)
+    manifest = _load_manifest(archive_dir)
+    if manifest and not os.path.isdir(seg_root):
+        violations.append(
+            {"file": SEGMENT_DIR, "kind": "segment-missing",
+             "detail": f"{len(manifest)} cataloged segments but no "
+                       f"segment dir at {seg_root}"}
+        )
+        return {"ok": False, "segments": len(manifest),
+                "violations": violations, "warnings": warnings}
+    cataloged: set[str] = set()
+    for e in manifest:
+        name = e["name"]
+        cataloged.add(name)
+        parts = name.split("-", 3)
+        if len(parts) != 4 or parts[0] != "segment":
+            violations.append(
+                {"file": name, "kind": "segment-name",
+                 "detail": "does not parse as segment-<min>-<max>-<basename>"}
+            )
+            continue
+        p = os.path.join(seg_root, name)
+        if not os.path.exists(p):
+            violations.append(
+                {"file": name, "kind": "segment-missing", "detail": p}
+            )
+            continue
+        rng = _ordinal_range(p)
+        if rng is None:
+            violations.append(
+                {"file": name, "kind": "segment-range",
+                 "detail": "footer lacks ordinal stats (corrupt or "
+                           "wrong-schema swap)"}
+            )
+            continue
+        lo, hi, rows = rng
+        if (lo, hi) != (e["min_ordinal"], e["max_ordinal"]):
+            violations.append(
+                {"file": name, "kind": "segment-range",
+                 "detail": f"catalog [{e['min_ordinal']}, {e['max_ordinal']}]"
+                           f" != footer [{lo}, {hi}] — range prune would "
+                           "skip or misdeliver"}
+            )
+        if rows != e["rows"]:
+            violations.append(
+                {"file": name, "kind": "segment-rows",
+                 "detail": f"catalog {e['rows']} != footer {rows}"}
+            )
+    if os.path.isdir(seg_root):
+        for n in sorted(os.listdir(seg_root)):
+            if n.startswith(("_", ".")) or n in cataloged:
+                continue
+            warnings.append(
+                {"file": n, "kind": "uncataloged-segment",
+                 "detail": "present but not in manifest.json (crash "
+                           "between copy and catalog commit — the next "
+                           "archive run re-catalogs it)"}
+            )
+    return {"ok": not violations, "segments": len(manifest),
+            "violations": violations, "warnings": warnings}

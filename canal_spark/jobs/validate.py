@@ -18,10 +18,14 @@ def main() -> None:
     p = base_parser("validate manifests vs physical files")
     p.add_argument("--snapshot-id", type=int, default=None)
     p.add_argument("--skip-footers", action="store_true")
+    p.add_argument(
+        "--archive-dir", default=None,
+        help="also check a cold-archive catalog vs its segment files",
+    )
     args = p.parse_args()
 
     from canal_spark import load_table
-    from canal_spark.doctor import check_table
+    from canal_spark.doctor import check_archive, check_table
 
     spark = session(args, "canal-validate")
     table = load_table(args.table)
@@ -30,6 +34,10 @@ def main() -> None:
         snapshot_id=args.snapshot_id,
         verify_footers=not args.skip_footers,
     )
+    if args.archive_dir:
+        arep = check_archive(args.archive_dir)
+        rep["archive"] = arep
+        rep["ok"] = rep["ok"] and arep["ok"]
     emit({"job": "validate", **rep})
     if not rep["ok"]:
         sys.exit(2)

@@ -290,3 +290,58 @@ def test_doctor_flags_missing_or_corrupt_codebook(spark, tmp_path):
     shutil.rmtree(cb_dir)
     rep2 = check_table(spark, load_table(idx.root))
     assert any(v["kind"] == "codebook-missing" for v in rep2["violations"])
+
+
+def test_doctor_archive_checks(spark, tmp_path):
+    """check_archive: healthy catalog passes; missing segment, catalog
+    range drift, and row drift are violations; an uncataloged segment
+    (the copy-then-commit crash window) is only a warning."""
+    import shutil
+
+    from canal_spark.archive import archive_segments
+    from canal_spark.changelog import changelog_df, synth_changelog_rows, synth_token_rows
+    from canal_spark.doctor import check_archive
+
+    stage, cold = str(tmp_path / "stage"), str(tmp_path / "cold")
+    base = synth_token_rows(200)
+    rows = sorted(synth_changelog_rows(base, 90, seed=3), key=lambda r: r[0])
+    for lo, hi in [(0, 30), (30, 60), (60, 90)]:
+        changelog_df(spark, rows[lo:hi]).coalesce(1).write.mode("append").parquet(stage)
+    archive_segments(spark, stage, cold, retain_from_ordinal=rows[60][0])
+
+    rep = check_archive(cold)
+    assert rep["ok"] and rep["segments"] == 2 and rep["warnings"] == []
+
+    # empty / absent archive is healthy (nothing cataloged yet)
+    assert check_archive(str(tmp_path / "nowhere"))["ok"]
+
+    seg_dir = os.path.join(cold, "segments")
+    segs = sorted(os.listdir(seg_dir))
+
+    # crash window: a stray copy not yet cataloged -> warning only
+    shutil.copy2(
+        os.path.join(seg_dir, segs[0]), os.path.join(seg_dir, "part-stray.parquet")
+    )
+    rep2 = check_archive(cold)
+    assert rep2["ok"]
+    assert [w["kind"] for w in rep2["warnings"]] == ["uncataloged-segment"]
+    os.remove(os.path.join(seg_dir, "part-stray.parquet"))
+
+    # catalog range drift -> segment-range + segment-rows violations
+    mpath = os.path.join(cold, "manifest.json")
+    m = json.load(open(mpath))
+    m["segments"][0]["max_ordinal"] += 5
+    m["segments"][0]["rows"] += 1
+    json.dump(m, open(mpath, "w"))
+    rep3 = check_archive(cold)
+    kinds = sorted(v["kind"] for v in rep3["violations"])
+    assert not rep3["ok"] and kinds == ["segment-range", "segment-rows"]
+    m["segments"][0]["max_ordinal"] -= 5
+    m["segments"][0]["rows"] -= 1
+    json.dump(m, open(mpath, "w"))
+
+    # cold data loss: cataloged segment file deleted -> violation
+    os.remove(os.path.join(seg_dir, segs[1]))
+    rep4 = check_archive(cold)
+    assert not rep4["ok"]
+    assert [v["kind"] for v in rep4["violations"]] == ["segment-missing"]
