@@ -19,9 +19,13 @@ next to the destination's instance spec:
   ``os.replace`` — readers never see a torn file); zk's session
   timeout becomes the lease TTL on the heartbeat timestamp;
 * failover  = a standby that observes a heartbeat older than the TTL
-  deletes the stale file and races the O_EXCL create again — exactly
+  sweeps the stale file and races the O_EXCL create again — exactly
   the watch-then-recreate scramble of ServerRunningMonitor:56-66, with
-  the kernel as the arbiter instead of zk;
+  the kernel as the arbiter instead of zk.  The sweep itself is
+  single-winner (an O_EXCL tombstone keyed by the stale incarnation +
+  an incarnation re-check before the remove), so a SLOW standby's
+  delayed delete can never hit the fast standby's fresh lease — see
+  :meth:`DestinationLease._sweep_stale`;
 * release   = the holder deletes its OWN incarnation only (:204-207).
 
 Split-brain honesty: a POSIX rename has no fencing token, so a holder
@@ -119,13 +123,11 @@ class DestinationLease:
         p = self.holder()
         if p is not None and not self.is_stale(p):
             return False
-        if p is not None:
-            # stale: remove and fall through to the create race; ENOENT
-            # means another standby swept it first — still race the create
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+        if p is not None and not self._sweep_stale(p):
+            # another standby owns the sweep of this incarnation; yield
+            # this round rather than racing a remove that could hit the
+            # sweeper's FRESH lease
+            return False
         self.incarnation = uuid.uuid4().hex
         try:
             fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -138,6 +140,53 @@ class DestinationLease:
             return False
         with os.fdopen(fd, "wb") as f:
             f.write(self._payload(acquired_ts=self._clock()))
+        return True
+
+    def _sweep_stale(self, p: dict) -> bool:
+        """Remove a stale lease exactly once fleet-wide.
+
+        A bare remove-then-create race has a two-active-holders hole:
+        standbys A and B both read the stale payload; A removes it and
+        O_EXCL-creates its fresh lease; B's delayed ``os.remove`` then
+        deletes A's FRESH file and B creates its own — both believe
+        they hold the destination until A's next isMine heartbeat.
+        The fix is an O_EXCL TOMBSTONE keyed by the stale payload's
+        incarnation (uuids never recur): only the tombstone winner may
+        remove, and it re-verifies the file still carries that
+        incarnation first — so a fresh lease (new incarnation) can
+        never be the victim.  Losers yield the round.
+
+        A sweeper crashing between tombstone and remove would deadlock
+        the takeover, so tombstones older than the TTL (file mtime —
+        wall clock, matching a crashed process) are themselves swept.
+        Returns True when this caller may proceed to the create race.
+        """
+        tomb = f"{self.path}.sweep.{p.get('incarnation')}"
+        try:
+            fd = os.open(tomb, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # crashed sweeper's debris must not block takeover forever
+            try:
+                if self._clock() - os.path.getmtime(tomb) > self.ttl_s:
+                    os.remove(tomb)
+            except FileNotFoundError:
+                pass
+            return False
+        except FileNotFoundError:
+            return False  # destination dir removed mid-race
+        os.close(fd)
+        try:
+            cur = self.holder()
+            if cur is not None and cur.get("incarnation") == p.get("incarnation"):
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        finally:
+            try:
+                os.remove(tomb)
+            except FileNotFoundError:
+                pass
         return True
 
     def heartbeat(self) -> bool:

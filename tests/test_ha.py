@@ -210,3 +210,62 @@ spark.stop()
     ev2 = [l["event"] for l in lines2]
     assert ev2.count("ha_active") == 2 and ev2.count("pass") == 2
     assert ev2.count("ha_release") == 2  # clean shutdown hands back
+
+
+def test_delayed_sweep_cannot_delete_fresh_lease(tmp_path):
+    """The remove-then-create takeover race: standbys A and B both read
+    the same stale payload; A sweeps and acquires a fresh lease; B's
+    DELAYED sweep (still holding the old payload) must be a no-op on
+    A's fresh file — the incarnation re-check inside _sweep_stale —
+    so the fleet never has two active holders from a steal."""
+    conf = str(tmp_path)
+    _mk(conf, "d1")
+    clock = Clock()
+    dead = DestinationLease(conf, "d1", "srv-dead", ttl_s=30, _clock=clock)
+    assert dead.try_acquire()
+    clock.t += 31  # dead server stops heartbeating; lease goes stale
+
+    a = DestinationLease(conf, "d1", "srv-a", ttl_s=30, _clock=clock)
+    b = DestinationLease(conf, "d1", "srv-b", ttl_s=30, _clock=clock)
+    stale_payload = b.holder()  # B's read, taken BEFORE A's takeover
+    assert b.is_stale(stale_payload)
+
+    assert a.try_acquire()  # A sweeps the stale lease and acquires
+    fresh = a.holder()
+    assert fresh["incarnation"] == a.incarnation
+
+    # B's delayed remove: sweep with the OLD payload — must not touch
+    # A's fresh lease, and B must not become active
+    assert b._sweep_stale(stale_payload)  # tombstone won, but no victim
+    assert a.holder() == fresh
+    assert not b.try_acquire()
+    assert a.heartbeat()  # A is still the one holder
+
+
+def test_concurrent_sweeper_tombstone_blocks_second_remove(tmp_path):
+    """While one standby is mid-sweep (tombstone held), a second
+    standby's takeover attempt yields the round instead of removing
+    the file out from under the sweeper; crashed-sweeper debris older
+    than the TTL is cleaned so takeover never deadlocks."""
+    conf = str(tmp_path)
+    _mk(conf, "d1")
+    clock = Clock()
+    dead = DestinationLease(conf, "d1", "srv-dead", ttl_s=30, _clock=clock)
+    assert dead.try_acquire()
+    clock.t += 31
+    stale = dead.holder()
+
+    b = DestinationLease(conf, "d1", "srv-b", ttl_s=30, _clock=clock)
+    tomb = f"{b.path}.sweep.{stale['incarnation']}"
+    open(tomb, "w").close()  # a sibling standby is mid-sweep
+    assert not b.try_acquire()  # yields; the stale file is untouched
+    assert os.path.exists(b.path)
+
+    # crashed sweeper: the tombstone never cleared — once it is older
+    # than the TTL the next attempt removes the debris, and the round
+    # after that completes the takeover
+    os.utime(tomb, (0, 0))
+    assert not b.try_acquire()  # sweeps the debris this round
+    assert not os.path.exists(tomb)
+    assert b.try_acquire()
+    assert b.is_active
