@@ -122,8 +122,9 @@ def archive_segments(
 
     Order is crash-safe without a transaction: copy the segment, commit
     the manifest, THEN delete from staging.  A crash in the overlap
-    window leaves the file in both places; :func:`resolve_changelog`'s
-    ordinal-dedup makes that harmless, and the next archive run skips
+    window leaves the file in both places; :func:`resolve_changelog`
+    reads it from the archive only (cataloged basenames are excluded
+    from its live read set), and the next archive run skips
     already-cataloged ranges idempotently.
     """
     seg_root = os.path.join(archive_dir, SEGMENT_DIR)
@@ -165,6 +166,17 @@ def archive_segments(
     }
 
 
+def _segment_basename(name: str) -> str | None:
+    """The original staging basename a segment name embeds
+    (``segment-<min>-<max>-<basename>``), or None when the name does
+    not parse — the ONE place the name format is decoded (archive
+    writer, resolver, and doctor all route through it)."""
+    parts = name.split("-", 3)
+    if len(parts) != 4 or parts[0] != "segment":
+        return None
+    return parts[3]
+
+
 def _parquet_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
 
@@ -192,13 +204,14 @@ def resolve_changelog(
     the live read, so the returned plan is scan+filter+union with zero
     wide stages — cheap enough to run on every consumer fetch.
     """
-    cataloged: set[str] = set()
+    cataloged: dict[str, dict] = {}  # staging basename -> catalog entry
     needed: list[str] = []
     pruned = 0
     if archive_dir is not None:
         for e in _load_manifest(archive_dir):
-            # segment-<min>-<max>-<original staging basename>
-            cataloged.add(e["name"].split("-", 3)[3])
+            base = _segment_basename(e["name"])
+            if base is not None:
+                cataloged[base] = e
             if e["max_ordinal"] > from_ordinal:
                 needed.append(os.path.join(archive_dir, SEGMENT_DIR, e["name"]))
             else:
@@ -207,7 +220,24 @@ def resolve_changelog(
     if needed:
         parts.append(spark.read.parquet(*needed))
     all_live = _staging_files(staging_dir)
-    live_files = [p for p in all_live if os.path.basename(p) not in cataloged]
+    live_files = []
+    for p in all_live:
+        e = cataloged.get(os.path.basename(p))
+        if e is None:
+            live_files.append(p)
+            continue
+        # cataloged basename: skip ONLY when the live file really is the
+        # archive's copy (footer range+rows agree) — a DIFFERENT file
+        # reusing an archived basename must fail loudly, never silently
+        # lose its rows (skip) or replay the segment (read both)
+        rng = _ordinal_range(p)
+        if rng != (e["min_ordinal"], e["max_ordinal"], e["rows"]):
+            raise ValueError(
+                f"staging file {p} collides with cataloged segment "
+                f"{e['name']} but is not the same file (footer {rng} vs "
+                f"catalog ({e['min_ordinal']}, {e['max_ordinal']}, "
+                f"{e['rows']})) — re-stage it under a fresh basename"
+            )
     if live_files:
         parts.append(spark.read.parquet(*live_files))
     report = {

@@ -99,6 +99,10 @@ class _ClientMeta:
         # block OTHER clients of the destination (Spark schedules jobs
         # from many threads fine); same-client verbs stay sequential
         self.lock = threading.Lock()
+        # set (under lock) by unsubscribe: a verb that grabbed this
+        # instance from the registry BEFORE the pop must not run after
+        # the meta file is deleted — its save() would resurrect it
+        self.dead = False
 
     @classmethod
     def load(cls, path: str) -> "_ClientMeta":
@@ -195,6 +199,18 @@ class ConsumerServer:
             )
         return m
 
+    @staticmethod
+    def _check_live(m: _ClientMeta, client_id: str) -> None:
+        """Call under ``m.lock``: a verb that resolved its _ClientMeta
+        just before a concurrent unsubscribe popped it must fail like
+        an unsubscribed client, not run against (and re-persist) the
+        deleted meta."""
+        if m.dead:
+            raise KeyError(
+                f"something goes wrong with channel, please check if client "
+                f"{client_id} is subscribed"
+            )
+
     def subscribe(
         self,
         client_id: str,
@@ -205,22 +221,32 @@ class ConsumerServer:
         cursor (subscribe:163-170 'use last cursor position'), a fresh
         one starts at the store head.  Re-subscribing with a different
         filter REPLACES it (subscribeChange:173)."""
-        with self._lock:
-            path = os.path.join(self.meta_dir, f"{client_id}.json")
-            m = self._clients.get(client_id) or _ClientMeta.load(path)
-            store = self._scan()
-            if store is not None and "stream_id" in store.columns:
-                raise ValueError(
-                    "multi-stream changelog (stream_id column): per-stream "
-                    "ordinals overlap, a scalar consumer cursor is not a "
-                    "valid position — consume through stream_apply instead"
-                )
-            with m.lock:  # registry -> client, same order everywhere
+        # the store probe runs OUTSIDE every lock: it can touch Spark
+        # (driver-side schema read) and must not stall other clients
+        store = self._scan()
+        if store is not None and "stream_id" in store.columns:
+            raise ValueError(
+                "multi-stream changelog (stream_id column): per-stream "
+                "ordinals overlap, a scalar consumer cursor is not a "
+                "valid position — consume through stream_apply instead"
+            )
+        path = os.path.join(self.meta_dir, f"{client_id}.json")
+        while True:
+            with self._lock:
+                m = self._clients.get(client_id)
+                if m is None:
+                    m = _ClientMeta.load(path)
+                    self._clients[client_id] = m
+            with m.lock:  # never held together with the registry lock
+                if m.dead:
+                    # lost a race with unsubscribe on the instance we
+                    # grabbed: re-resolve (the registry no longer holds
+                    # it, so the next loop loads a fresh meta)
+                    continue
                 m.filter_regex = filter_regex
                 m.black_regex = black_regex
                 m.save()
-            self._clients[client_id] = m
-            return {"client_id": client_id, "cursor": m.cursor}
+                return {"client_id": client_id, "cursor": m.cursor}
 
     def unsubscribe(self, client_id: str) -> None:
         """Drop the registration AND the durable meta (unsubscribe:
@@ -228,9 +254,13 @@ class ConsumerServer:
         with self._lock:
             m = self._clients.pop(client_id, None)
         # wait out any in-flight verb OUTSIDE the registry lock (a slow
-        # fetch must not block other clients' lookups), so a racing
-        # fetch can't resurrect the meta file with its save()
+        # fetch must not block other clients' lookups), then mark the
+        # instance dead: a verb that resolved this instance before the
+        # pop but acquires the lock after us fails _check_live instead
+        # of resurrecting the deleted meta file with its save()
         with (m.lock if m is not None else threading.Lock()):
+            if m is not None:
+                m.dead = True
             try:
                 os.remove(os.path.join(self.meta_dir, f"{client_id}.json"))
             except FileNotFoundError:
@@ -239,6 +269,7 @@ class ConsumerServer:
     def get_without_ack(self, client_id: str, batch_size: int = 1000) -> Message:
         m = self._client(client_id)
         with m.lock:
+            self._check_live(m, client_id)
             # get-pointer: past every outstanding batch, else the cursor
             # (getLastestBatch / getCursor split, :318-327)
             fetch_from = max([m.cursor] + [e for _, e in m.batches.values()])
@@ -298,6 +329,7 @@ class ConsumerServer:
     def ack(self, client_id: str, batch_id: int) -> None:
         m = self._client(client_id)
         with m.lock:
+            self._check_live(m, client_id)
             batch_id = int(batch_id)
             if batch_id not in m.batches:
                 raise ValueError(
@@ -326,6 +358,7 @@ class ConsumerServer:
         behavior (its targeted rollback is an open TODO, :486)."""
         m = self._client(client_id)
         with m.lock:
+            self._check_live(m, client_id)
             if batch_id is not None and int(batch_id) not in m.batches:
                 raise ValueError(
                     f"rollback error, clientId:{client_id} batchId:{batch_id} "
@@ -338,6 +371,7 @@ class ConsumerServer:
         """Outstanding batch ids, ascending (listBatchIds:373-383)."""
         m = self._client(client_id)
         with m.lock:
+            self._check_live(m, client_id)
             return sorted(m.batches)
 
 

@@ -270,7 +270,9 @@ def check_archive(archive_dir: str) -> dict:
     exists, the next archive run re-catalogs it).  Driver-side and
     footer-only: O(segments), never a data scan.
     """
-    from canal_spark.archive import SEGMENT_DIR, _load_manifest, _ordinal_range
+    from canal_spark.archive import (
+        SEGMENT_DIR, _load_manifest, _ordinal_range, _segment_basename,
+    )
 
     violations: list[dict] = []
     warnings: list[dict] = []
@@ -286,10 +288,19 @@ def check_archive(archive_dir: str) -> dict:
                 "violations": violations, "warnings": warnings}
     cataloged: set[str] = set()
     for e in manifest:
-        name = e["name"]
+        name = e.get("name")
+        missing = [k for k in ("name", "min_ordinal", "max_ordinal", "rows")
+                   if e.get(k) is None]
+        if missing:
+            # a truncated/hand-edited entry is the corruption class this
+            # check exists for — report it, never crash on it
+            violations.append(
+                {"file": name or repr(e)[:80], "kind": "segment-entry",
+                 "detail": f"manifest entry missing {missing}"}
+            )
+            continue
         cataloged.add(name)
-        parts = name.split("-", 3)
-        if len(parts) != 4 or parts[0] != "segment":
+        if _segment_basename(name) is None:
             violations.append(
                 {"file": name, "kind": "segment-name",
                  "detail": "does not parse as segment-<min>-<max>-<basename>"}

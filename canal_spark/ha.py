@@ -23,9 +23,10 @@ next to the destination's instance spec:
   the watch-then-recreate scramble of ServerRunningMonitor:56-66, with
   the kernel as the arbiter instead of zk.  The sweep itself is
   single-winner (an O_EXCL tombstone keyed by the stale incarnation +
-  an incarnation re-check before the remove), so a SLOW standby's
-  delayed delete can never hit the fast standby's fresh lease — see
-  :meth:`DestinationLease._sweep_stale`;
+  incarnation-and-tombstone re-checks before the remove), so a SLOW
+  standby's delayed delete cannot hit the fast standby's fresh lease
+  except through the same unfenceable pause-past-TTL window documented
+  below — see :meth:`DestinationLease._sweep_stale`;
 * release   = the holder deletes its OWN incarnation only (:204-207).
 
 Split-brain honesty: a POSIX rename has no fencing token, so a holder
@@ -152,22 +153,33 @@ class DestinationLease:
         they hold the destination until A's next isMine heartbeat.
         The fix is an O_EXCL TOMBSTONE keyed by the stale payload's
         incarnation (uuids never recur): only the tombstone winner may
-        remove, and it re-verifies the file still carries that
-        incarnation first — so a fresh lease (new incarnation) can
-        never be the victim.  Losers yield the round.
+        remove, and it re-verifies both the file's incarnation AND its
+        own tombstone right before the remove — so a fresh lease (new
+        incarnation) can never be the victim, and a sweeper whose
+        tombstone was reaped as debris (see below) aborts instead of
+        executing a delayed delete.  Losers yield the round.  The
+        residual window is a sweeper pausing BETWEEN that final
+        re-check and its os.remove — the same unfenceable POSIX pause
+        the module docstring documents for holders, bounded the same
+        way (isMine demotion + CAS table commits).
 
         A sweeper crashing between tombstone and remove would deadlock
-        the takeover, so tombstones older than the TTL (file mtime —
-        wall clock, matching a crashed process) are themselves swept.
+        the takeover, so tombstones older than the TTL are reaped.
+        That age test deliberately uses WALL time, not the injectable
+        ``_clock``: file mtime is wall-clock, and mixing clocks would
+        make the comparison meaningless (a monotonic clock would never
+        reap — deadlock; a far-future fake would always reap).
         Returns True when this caller may proceed to the create race.
         """
+        import time as _time
+
         tomb = f"{self.path}.sweep.{p.get('incarnation')}"
         try:
             fd = os.open(tomb, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             # crashed sweeper's debris must not block takeover forever
             try:
-                if self._clock() - os.path.getmtime(tomb) > self.ttl_s:
+                if _time.time() - os.path.getmtime(tomb) > self.ttl_s:
                     os.remove(tomb)
             except FileNotFoundError:
                 pass
@@ -177,7 +189,13 @@ class DestinationLease:
         os.close(fd)
         try:
             cur = self.holder()
-            if cur is not None and cur.get("incarnation") == p.get("incarnation"):
+            if (
+                cur is not None
+                and cur.get("incarnation") == p.get("incarnation")
+                # tombstone reaped while we stalled = the sweep was
+                # re-assigned; our delete right is gone
+                and os.path.exists(tomb)
+            ):
                 try:
                     os.remove(self.path)
                 except FileNotFoundError:

@@ -154,3 +154,36 @@ def test_archive_cli(spark, staged, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["job"] == "archive" and out["archived_files"] == 2
     assert out["retain_from_ordinal"] == 81
+
+
+def test_basename_collision_with_different_content_raises(spark, staged):
+    """A staging file REUSING an archived basename but holding different
+    rows is neither silently skipped (data loss) nor read alongside the
+    segment (replay) — the resolve fails loudly."""
+    stage, cold, rows = staged
+    archive_segments(spark, stage, cold, retain_from_ordinal=81)
+    seg_dir = os.path.join(cold, "segments")
+    seg = sorted(os.listdir(seg_dir))[0]
+    orig_name = seg.split("-", 3)[3]
+    # a DIFFERENT file lands under the archived basename
+    live = [n for n in os.listdir(stage) if n.endswith(".parquet")][0]
+    shutil.copy2(os.path.join(stage, live), os.path.join(stage, orig_name))
+    with pytest.raises(ValueError, match="collides with cataloged segment"):
+        resolve_changelog(spark, stage, cold, from_ordinal=0)
+
+
+def test_malformed_manifest_name_does_not_crash_resolve(spark, staged):
+    """A manifest entry whose name lacks the segment-<min>-<max>-<base>
+    shape (the corruption check_archive reports) must not IndexError the
+    consumer fetch path — resolve treats it as owning no basename."""
+    stage, cold, rows = staged
+    archive_segments(spark, stage, cold, retain_from_ordinal=81)
+    mpath = os.path.join(cold, "manifest.json")
+    m = json.load(open(mpath))
+    bad = dict(m["segments"][0])
+    bad["name"] = "seg1"  # unparseable; max_ordinal below every resume
+    bad["max_ordinal"] = -1
+    m["segments"].append(bad)
+    json.dump(m, open(mpath, "w"))
+    df, rep = resolve_changelog(spark, stage, cold, from_ordinal=0)
+    assert df.count() == 120

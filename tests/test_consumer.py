@@ -389,3 +389,26 @@ def test_concurrent_clients_are_independent(staged):
     assert len(out) == 4
     for cid, got in out.items():
         assert got == want, f"client {cid} stream diverged"
+
+
+def test_unsubscribe_marks_instance_dead_no_resurrection(staged):
+    """A verb that resolved its _ClientMeta just before a concurrent
+    unsubscribe popped it must fail like an unsubscribed client when it
+    finally acquires the lock — its save() must never resurrect the
+    deleted meta file."""
+    srv, rows = staged
+    srv.subscribe("c1")
+    m = srv._client("c1")
+    srv.unsubscribe("c1")
+    assert m.dead and not os.path.exists(m.path)
+    # the in-flight verb's path: the dead check refuses the instance
+    with pytest.raises(KeyError):
+        with m.lock:
+            srv._check_live(m, "c1")
+    # a fresh verb fails the ordinary not-subscribed way
+    with pytest.raises(KeyError):
+        srv.get_without_ack("c1")
+    assert not os.path.exists(m.path)
+    # re-subscribe starts clean at the store head, not the old cursor
+    out = srv.subscribe("c1")
+    assert out["cursor"] == 0
