@@ -111,6 +111,16 @@ def expire_codebooks(index_table: Table) -> list[str]:
     cb_dir = os.path.join(index_table.root, "codebook")
     if not os.path.isdir(cb_dir):
         return []
+    def _mtime(p: str) -> float:
+        # a concurrent expire (two rebuilds racing on one index) can
+        # delete an entry between listdir and here; it must sort as
+        # oldest and no-op in the guarded rmtree, not raise after this
+        # caller's commit already succeeded
+        try:
+            return os.path.getmtime(p)
+        except FileNotFoundError:
+            return 0.0
+
     stale = sorted(
         (
             os.path.join(cb_dir, name)
@@ -118,7 +128,7 @@ def expire_codebooks(index_table: Table) -> list[str]:
             if name.startswith("cb-")
             and (cur is None or os.path.join("codebook", name) != cur)
         ),
-        key=os.path.getmtime,
+        key=_mtime,
     )
     removed = []
     for path in stale[:-1]:  # keep the newest superseded generation

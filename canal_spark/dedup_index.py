@@ -274,7 +274,11 @@ def refresh_band_index(
                 index_bands.join(keys_side, "doc_id", "left_anti"),
                 delta_bands,
                 max_bucket=max_bucket,
-                hint_broadcast=n_keys <= max_broadcast_keys,
+                # the frames this hints are BAND rows — N_MINHASH× the
+                # delta's doc count — so the gate must compare band
+                # rows, not keys, or a near-threshold backfill forces a
+                # broadcast N_MINHASH× past the limit
+                hint_broadcast=n_keys * N_MINHASH <= max_broadcast_keys,
             )
             try:
                 agg = cands.agg(

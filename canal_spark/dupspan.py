@@ -113,7 +113,10 @@ def dup_span_cut_pass(
         F.countDistinct("doc_id").alias("nd"),
         F.min("doc_id").alias("first_doc"),
     )
-    dup = per_h.where(F.col("nd") >= 2).select("h", "first_doc")
+    # persisted: dup is consumed twice (the report count and the hits
+    # join) — without it each action re-runs the corpus-scale window
+    # extraction + groupBy, doubling the most expensive stage
+    dup = per_h.where(F.col("nd") >= 2).select("h", "first_doc").persist()
     hits = sp.join(dup, "h")
     if keep_one:
         hits = hits.where(F.col("doc_id") != F.col("first_doc"))
@@ -230,4 +233,5 @@ def dup_span_cut_pass(
             planned.unpersist()
     finally:
         cov.unpersist()
+        dup.unpersist()
     return rep

@@ -196,7 +196,7 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
             elif not isinstance(v, typ):
                 raise ValueError(f"[{destination}] '{k}' must be {typ.__name__}")
             pass_kwargs[k] = v
-    for k in ("changelog", "archive", "checkpoint", "filter_regex",
+    for k in ("table", "changelog", "archive", "checkpoint", "filter_regex",
               "filter_black_regex", "lineage", "band_index", "ivf_index"):
         if doc.get(k) is not None and not isinstance(doc[k], str):
             raise ValueError(f"[{destination}] '{k}' must be a string")
@@ -246,12 +246,21 @@ def scan_instances(conf_dir: str) -> tuple[dict[str, InstanceSpec], dict[str, st
 
 
 def diff_registry(
-    registry: dict[str, str], specs: dict[str, InstanceSpec]
+    registry: dict[str, str],
+    specs: dict[str, InstanceSpec],
+    errors: dict[str, str] | None = None,
 ) -> list[dict]:
     """Start/reload/stop events from one scan, CanalController-style
     (SpringInstanceConfigMonitor.scan:127-170: present+unregistered →
     start, fingerprint changed → reload, registered+gone → stop).
-    Mutates ``registry`` (destination → fingerprint) in place."""
+    Mutates ``registry`` (destination → fingerprint) in place.
+
+    ``errors`` (the scan's per-destination validation failures) makes
+    a TRANSIENTLY unreadable spec distinguishable from a removed one:
+    a registered destination whose instance.json failed this round's
+    read (mid-rewrite by a config tool, transient OSError, a bad edit)
+    is KEPT — logged and skipped, the reference's behavior — instead
+    of being stopped and churned back up when the file heals."""
     events: list[dict] = []
     for dest, spec in specs.items():
         old = registry.get(dest)
@@ -260,7 +269,8 @@ def diff_registry(
         elif old != spec.fingerprint:
             events.append({"event": "reload", "destination": dest})
         registry[dest] = spec.fingerprint
-    for dest in sorted(set(registry) - set(specs)):
+    broken = set(errors or ())
+    for dest in sorted(set(registry) - set(specs) - broken):
         events.append({"event": "stop", "destination": dest})
         del registry[dest]
     return events
@@ -450,13 +460,21 @@ class StreamFleet:
         except Exception as e:  # noqa: BLE001 — fleet isolation boundary
             return handle.result, f"{type(e).__name__}: {e}"
 
-    def sync(self, specs: dict[str, InstanceSpec]) -> list[dict]:
+    def sync(
+        self,
+        specs: dict[str, InstanceSpec],
+        errors: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Reconcile the running queries against one scan's stream-mode
         specs; returns lifecycle events.  A failed start is an event,
-        not an exception (fleet isolation)."""
+        not an exception (fleet isolation).  ``errors`` (the scan's
+        validation failures) protects a RUNNING query from a transiently
+        unreadable spec: like :func:`diff_registry`, a broken config is
+        logged and skipped, never a physical stop of a healthy stream."""
         events: list[dict] = []
         stream_specs = {d: s for d, s in specs.items() if s.mode == "stream"}
-        for dest in sorted(set(self._running) - set(stream_specs)):
+        broken = set(errors or ())
+        for dest in sorted(set(self._running) - set(stream_specs) - broken):
             fp, handle = self._running.pop(dest)
             _res, err = self._safe_stop(handle)
             ev = {"event": "stop", "destination": dest}
@@ -468,9 +486,14 @@ class StreamFleet:
             cur = self._running.get(dest)
             if cur is not None and cur[0] == spec.fingerprint:
                 continue
-            ev = "start" if cur is None else "reload"
+            ev = {"event": "start" if cur is None else "reload",
+                  "destination": dest}
             if cur is not None:
-                self._safe_stop(cur[1])  # reload restarts a died query too
+                # a query that DIED before this reload must not lose its
+                # terminal exception — surface it on the reload event
+                _res, err = self._safe_stop(cur[1])
+                if err:
+                    ev["previous_error"] = err
             try:
                 handle = start_instance_stream(self.spark, spec)
             except Exception as e:  # noqa: BLE001 — fleet isolation boundary
@@ -480,7 +503,7 @@ class StreamFleet:
                                "error": f"{type(e).__name__}: {e}"})
                 continue
             self._running[dest] = (spec.fingerprint, handle)
-            events.append({"event": ev, "destination": dest})
+            events.append(ev)
         return events
 
     def health(self) -> list[dict]:
@@ -497,7 +520,7 @@ class StreamFleet:
                 "active": handle.query.isActive,
                 "batches_seen": handle.result.batches_seen,
                 "batches_applied": handle.result.batches_applied,
-                "quarantined": len(handle.result.quarantined),
+                "quarantined": handle.result.quarantined_total,
                 "error": str(exc) if exc else None,
             })
         return rows
@@ -521,7 +544,7 @@ class StreamFleet:
             out[dest] = {
                 "batches_seen": res.batches_seen,
                 "batches_applied": res.batches_applied,
-                "quarantined": len(res.quarantined),
+                "quarantined": res.quarantined_total,
             }
             if err:
                 out[dest]["error"] = err

@@ -129,8 +129,10 @@ def main() -> None:
         owned_now.update(specs)
         if client_http is not None:
             # register consumer endpoints for every active destination
-            # with a staged changelog; drop vanished ones
-            for dest in sorted(set(consumers) - set(specs)):
+            # with a staged changelog; drop vanished ones (but keep a
+            # destination whose spec is only transiently unreadable —
+            # clients should not 404 while a config tool mid-rewrites)
+            for dest in sorted(set(consumers) - set(specs) - set(errors)):
                 del consumers[dest]
             for dest, s in specs.items():
                 if s.changelog and (
@@ -144,11 +146,11 @@ def main() -> None:
                         archive_dir=s.archive,
                     )
         batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
-        for ev in diff_registry(registry, batch_specs):
+        for ev in diff_registry(registry, batch_specs, errors=errors):
             emit(ev)
             if metrics and ev["event"] == "stop":
                 metrics.remove_instance(ev["destination"])
-        for ev in fleet.sync(specs):  # stream-mode lifecycle
+        for ev in fleet.sync(specs, errors=errors):  # stream-mode lifecycle
             emit({**ev, "mode": "stream"})
             if metrics and ev["event"] == "stop":
                 metrics.remove_instance(ev["destination"])

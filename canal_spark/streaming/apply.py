@@ -218,6 +218,13 @@ def stream_changelog_reader(
     return r.parquet(changelog_dir)
 
 
+# A continuously-running query commits one entry per trigger forever;
+# unbounded per-epoch histories would be a slow driver leak in the
+# always-on fleet mode, so each list keeps the most recent window and
+# the *_total counters carry the lifetime truth (what health() reads).
+MAX_EPOCH_HISTORY = 256
+
+
 @dataclass
 class StreamApplyResult:
     batches_seen: int = 0
@@ -229,6 +236,16 @@ class StreamApplyResult:
     # per-micro-batch derived-store syncs (band/IVF index): {epoch,
     # kind, applied, files_rewritten}
     index_refreshes: list = field(default_factory=list)
+    # lifetime counts (the lists above are windows of the most recent
+    # MAX_EPOCH_HISTORY entries each)
+    merges_total: int = 0
+    quarantined_total: int = 0
+    index_refreshes_total: int = 0
+
+    def _push(self, lst: list, entry: dict) -> None:
+        lst.append(entry)
+        if len(lst) > MAX_EPOCH_HISTORY:
+            del lst[: len(lst) - MAX_EPOCH_HISTORY]
 
 
 @dataclass
@@ -324,7 +341,22 @@ def stream_apply(
     epoch replays to a merge no-op and the refresh re-runs with the
     same keys (idempotent), and the next corpus_dedup/semantic_prune
     pass folds any residual drift."""
+    if not return_query and not available_now and await_seconds is None:
+        raise ValueError(
+            "available_now=False with await_seconds=None (and no "
+            "return_query) would block in awaitTermination forever — "
+            "pass await_seconds, or return_query=True to own the "
+            "lifecycle"
+        )
     result = StreamApplyResult()
+    # WAP delete-bound denominator, maintained incrementally: computed
+    # once on the first epoch, then replaced by each PUBLISHED epoch's
+    # audited live count — never a per-trigger O(table) scan (which a
+    # debt-carrying MoR stream would otherwise pay on EVERY batch, its
+    # delete_files() being permanently non-empty).  Row-preserving
+    # concurrent rewrites (compact/cluster) don't drift it; a restart
+    # recomputes it fresh.
+    parent_rows_cache: list[int] = []
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         result.batches_seen += 1
@@ -334,7 +366,9 @@ def stream_apply(
         if wap:
             from canal_spark.maintenance import wap_finalize, wap_parent_rows
 
-            parent_rows = wap_parent_rows(spark, t)
+            if not parent_rows_cache:
+                parent_rows_cache.append(wap_parent_rows(spark, t))
+            parent_rows = parent_rows_cache[0]
         m = merge_into(
             spark, t, batch_df, target_file_rows=target_file_rows,
             mode=merge_mode, stage_only=wap,
@@ -359,8 +393,12 @@ def stream_apply(
                     dest = f"{quarantine_dir}/epoch={epoch_id:020d}"
                     batch_df.write.mode("overwrite").parquet(dest)
                     entry["quarantine_path"] = dest
-                result.quarantined.append(entry)
+                result.quarantined_total += 1
+                result._push(result.quarantined, entry)
                 return
+            # the published snapshot's audited live count IS the next
+            # epoch's delete-bound denominator
+            parent_rows_cache[0] = int(fin["rows"])
         if (
             max_pending_delete_files is not None
             and len(t.delete_files()) >= max_pending_delete_files
@@ -385,9 +423,11 @@ def stream_apply(
             rewrite_pos_deletes(spark, t, min_files=rewrite_pos_debt_files)
         if m.applied:
             result.batches_applied += 1
-            result.merges.append(
+            result.merges_total += 1
+            result._push(
+                result.merges,
                 {"epoch": epoch_id, "hwm": m.high_water_mark,
-                 "snapshot_id": m.snapshot_id, "rows_upserted": m.rows_upserted}
+                 "snapshot_id": m.snapshot_id, "rows_upserted": m.rows_upserted},
             )
         if band_index is not None or ivf_index is not None:
             # sync even on a no-op merge: a replayed epoch whose merge
@@ -400,13 +440,20 @@ def stream_apply(
                 # refresh(): the handle is stale after the PREVIOUS
                 # epoch's index commit — planning the rewrite from old
                 # metadata drops rows
+                # report_candidates=False: the dup-candidate metrics
+                # cost an index semi-join + two extra actions per
+                # trigger and this path never reads them (the batch
+                # pass does; a stream consults corpus_dedup instead)
                 rb = refresh_band_index(
-                    spark, t, band_index.refresh(), keys=keys
+                    spark, t, band_index.refresh(), keys=keys,
+                    report_candidates=False,
                 )
-                result.index_refreshes.append(
+                result.index_refreshes_total += 1
+                result._push(
+                    result.index_refreshes,
                     {"epoch": epoch_id, "kind": "band",
                      "applied": rb.applied,
-                     "files_rewritten": rb.files_rewritten}
+                     "files_rewritten": rb.files_rewritten},
                 )
             if ivf_index is not None:
                 from canal_spark.ann_index import refresh_ivf_index
@@ -415,10 +462,12 @@ def stream_apply(
                     spark, t, ivf_index.refresh(), keys=keys,
                     emb_col=ivf_emb_col,
                 )
-                result.index_refreshes.append(
+                result.index_refreshes_total += 1
+                result._push(
+                    result.index_refreshes,
                     {"epoch": epoch_id, "kind": "ivf",
                      "applied": rv.applied,
-                     "files_rewritten": rv.files_rewritten}
+                     "files_rewritten": rv.files_rewritten},
                 )
 
     stream = stream_changelog_reader(

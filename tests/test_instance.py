@@ -435,6 +435,7 @@ class _DeadHandle:
         batches_seen = 3
         batches_applied = 2
         quarantined = ()
+        quarantined_total = 0
 
     result = _Res()
 
@@ -467,3 +468,55 @@ def test_stop_all_reports_died_query(spark):
     assert out["dead"]["batches_seen"] == 3
     assert out["dead"]["batches_applied"] == 2
     assert "RuntimeError" in out["dead"]["error"]
+
+
+def test_transient_config_error_does_not_stop_instance(tmp_path):
+    """A registered destination whose instance.json fails ONE scan
+    (mid-rewrite by a config tool, transient read error) is kept —
+    logged and skipped, the reference's behavior — not stopped and
+    churned back up when the file heals."""
+    import json as _json
+
+    from canal_spark.instance import diff_registry, scan_instances
+
+    conf = tmp_path / "conf"
+    d = conf / "d1"
+    d.mkdir(parents=True)
+    spec_doc = {"table": str(tmp_path / "tbl")}
+    (d / "instance.json").write_text(_json.dumps(spec_doc))
+    registry: dict = {}
+    specs, errors = scan_instances(str(conf))
+    assert [e["event"] for e in diff_registry(registry, specs, errors)] == ["start"]
+    fp = registry["d1"]
+
+    # a torn write lands: the scan errors, but the instance must stay
+    (d / "instance.json").write_text('{"table": ')
+    specs, errors = scan_instances(str(conf))
+    assert "d1" in errors
+    assert diff_registry(registry, specs, errors) == []
+    assert registry["d1"] == fp  # still registered, old fingerprint
+
+    # the file heals unchanged: no spurious start/reload either
+    (d / "instance.json").write_text(_json.dumps(spec_doc))
+    specs, errors = scan_instances(str(conf))
+    assert diff_registry(registry, specs, errors) == []
+
+    # a REAL removal still stops
+    (d / "instance.json").unlink()
+    specs, errors = scan_instances(str(conf))
+    assert [e["event"] for e in diff_registry(registry, specs, errors)] == ["stop"]
+    assert "d1" not in registry
+
+
+def test_table_must_be_string(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from canal_spark.instance import load_instance
+
+    d = tmp_path / "d9"
+    d.mkdir()
+    (d / "instance.json").write_text(_json.dumps({"table": 123}))
+    with _pytest.raises(ValueError, match="'table' must be a string"):
+        load_instance(str(tmp_path), "d9")

@@ -294,3 +294,23 @@ def test_stream_apply_syncs_band_index_per_batch(spark, token_table, tmp_path):
         return {(r["doc_id"], r["band"], r["bucket"])
                 for r in ix.refresh().scan(spark).collect()}
     assert band_set(index) == band_set(rebuilt)
+
+
+def test_stream_apply_forever_block_misconfig_raises(spark, tmp_path):
+    """available_now=False + await_seconds=None + no return_query would
+    block in awaitTermination forever — an immediate ValueError, not a
+    silent hang."""
+    import pytest as _pytest
+
+    from canal_spark import create_table
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.streaming.apply import stream_apply
+
+    t = create_table(
+        str(tmp_path / "tbl"), TOKEN_TABLE_SCHEMA, partition_by=["source"]
+    )
+    with _pytest.raises(ValueError, match="block in awaitTermination"):
+        stream_apply(
+            spark, t, str(tmp_path / "cl"), str(tmp_path / "ckpt"),
+            available_now=False,
+        )
