@@ -30,23 +30,24 @@ from canal_spark.table.format import Table, create_table, load_table
 from canal_spark.table.writer import append
 
 
-def ensure_lineage(root: str) -> Table:
+def _load_with_grace(root: str, attempts: int = 50, delay_s: float = 0.1) -> Table:
+    """Load a table that a CONCURRENT creator may still be mid-create
+    (metadata/ made, v0.metadata.json not yet linked): poll briefly,
+    then re-raise the real error.  The ONE grace loop both of
+    ensure_lineage's race windows share."""
     import time as _time
 
+    for _ in range(attempts):
+        try:
+            return load_table(root)
+        except FileNotFoundError:
+            _time.sleep(delay_s)
+    return load_table(root)  # raise the real error after the grace
+
+
+def ensure_lineage(root: str) -> Table:
     if os.path.exists(os.path.join(root, "metadata")):
-        # the exists-then-load path races the same create window the
-        # except-branch below handles: a concurrent creator has made
-        # metadata/ but not yet linked v0.metadata.json — poll for it
-        # instead of crashing the maintenance job
-        t = None
-        for _ in range(50):
-            try:
-                t = load_table(root)
-                break
-            except FileNotFoundError:
-                _time.sleep(0.1)
-        if t is None:
-            t = load_table(root)  # raise the real error after the grace
+        t = _load_with_grace(root)
         # round-3 lineage tables predate the metrics column: evolve in
         # place (metadata-only; old rows read null) so record() can
         # always write the full row shape
@@ -57,15 +58,8 @@ def ensure_lineage(root: str) -> Table:
         return create_table(root, LINEAGE_SCHEMA)
     except FileExistsError:
         # check-then-create race: a concurrent job created it first —
-        # losers load.  The winner may still be between mkdir and its
-        # v0.metadata.json write, so poll briefly instead of crashing
-        # on the not-yet-written metadata.
-        for _ in range(50):
-            try:
-                return load_table(root)
-            except FileNotFoundError:
-                _time.sleep(0.1)
-        raise
+        # losers load through the same grace window
+        return _load_with_grace(root)
 
 
 def record(

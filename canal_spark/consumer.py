@@ -251,8 +251,18 @@ class ConsumerServer:
     def unsubscribe(self, client_id: str) -> None:
         """Drop the registration AND the durable meta (unsubscribe:
         180-184 removes the client from the meta manager)."""
+        path = os.path.join(self.meta_dir, f"{client_id}.json")
         with self._lock:
             m = self._clients.pop(client_id, None)
+            # delete under the REGISTRY lock: subscribe() loads the
+            # meta file under this same lock, so a racing re-subscribe
+            # can never read the old cursor from a file this call is
+            # about to delete (then be left registered with no durable
+            # meta behind it)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
         # wait out any in-flight verb OUTSIDE the registry lock (a slow
         # fetch must not block other clients' lookups), then mark the
         # instance dead: a verb that resolved this instance before the
@@ -261,8 +271,10 @@ class ConsumerServer:
         with (m.lock if m is not None else threading.Lock()):
             if m is not None:
                 m.dead = True
+            # an in-flight save() between the two sections may have
+            # recreated the file — remove again now that dead is set
             try:
-                os.remove(os.path.join(self.meta_dir, f"{client_id}.json"))
+                os.remove(path)
             except FileNotFoundError:
                 pass
 
@@ -270,86 +282,104 @@ class ConsumerServer:
         m = self._client(client_id)
         with m.lock:
             self._check_live(m, client_id)
-            # get-pointer: past every outstanding batch, else the cursor
-            # (getLastestBatch / getCursor split, :318-327)
-            fetch_from = max([m.cursor] + [e for _, e in m.batches.values()])
-            if self.archive_dir is not None:
-                from canal_spark.archive import resolve_changelog
+            return self._fetch_locked(m, batch_size)
 
-                sl, _ = resolve_changelog(
-                    self.spark, self.changelog_dir, self.archive_dir, fetch_from
-                )
-                if sl is None:
-                    return Message(-1)
-            else:
-                store = self._scan()
-                if store is None:
-                    return Message(-1)
-                sl = store.where(F.col("ordinal") > F.lit(int(fetch_from)))
-            # client-side subscription filter on the event's source —
-            # NULL kept (a D row's after-image source is null; dropping
-            # an unclassifiable delete would leak the key forever)
-            if m.filter_regex:
-                sl = sl.where(
-                    F.col("source").isNull() | F.col("source").rlike(m.filter_regex)
-                )
-            if m.black_regex:
-                sl = sl.where(
-                    F.col("source").isNull() | ~F.col("source").rlike(m.black_regex)
-                )
-            from canal_spark.deliver import flat_message_col
+    def _fetch_locked(self, m: _ClientMeta, batch_size: int) -> Message:
+        """getWithoutAck body; caller holds ``m.lock``."""
+        # get-pointer: past every outstanding batch, else the cursor
+        # (getLastestBatch / getCursor split, :318-327)
+        fetch_from = max([m.cursor] + [e for _, e in m.batches.values()])
+        if self.archive_dir is not None:
+            from canal_spark.archive import resolve_changelog
 
-            with_old = any(
-                c in sl.columns for c in ("before_tokens", "before_n_tok")
+            sl, _ = resolve_changelog(
+                self.spark, self.changelog_dir, self.archive_dir, fetch_from
             )
-            if with_old:
-                if "before_tokens" not in sl.columns:
-                    sl = sl.withColumn("before_tokens", F.lit(None).cast("array<int>"))
-                if "before_n_tok" not in sl.columns:
-                    sl = sl.withColumn("before_n_tok", F.lit(None).cast("int"))
-            rows = (
-                sl.orderBy("ordinal")
-                .limit(int(batch_size))
-                .select(
-                    "ordinal",
-                    flat_message_col(
-                        self.database, self.table, with_old=with_old
-                    ).alias("value"),
-                )
-                .collect()
+            if sl is None:
+                return Message(-1)
+        else:
+            store = self._scan()
+            if store is None:
+                return Message(-1)
+            sl = store.where(F.col("ordinal") > F.lit(int(fetch_from)))
+        # client-side subscription filter on the event's source —
+        # NULL kept (a D row's after-image source is null; dropping
+        # an unclassifiable delete would leak the key forever)
+        if m.filter_regex:
+            sl = sl.where(
+                F.col("source").isNull() | F.col("source").rlike(m.filter_regex)
             )
-            if not rows:
-                return Message(-1)  # empty packet, no id burned (:345)
-            batch_id = m.next_batch_id
-            m.next_batch_id += 1
-            m.batches[batch_id] = (int(fetch_from), int(rows[-1]["ordinal"]))
-            m.save()
-            return Message(batch_id, [r["value"] for r in rows])
+        if m.black_regex:
+            sl = sl.where(
+                F.col("source").isNull() | ~F.col("source").rlike(m.black_regex)
+            )
+        from canal_spark.deliver import flat_message_col
+
+        with_old = any(
+            c in sl.columns for c in ("before_tokens", "before_n_tok")
+        )
+        if with_old:
+            if "before_tokens" not in sl.columns:
+                sl = sl.withColumn("before_tokens", F.lit(None).cast("array<int>"))
+            if "before_n_tok" not in sl.columns:
+                sl = sl.withColumn("before_n_tok", F.lit(None).cast("int"))
+        rows = (
+            sl.orderBy("ordinal")
+            .limit(int(batch_size))
+            .select(
+                "ordinal",
+                flat_message_col(
+                    self.database, self.table, with_old=with_old
+                ).alias("value"),
+            )
+            .collect()
+        )
+        if not rows:
+            return Message(-1)  # empty packet, no id burned (:345)
+        batch_id = m.next_batch_id
+        m.next_batch_id += 1
+        m.batches[batch_id] = (int(fetch_from), int(rows[-1]["ordinal"]))
+        m.save()
+        return Message(batch_id, [r["value"] for r in rows])
+
+    def _ack_locked(self, m: _ClientMeta, client_id: str, batch_id: int) -> None:
+        """ack body; caller holds ``m.lock``."""
+        batch_id = int(batch_id)
+        if batch_id not in m.batches:
+            raise ValueError(
+                f"ack error, clientId:{client_id} batchId:{batch_id} "
+                f"is not exist, please check"
+            )
+        first = min(m.batches)
+        if batch_id != first:
+            raise ValueError(
+                f"batchId:{batch_id} is not the firstly:{first}"
+            )
+        _, end = m.batches.pop(batch_id)
+        m.cursor = max(m.cursor, end)  # no-regress, like the hwm
+        m.save()
 
     def ack(self, client_id: str, batch_id: int) -> None:
         m = self._client(client_id)
         with m.lock:
             self._check_live(m, client_id)
-            batch_id = int(batch_id)
-            if batch_id not in m.batches:
-                raise ValueError(
-                    f"ack error, clientId:{client_id} batchId:{batch_id} "
-                    f"is not exist, please check"
-                )
-            first = min(m.batches)
-            if batch_id != first:
-                raise ValueError(
-                    f"batchId:{batch_id} is not the firstly:{first}"
-                )
-            _, end = m.batches.pop(batch_id)
-            m.cursor = max(m.cursor, end)  # no-regress, like the hwm
-            m.save()
+            self._ack_locked(m, client_id, batch_id)
 
     def get(self, client_id: str, batch_size: int = 1000) -> Message:
-        msg = self.get_without_ack(client_id, batch_size)
-        if not msg.is_empty:
-            self.ack(client_id, msg.id)
-        return msg
+        """getWithoutAck + immediate ack under ONE lock hold — the
+        reference runs get inside a single synchronized block
+        (CanalServerWithEmbedded.get:219-268).  Dropping the lock
+        between the two lets a concurrent auto-ack get interleave:
+        T1 fetches batch 1, T2 fetches batch 2, T1 acks 1, T2's ack(2)
+        then fails first-outstanding and batch 2's ordinals are skipped
+        forever — one race permanently wedging the client."""
+        m = self._client(client_id)
+        with m.lock:
+            self._check_live(m, client_id)
+            msg = self._fetch_locked(m, batch_size)
+            if not msg.is_empty:
+                self._ack_locked(m, client_id, msg.id)
+            return msg
 
     def rollback(self, client_id: str, batch_id: int | None = None) -> None:
         """Requeue everything unacked; the batch-id form validates the
@@ -452,6 +482,11 @@ def start_consumer_http(
                 self._send(400, {"error": str(e)})
             except ValueError as e:
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                # a Spark/IO failure mid-fetch (vanished staging file,
+                # analysis error) must be a JSON 500, not a dropped
+                # socket with a driver-side traceback
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):  # noqa: N802 — http.server API
             r = self._route()
@@ -487,6 +522,8 @@ def start_consumer_http(
                 self._send(400, {"error": str(e)})
             except ValueError as e:
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — wire boundary
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):  # client calls are not server events
             pass

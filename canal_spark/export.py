@@ -84,9 +84,12 @@ def export_snapshot(
         .sortWithinPartitions("shard", "_sk", key_col)
         .drop("_sk")
     )
-    out.write.mode("overwrite" if overwrite else "error").partitionBy(
-        "shard"
-    ).parquet(out_dir)
+    # always overwrite: the guard above is the immutability contract
+    # (empty-or-explicit-overwrite); Spark's errorifexists tests path
+    # EXISTENCE, not emptiness, so a pre-created empty out_dir
+    # (mkdir -p orchestration) would fail the write despite passing
+    # the guard
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     rows = spark.read.parquet(out_dir).count()
     return ExportResult(
         out_dir=out_dir,

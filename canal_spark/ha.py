@@ -14,7 +14,10 @@ next to the destination's instance spec:
   <conf_dir>/<destination>/running.json
       {"server_id", "incarnation", "acquired_utc", "heartbeat_utc"}
 
-* acquire   = ``O_CREAT|O_EXCL`` create (one winner, kernel-atomic);
+* acquire   = payload written to a private temp then hard-linked into
+  place (one winner, kernel-atomic like ``O_EXCL``, and the file is
+  never visible without its payload — a crash mid-acquire cannot
+  leave an unparseable 0-byte lease that wedges every takeover);
 * liveness  = the holder rewrites the payload each round (write temp +
   ``os.replace`` — readers never see a torn file); zk's session
   timeout becomes the lease TTL on the heartbeat timestamp;
@@ -130,17 +133,31 @@ class DestinationLease:
             # sweeper's FRESH lease
             return False
         self.incarnation = uuid.uuid4().hex
+        # atomic create-WITH-content: write the payload to a private
+        # temp file, then hard-link it into place — os.link fails with
+        # FileExistsError when a rival won (the O_EXCL race, kernel-
+        # arbitrated) and, unlike create-then-write, a crash can never
+        # leave a 0-byte running.json that is unparseable (holder() →
+        # None), never stale (no heartbeat to age) and therefore never
+        # swept — the self-inflicted permanent wedge of the takeover.
+        tmp = f"{self.path}.{self.incarnation}.acquire"
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            self.incarnation = None
-            return False
+            with open(tmp, "wb") as f:
+                f.write(self._payload(acquired_ts=self._clock()))
         except FileNotFoundError:
             # destination dir removed from the conf tree mid-race
             self.incarnation = None
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(self._payload(acquired_ts=self._clock()))
+        try:
+            os.link(tmp, self.path)
+        except (FileExistsError, FileNotFoundError):
+            self.incarnation = None
+            return False
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
         return True
 
     def _sweep_stale(self, p: dict) -> bool:

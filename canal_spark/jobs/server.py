@@ -121,7 +121,10 @@ def main() -> None:
             # claims start events for destinations it doesn't hold, and
             # losing a lease reads as the spec vanishing (stop + stream
             # shutdown) exactly like a conf-dir removal
-            owned, ha_events = ha.select(list(specs))
+            # broken-but-present specs keep their lease: a config tool
+            # mid-rewrite must not trigger a release-and-migrate flap
+            # (the sibling acquires, then loses it back one round later)
+            owned, ha_events = ha.select(list(specs) + sorted(errors))
             for ev in ha_events:
                 emit(ev)
             specs = {d: s for d, s in specs.items() if d in owned}

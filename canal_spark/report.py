@@ -179,9 +179,8 @@ def table_report(
     total_rows = sum(e.rows for e in files)
     per_part: dict[str, int] = {}
     for e in files:
-        per_part[_partition_str(e.partition)] = (
-            per_part.get(_partition_str(e.partition), 0) + e.rows
-        )
+        k = _partition_str(e.partition)
+        per_part[k] = per_part.get(k, 0) + e.rows
     part_rows = list(per_part.values())
     mean_part = (sum(part_rows) / len(part_rows)) if part_rows else 0
     refs = table.refs
@@ -201,12 +200,8 @@ def table_report(
             "rows": int(total_rows),
             "bytes": int(total_bytes),
             "avg_bytes": int(total_bytes / n) if n else 0,
-            "small": sum(1 for e in files if e.bytes < small_file_bytes),
-            "small_fraction": round(
-                sum(1 for e in files if e.bytes < small_file_bytes) / n, 4
-            )
-            if n
-            else 0.0,
+            "small": (n_small := sum(1 for e in files if e.bytes < small_file_bytes)),
+            "small_fraction": round(n_small / n, 4) if n else 0.0,
             "clustered_fraction": round(
                 sum(1 for e in files if e.sort_order) / n, 4
             )

@@ -32,7 +32,9 @@ Spark-first shape (NOT a port of the reference's in-memory dict loop):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import shutil
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,9 +80,22 @@ class BpeModel:
 
     merges: list[tuple[str, str, int]]
     vocab: DataFrame
+    # reliable-mode parquet state dirs (ping/pong, see bpe_train) — the
+    # vocab frame reads from one of them, so they live with the model
+    state_dirs: tuple[str, ...] = field(default=())
 
     def release(self) -> None:
         self.vocab.unpersist()
+        for d in self.state_dirs:
+            # getCheckpointDir() hands back a resolved URI; reclaim
+            # local state, leave remote schemes to the store's GC
+            p = d
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    p = p[len(pre):]
+                    break
+            if not p.startswith(("s3:", "hdfs:", "gs:", "abfs:")):
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def bpe_train(
@@ -93,12 +108,31 @@ def bpe_train(
     """Learn ``n_merges`` BPE merges from the corpus (stops early when
     the best remaining pair occurs fewer than ``min_pair_count``
     times).  Tie-break: count desc, then (p1, p2) asc."""
-    reliable = spark.sparkContext.getCheckpointDir() is not None
+    ckpt_root = spark.sparkContext.getCheckpointDir()
+    reliable = ckpt_root is not None
+    # Reliable mode is MANUAL ping-pong parquet state, not
+    # df.checkpoint(): Spark never deletes reliable checkpoint files
+    # (cleanCheckpoints defaults off), so n_merges rounds would leak
+    # n_merges dictionary-scale directories per training run.  Writing
+    # round i to dir (i % 2) truncates lineage identically (the next
+    # round reads a plain parquet scan), overwrite reclaims round i-2
+    # in place, and at most TWO state dirs ever exist — released with
+    # the model (BpeModel.release).
+    state_dirs: tuple[str, ...] = ()
+    if reliable:
+        job = uuid.uuid4().hex[:12]
+        state_dirs = (
+            f"{ckpt_root}/bpe-{job}-a", f"{ckpt_root}/bpe-{job}-b",
+        )
+    flip = [0]
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
-        )
+        if not reliable:
+            return df.localCheckpoint(eager=True)
+        path = state_dirs[flip[0]]
+        flip[0] ^= 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     state = _ckpt(
         word_frequency(docs, text_col).withColumn("syms", F.split("w", ""))
@@ -128,7 +162,7 @@ def bpe_train(
         if not reliable:
             state.unpersist()
         state = new_state
-    return BpeModel(merges=merges, vocab=state)
+    return BpeModel(merges=merges, vocab=state, state_dirs=state_dirs)
 
 
 def bpe_encode(

@@ -412,3 +412,34 @@ def test_unsubscribe_marks_instance_dead_no_resurrection(staged):
     # re-subscribe starts clean at the store head, not the old cursor
     out = srv.subscribe("c1")
     assert out["cursor"] == 0
+
+
+def test_concurrent_auto_ack_gets_share_one_stream(staged):
+    """get (auto-ack) holds ONE lock across fetch+ack — two threads
+    draining the same client split the changelog exactly once between
+    them with no 'is not the firstly' wedge (the reference runs get in
+    a single synchronized block)."""
+    import threading
+
+    srv, rows = staged
+    srv.subscribe("c1")
+    got: list = []
+    errs: list = []
+
+    def drain() -> None:
+        try:
+            while True:
+                m = srv.get("c1", batch_size=13)
+                if m.is_empty:
+                    return
+                got.extend(_ids(m.entries))
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=drain) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert sorted(got) == sorted(r[2] for r in rows)  # once each, no gaps

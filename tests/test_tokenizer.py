@@ -131,3 +131,47 @@ def test_bpe_train_early_stop_and_monotone_compression(spark):
             assert tot <= prev
         prev = tot
         m.release()
+
+
+def test_reliable_mode_keeps_at_most_two_state_dirs(tmp_path):
+    """Reliable training state is manual ping-pong parquet: at most two
+    bpe-* dirs exist no matter how many merge rounds ran (df.checkpoint
+    would leak one dictionary-scale dir per round — Spark never cleans
+    reliable checkpoints), and release() reclaims both."""
+    import subprocess
+    import sys
+
+    script = f"""
+import os
+from canal_spark import get_spark
+from canal_spark.tokenizer import bpe_train, bpe_encode
+spark = get_spark("bpe-reliable", master="local[2]", shuffle_partitions=2)
+ck = {str(tmp_path / 'ck')!r}
+spark.sparkContext.setCheckpointDir(ck)
+docs = spark.createDataFrame(
+    [("d%d" % i, "low lower lowest newer newest") for i in range(20)],
+    "doc_id string, text string",
+)
+model = bpe_train(spark, docs, n_merges=6)
+assert len(model.merges) >= 3, model.merges
+
+def bpe_dirs():
+    # setCheckpointDir nests a UUID subdir — walk for the state dirs
+    return sorted(
+        n for _r, ds, _f in os.walk(ck) for n in ds if n.startswith("bpe-")
+    )
+
+sub = bpe_dirs()
+assert len(sub) == 2, sub  # ping + pong, never one per round
+enc = bpe_encode(docs, model).count()
+assert enc == 20, enc
+model.release()
+assert bpe_dirs() == []
+print("RELIABLE-BPE-OK")
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=420, cwd="/root/repo",
+    )
+    assert "RELIABLE-BPE-OK" in out.stdout, out.stdout + out.stderr
