@@ -82,7 +82,13 @@ def audit_snapshot(
         aggs.append(F.sum(F.when(null_key, 1).otherwise(0)).alias("null_keys"))
         aggs.append(F.count_distinct(F.struct(*key_cols)).alias("distinct_keys"))
     if {"tokens", "n_tok"} <= cols:
-        bad = F.col("tokens").isNull() | (F.size("tokens") != F.col("n_tok"))
+        # eqNullSafe: a NULL n_tok must COUNT as bad — with a plain !=
+        # the comparison is NULL, F.when(NULL, 1).otherwise(0) scores 0,
+        # and the exact row class this audit exists to quarantine
+        # publishes cleanly
+        bad = F.col("tokens").isNull() | ~F.size("tokens").eqNullSafe(
+            F.col("n_tok")
+        )
         aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias("bad_token_arrays"))
     row = df.agg(*aggs).collect()[0].asDict()
     rows = int(row["rows"] or 0)
@@ -363,11 +369,11 @@ def run_pass(
     if rewrite_pos_debt_files is not None:
         if branch is not None:
             table.refresh()
-            pos_pending = [
-                d
-                for d in table.delete_files(table.refs[branch]["snapshot_id"])
-                if d.content == "pos-deletes"
-            ]
+            # the shared helper owns the content-string filter: a new
+            # delete form added there can never be missed here
+            pos_pending = table.pos_delete_files(
+                table.refs[branch]["snapshot_id"]
+            )
         else:
             pos_pending = table.pos_delete_files()
         if len(pos_pending) >= rewrite_pos_debt_files:
@@ -618,5 +624,24 @@ def prometheus_metrics(rep: MaintenanceReport, destination: str = "tokens") -> d
         )
         vals[f"canal_spark_ivf_index_codebook_version{lbl}"] = int(
             iv.get("codebook_version", 0)
+        )
+    if rep.pos_rewrite:
+        pz = rep.pos_rewrite
+        vals[f"canal_spark_pos_rewrite_files_removed{lbl}"] = int(
+            pz.get("pos_files_removed", 0)
+        )
+        vals[f"canal_spark_pos_rewrite_dangling_rows{lbl}"] = int(
+            pz.get("dangling_rows", 0)
+        )
+    if rep.span_cut:
+        sc = rep.span_cut
+        vals[f"canal_spark_span_cut_docs_affected{lbl}"] = int(
+            sc.get("docs_affected", 0)
+        )
+        vals[f"canal_spark_span_cut_tokens_removed{lbl}"] = int(
+            sc.get("tokens_removed", 0)
+        )
+        vals[f"canal_spark_span_cut_docs_deleted{lbl}"] = int(
+            sc.get("docs_deleted", 0)
         )
     return vals

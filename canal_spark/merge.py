@@ -46,6 +46,9 @@ from pyspark.sql.types import StructType
 
 from canal_spark.table.format import (
     BRANCH_KEY,
+    CKPT_PROP,
+    GTID_PROP,
+    POSITION_RESET_KEY,
     WAP_STAGED_KEY,
     DataFile,
     Table,
@@ -53,8 +56,10 @@ from canal_spark.table.format import (
 )
 from canal_spark.table.writer import norm_file_path, write_datafiles
 
-CKPT_KEY = "merge-hwm-ordinal"  # high-water mark in snapshot summary
-GTID_KEY = "merge-gtid-set"  # {stream_id: ordinal} for multi-stream sources
+# checkpoint keys are OWNED by the format layer (rollback_to resets them
+# as the sanctioned redelivery path); historical local names kept
+CKPT_KEY = CKPT_PROP  # high-water mark in snapshot summary
+GTID_KEY = GTID_PROP  # {stream_id: ordinal} for multi-stream sources
 # Null stream_id rows checkpoint under this sentinel stream.  Without
 # it, a null key JSON-serializes as the string "null" in the stored
 # gtid-set while gmap[null] yields null -> coalesce -> 0 on the filter
@@ -71,6 +76,30 @@ DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
 # --------------------------------------------------------------------------
 
 
+def _position_reset_id(table: Table, branch: str | None = None) -> int | None:
+    """Snapshot id of the LATEST position-reset (a redelivery
+    ``rollback_to``) in the head's ancestry, or None.  Marks from
+    snapshots older than it no longer count: they belong to batches the
+    rollback un-applied — counting them would make those ordinals
+    permanently undeliverable."""
+    by_id = {s.snapshot_id: s for s in table.snapshots}
+    head = None
+    if branch is not None:
+        ref = table.refs.get(branch)
+        if ref is not None:
+            head = by_id.get(ref["snapshot_id"])
+    if head is None:
+        cur = table.current_snapshot_id
+        head = by_id.get(cur) if cur is not None else None
+    while head is not None:
+        if head.summary.get(POSITION_RESET_KEY):
+            return head.snapshot_id
+        head = (
+            by_id.get(head.parent_id) if head.parent_id is not None else None
+        )
+    return None
+
+
 def merge_high_water_mark(table: Table, branch: str | None = None) -> int:
     """Largest changelog ordinal already applied.
 
@@ -85,7 +114,12 @@ def merge_high_water_mark(table: Table, branch: str | None = None) -> int:
     invisible to mainline resume until fast-forward.
     """
     hwm = int(table.properties.get(CKPT_KEY, 0))
+    reset_id = _position_reset_id(table, branch)
     for s in table.snapshots:
+        if reset_id is not None and s.snapshot_id < reset_id:
+            # rolled-back era: a redelivery rollback_to reset the
+            # position — these batches are un-applied history
+            continue
         if s.summary.get(WAP_STAGED_KEY):
             # an unpublished (WAP-staged) merge must NOT advance the
             # effective mark: if its audit aborts, the batch has to
@@ -126,7 +160,10 @@ def merge_gtid_set(table: Table, branch: str | None = None) -> dict[str, int]:
     for k, v in (table.properties.get(GTID_KEY) or {}).items():
         k = norm(k)
         out[k] = max(int(out.get(k, 0)), int(v))
+    reset_id = _position_reset_id(table, branch)
     for s in table.snapshots:
+        if reset_id is not None and s.snapshot_id < reset_id:
+            continue  # rolled-back era: un-applied history (redelivery)
         if s.summary.get(WAP_STAGED_KEY):
             continue  # unpublished stage: marks count only after publish
         b = s.summary.get(BRANCH_KEY)
@@ -373,6 +410,19 @@ def merge_into(
     else:
         base_sid = None
     hwm = merge_high_water_mark(table, branch=branch)
+    # checkpoint CAS pins for commit time (mainline only — branch marks
+    # live in chain summaries, serialized by the ref CAS): a concurrent
+    # merge advancing these between our planning and our commit makes a
+    # PURE-ADD plan double-apply, the one shape the manifest removal
+    # checks cannot catch
+    planned_props = (
+        {
+            CKPT_KEY: table.properties.get(CKPT_KEY),
+            GTID_KEY: table.properties.get(GTID_KEY),
+        }
+        if branch is None and advance_checkpoint
+        else None
+    )
 
     # C2 'get batch': only changes past the checkpoint; replay-safe.
     # GTID mode: a `stream_id` column switches to per-stream positions —
@@ -390,6 +440,15 @@ def merge_into(
             F.lit('stream_id "null" is reserved (legacy JSON null-key); rename the stream')
         ),
     ).otherwise(F.coalesce(F.col("stream_id"), F.lit(NULL_STREAM)))
+    # CONTRACT: per-stream ordinal domains are independent of the scalar
+    # domain and of each other — an unseen stream always starts at mark
+    # 0, even on a table whose scalar hwm is high (mixed-mode tables are
+    # supported: the quiet-stream property no-regress depends on it).
+    # Consequence for OPERATORS migrating a scalar source to stream
+    # tags: already-applied pre-migration events must NOT be redelivered
+    # under a new stream_id — the engine cannot attribute the scalar
+    # mark to any stream and would re-apply them as that stream's fresh
+    # history.  Start the tagged stream at its own first NEW position.
     if has_streams:
         gset = merge_gtid_set(table, branch=branch)
         if gset:
@@ -482,6 +541,23 @@ def merge_into(
     final = _persisted = final.persist()
 
     try:
+        # NULL keys are poison, not data: they can never be matched by a
+        # later event, and they crash the driver-side key paths
+        # (np.sort/searchsorted) with an unorderable TypeError on every
+        # retry — fail FIRST with a diagnosable batch error instead
+        # (one cached-frame pass; the stats agg below reuses the cache)
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        n_null = final.where(null_key).count()
+        if n_null:
+            raise ValueError(
+                f"{n_null} changelog event(s) carry a NULL key "
+                f"({key_cols}): a null key is unmatchable by any later "
+                "event — repair or filter them upstream (the batch was "
+                "not applied)"
+            )
         # suppression is only sound for keys PRESENT in the table: the
         # CDC before-image contract chains table == before_1 == after_1
         # == ... == after_N only when the chain is anchored to a live
@@ -568,6 +644,7 @@ def merge_into(
                     table,
                     keys_df.repartition(m_del, *key_cols),
                     sort_within_by=key_cols,
+                    build_bloom=False,  # no reader probes a delete bloom
                 )
                 for e in del_entries:
                     e.content = "eq-deletes"
@@ -750,6 +827,7 @@ def merge_into(
         # only rewrites can strand a concurrent delete; pure-add commits
         # (MoR, upsert-only) are delete-safe by the sequence rules
         validate_no_new_deletes_since=plan_sid if affected else None,
+        validate_properties=planned_props,
     )
     return MergeResult(
         applied=True,
@@ -880,7 +958,15 @@ def _metadata_decide_files(
         return [], list(entries)
     from pyspark.sql.types import StringType, StructField, StructType
 
-    pfields = [f for f in table.spark_schema().fields if f.name in pcols]
+    # pfields MUST be in pcols order: the value tuples below are built
+    # as [e.partition[c] for c in pcols], and a spec whose column order
+    # differs from the schema's would otherwise bind values to the
+    # wrong columns — with same-typed partition columns that is a
+    # SILENT misclassification (wrong files dropped/kept), not an error
+    by_name = {f.name: f for f in table.spark_schema().fields}
+    if any(c not in by_name for c in pcols):
+        return [], list(entries)  # renamed/dropped partition column era
+    pfields = [by_name[c] for c in pcols]
     probe = spark.createDataFrame([], StructType(pfields))
     try:
         probe.where(condition).schema  # analysis-only; no job
@@ -927,6 +1013,7 @@ def _write_pos_delete_entries(
         spark, table,
         pos_df.repartition(m, "file_path"),
         sort_within_by=["file_path", "pos"],
+        build_bloom=False,  # no reader probes a delete bloom
     )
     for e in entries:
         e.content = "pos-deletes"

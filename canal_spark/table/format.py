@@ -176,6 +176,14 @@ class CommitConflict(Exception):
 # untouched and the batch re-applies cleanly.
 WAP_STAGED_KEY = "wap-staged"
 WAP_PROPS_KEY = "wap-staged-properties"
+# checkpoint property keys (merge.py aliases these): owned here so the
+# format layer can reset them on rollback without importing merge
+CKPT_PROP = "merge-hwm-ordinal"
+GTID_PROP = "merge-gtid-set"
+# summary marker a position-resetting rollback writes: resume marks
+# from snapshots OLDER than this one no longer count (merge.py's
+# hwm/GTID scans stop at the boundary)
+POSITION_RESET_KEY = "position-reset"
 # summary key marking a commit that landed on a named branch (value =
 # branch name).  Branch commits are the multi-commit generalization of
 # WAP staging: invisible to mainline readers and checkpoint accounting
@@ -462,7 +470,7 @@ class Table:
         are rejected too — positions move through commits, never DDL."""
         props = dict(props or {})
         remove = list(remove or [])
-        reserved = {"merge-hwm-ordinal", "merge-gtid-set"}
+        reserved = {CKPT_PROP, GTID_PROP}
         touched = set(props) | set(remove)
         if touched & reserved:
             raise ValueError(
@@ -1164,6 +1172,7 @@ class Table:
         branch: str | None = None,
         validate_no_new_deletes_since: int | None = None,
         validate_files_exist: Iterable[str] | None = None,
+        validate_properties: dict | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot (optimistic concurrency).
 
@@ -1202,6 +1211,22 @@ class Table:
         unstamped = [e for e in added if e.seq is None]
         for _ in range(max_retries):
             self.refresh()
+            # checkpoint CAS (Iceberg's validate-committed-state family):
+            # the caller pins the property values its plan was computed
+            # against; a concurrent writer having advanced them means the
+            # plan is stale — a PURE-ADD merge (all-new keys) would
+            # otherwise double-apply, since it removes no files and the
+            # manifest checks have nothing to conflict on.  Re-checked
+            # per attempt against freshly-refreshed metadata.
+            if validate_properties is not None:
+                cur_props = self.properties
+                for k, v in validate_properties.items():
+                    if cur_props.get(k) != v:
+                        raise CommitConflict(
+                            f"table property {k!r} advanced since planning "
+                            f"({v!r} -> {cur_props.get(k)!r}): a concurrent "
+                            "writer moved the checkpoint — replan the batch"
+                        )
             if branch is not None:
                 ref = self.refs.get(branch)
                 if ref is None or ref.get("type") != "branch":
@@ -1751,7 +1776,30 @@ class Table:
             "orphan_manifests_deleted": manifests_removed,
         }
 
-    def rollback_to(self, snapshot_id: int) -> Snapshot:
+    def _ancestry_position_marks(self, target: Snapshot) -> tuple[int, dict]:
+        """Resume marks AS OF ``target``: max hwm / per-stream GTID over
+        the target's published parent chain, stopping at (and including)
+        any earlier position reset.  Expired ancestors reconstruct LOW,
+        which is the safe direction — a too-low mark redelivers events
+        the idempotent merge replays to no-ops; a too-high one silently
+        swallows them."""
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        ck, gs = 0, {}
+        cur: Snapshot | None = target
+        while cur is not None:
+            v = cur.summary.get(CKPT_PROP)
+            if v is not None:
+                ck = max(ck, int(v))
+            for k, m in (cur.summary.get(GTID_PROP) or {}).items():
+                gs[k] = max(int(gs.get(k, 0)), int(m))
+            if cur.summary.get(POSITION_RESET_KEY):
+                break  # marks older than a reset were already superseded
+            cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+        return ck, gs
+
+    def rollback_to(
+        self, snapshot_id: int, reset_position: bool = True
+    ) -> Snapshot:
         """Roll the table back to a past snapshot AS A NEW COMMIT — the
         table-format analogue of the reference's ``rollback(position)``
         redelivery (C4, store/.../MemoryEventStoreWithBuffer.java:416-470;
@@ -1759,7 +1807,19 @@ class Table:
         The new snapshot reuses the target's manifests by reference
         (metadata-only) and pins the target's schema-id, so history is
         preserved (no snapshots are deleted) and the rollback itself can
-        be rolled back."""
+        be rolled back.
+
+        ``reset_position`` (default) makes the rollback a REDELIVERY
+        point, completing the C4 contract: the checkpoint properties and
+        the effective resume marks rewind to the target's ancestry
+        values (reconstructed from its parent-chain summaries), and the
+        rollback snapshot carries a ``position-reset`` boundary so the
+        rolled-back batches' summaries — still retained as history —
+        stop counting toward the hwm/GTID scans.  Without it the data
+        would roll back while the checkpoint still claimed the bad
+        batches applied, making their ordinals permanently
+        undeliverable (set_properties rejects lowering the marks, by
+        design — THIS is the sanctioned regression path)."""
         self.snapshot_by_id(snapshot_id)  # fail fast on a bad id
         for _ in range(5):
             self.refresh()
@@ -1775,6 +1835,22 @@ class Table:
                     "by a concurrent expire_snapshots"
                 ) from None
             parent = self.current_snapshot()
+            summary: dict = {"rolled-back-to": snapshot_id}
+            new_props = None
+            if reset_position:
+                ck, gs = self._ancestry_position_marks(target)
+                summary[POSITION_RESET_KEY] = True
+                summary[CKPT_PROP] = ck
+                if gs:
+                    summary[GTID_PROP] = gs
+                new_props = dict(self.properties)
+                new_props[CKPT_PROP] = ck
+                if gs:
+                    new_props[GTID_PROP] = gs
+                else:
+                    # a stale post-rollback GTID property would override
+                    # the reset through merge_gtid_set's property union
+                    new_props.pop(GTID_PROP, None)
             snap = Snapshot(
                 # max over all snapshots: staged (WAP) ids must not collide
                 snapshot_id=max(
@@ -1784,13 +1860,15 @@ class Table:
                 timestamp_ms=int(time.time() * 1000),
                 operation="rollback",
                 manifests=list(target.manifests),
-                summary={"rolled-back-to": snapshot_id},
+                summary=summary,
                 schema_id=target.schema_id,
             )
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["snapshots"] = self.metadata["snapshots"] + [snap.to_json()]
             meta["current_snapshot_id"] = snap.snapshot_id
+            if new_props is not None:
+                meta["properties"] = new_props
             if target.schema_id is not None:
                 meta["current_schema_id"] = target.schema_id
                 meta["schema"] = self.schemas[target.schema_id]

@@ -120,6 +120,7 @@ def write_datafiles(
     drop_cols: list[str] | None = None,
     sort_order: str | None = None,
     group_local: bool = False,
+    build_bloom: bool = True,
 ) -> list[DataFile]:
     """Write ``df`` into fresh immutable data files; return manifest entries.
 
@@ -172,7 +173,12 @@ def write_datafiles(
     # opt-in per-file key bloom sidecars (table/bloom.py): built from a
     # column-pruned re-read of each fresh file, distributed alongside
     # the footer harvest pattern when the file count is large
-    bloom_col = table.properties.get(BLOOM_PROP)
+    # build_bloom=False: delete-file writers opt out — nothing ever
+    # probes a delete file's bloom (_affected_files and
+    # prune_deletes_for read data-entry stats only), so building one
+    # would add a full column re-read per file to the hot O(batch)
+    # MoR write path for stats no reader looks at
+    bloom_col = table.properties.get(BLOOM_PROP) if build_bloom else None
     bloom_markers: dict[str, dict] = {}
     if bloom_col:
         bloom_markers = build_sidecars(

@@ -452,3 +452,54 @@ def test_run_pass_pos_rewrite_policy(spark, token_table):
     t.refresh()
     expect = {k: v for k, v in before.items() if v[1] % 10 not in (4, 6)}
     assert scan_dict(spark, t) == expect
+
+
+def test_metadata_delete_spec_order_differs_from_schema_order(spark, tmp_path):
+    """The metadata-decide fast path binds partition VALUES (built in
+    spec order) to COLUMNS: with two same-typed partition columns whose
+    spec order differs from the schema's field order, a misalignment
+    would silently classify the wrong files (wrong rows deleted / kept).
+    Pin exact row effects for predicates on EACH column."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from canal_spark import create_table
+    from canal_spark.table.writer import append
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),   # schema order:
+        StructField("lang", StringType(), True),     # source BEFORE lang
+    ])
+    # spec order REVERSED vs schema order: (lang, source)
+    t = create_table(str(tmp_path / "t2"), schema,
+                     partition_by=["lang", "source"])
+    rows = [
+        (f"d{i:03d}", [i], 1, src, lang)
+        for i, (src, lang) in enumerate(
+            [("web", "en"), ("web", "fr"), ("books", "en"), ("books", "fr")] * 5
+        )
+    ]
+    df = spark.createDataFrame(rows, schema)
+    for src, lang in {(r[3], r[4]) for r in rows}:
+        append(spark, t,
+               df.where(f"source = '{src}' AND lang = '{lang}'").coalesce(1))
+    assert all({"lang", "source"} <= set(e.partition) for e in t.files())
+
+    # values 'web'/'en' never coincide, so a value/column swap flips
+    # classification: this predicate must drop EXACTLY the web files
+    m = delete_where(spark, t, "source = 'web'", mode="mor-pos")
+    assert m.applied and m.rows_deleted == 10
+    assert m.extra.get("files_dropped_metadata", 0) > 0
+    got = {(r["source"], r["lang"]) for r in t.scan(spark).collect()}
+    assert got == {("books", "en"), ("books", "fr")}
+    assert t.scan(spark).count() == 10
+
+    m2 = delete_where(spark, t, "lang = 'fr'", mode="mor-pos")
+    assert m2.applied and m2.rows_deleted == 5
+    assert {(r["source"], r["lang"]) for r in t.scan(spark).collect()} == {
+        ("books", "en")
+    }

@@ -182,3 +182,91 @@ def test_legacy_null_gtid_key_migrates_to_sentinel(spark, token_table):
     fresh = [(9, "U", k, [42], 1, k.split(":")[0], E, 1, None, None, None)]
     assert merge_into(spark, t, spark.createDataFrame(fresh, schema)).applied
     assert merge_gtid_set(t) == {NULL_STREAM: 9}
+
+
+def _u(ordinal, key, toks, source, es=None):
+    import datetime as dt
+
+    return (ordinal, "U", key, toks, len(toks), source,
+            es or dt.datetime(2026, 1, 1), 1, None, None)
+
+
+def test_rollback_resets_position_for_redelivery(spark, token_table):
+    """The C4 contract end-to-end: apply a good batch, apply a BAD
+    batch, rollback_to the good snapshot — the resume marks rewind with
+    the data (position-reset boundary), so redelivering the fixed batch
+    APPLIES instead of filtering to an eternal no-op."""
+    from canal_spark.merge import merge_high_water_mark, merge_into
+
+    t, base = token_table
+    k1, k2 = base[0][0], base[1][0]
+    src1, src2 = base[0][3], base[1][3]
+
+    r1 = merge_into(spark, t, changelog_df(spark, [_u(10, k1, [1, 2], src1)]))
+    assert r1.applied and merge_high_water_mark(t) == 10
+    good = t.current_snapshot_id
+
+    # the bad batch: wrong tokens, hwm advances to 20
+    r2 = merge_into(spark, t, changelog_df(spark, [_u(20, k2, [666], src2)]))
+    assert r2.applied and merge_high_water_mark(t) == 20
+
+    t.rollback_to(good)
+    # marks rewound WITH the data; the bad summary no longer counts
+    assert merge_high_water_mark(t) == 10
+    got = {r["doc_id"]: list(r["tokens"]) for r in
+           t.scan(spark).where(f"doc_id = '{k2}'").collect()}
+    assert got[k2] != [666]
+
+    # redelivery of the FIXED batch at the same ordinal applies
+    r3 = merge_into(spark, t, changelog_df(spark, [_u(20, k2, [7, 8], src2)]))
+    assert r3.applied and merge_high_water_mark(t) == 20
+    got = {r["doc_id"]: list(r["tokens"]) for r in
+           t.scan(spark).where(f"doc_id = '{k2}'").collect()}
+    assert got[k2] == [7, 8]
+
+
+def test_stale_handle_pure_insert_merge_conflicts(spark, token_table):
+    """Exactly-once for PURE-ADD merges: a second driver holding a
+    stale handle replays the same all-new-keys changelog — the
+    checkpoint CAS conflicts the commit instead of silently
+    double-applying (no files are removed, so the manifest checks alone
+    cannot catch it)."""
+    import pytest as _pytest
+
+    from canal_spark import load_table
+    from canal_spark.merge import merge_into
+    from canal_spark.table.format import CommitConflict
+
+    t, base = token_table
+    stale = load_table(t.root)  # second driver's handle, planned early
+    cl = [_u(100, "brand-new-key-%d" % i, [i], "src0") for i in range(5)]
+
+    assert merge_into(spark, t, changelog_df(spark, cl)).applied
+    with _pytest.raises(CommitConflict, match="advanced since planning"):
+        merge_into(spark, stale, changelog_df(spark, cl))
+    # the winning apply is intact, exactly once
+    n = t.scan(spark).where("doc_id like 'brand-new-key-%'").count()
+    assert n == 5
+
+
+def test_null_key_changelog_rejected_loudly(spark, token_table):
+    """A NULL-key event is poison (unmatchable forever, crashes the
+    driver key paths) — the merge rejects the batch with a diagnosable
+    error instead of a TypeError deep in np.sort."""
+    import pytest as _pytest
+
+    from canal_spark.merge import merge_into
+
+    from pyspark.sql import functions as F
+
+    t, base = token_table
+    k, src = base[0][0], base[0][3]
+    good = changelog_df(spark, [_u(70, k, [1], src)])
+    # CHANGELOG_SCHEMA itself forbids null doc_id at construction — the
+    # poison arrives through external frames (nullable parquet), modeled
+    # here by relaxing the column
+    bad = changelog_df(spark, [_u(71, k, [2], src)]).withColumn(
+        "doc_id", F.lit(None).cast("string")
+    )
+    with _pytest.raises(ValueError, match="NULL key"):
+        merge_into(spark, t, good.unionByName(bad))

@@ -306,3 +306,27 @@ def test_schema_commit_without_field_ids_keeps_snapshot_ids_unique(spark, token_
     all_ids = [s.snapshot_id for s in t.snapshots]
     assert len(all_ids) == len(set(all_ids))
     assert t.current_snapshot_id == snap.snapshot_id
+
+
+def test_audit_flags_null_n_tok(spark, token_table):
+    """A NULL n_tok with non-null tokens must count as bad_token_arrays:
+    a plain != comparison is NULL for those rows and they'd publish
+    cleanly — the exact class the audit exists to quarantine."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.maintenance import audit_snapshot
+    from canal_spark.table.writer import append
+
+    t, base = token_table
+    bad = (
+        spark.createDataFrame(
+            [("bad-null-ntok", [1, 2, 3], "web")],
+            "doc_id string, tokens array<int>, source string",
+        )
+        .withColumn("n_tok", F.lit(None).cast("int"))
+        .select("doc_id", "tokens", "n_tok", "source")
+    )
+    append(spark, t, bad.coalesce(1))
+    rep = audit_snapshot(spark, t, t.current_snapshot_id)
+    assert rep["checks"]["bad_token_arrays"] == 1
+    assert not rep["ok"]
