@@ -319,7 +319,14 @@ def _refine_noops(
     if n_noop > max_probe_keys:
         return final.withColumn("_noop", F.lit(False))
     keys = np.sort(
-        np.array([r[0] for r in noops.select(key_cols[0]).collect()], dtype=object)
+        np.array(
+            # a NULL key (rejected with a batch error by the stats agg
+            # right after this) is unorderable — excluding it here keeps
+            # the probe from dying in np.sort before that diagnosis
+            [r[0] for r in noops.select(key_cols[0]).collect()
+             if r[0] is not None],
+            dtype=object,
+        )
     )
     candidates, _ = _affected_files(
         table.files(snapshot_id), keys, key_cols[0], table_root=table.root
@@ -541,23 +548,6 @@ def merge_into(
     final = _persisted = final.persist()
 
     try:
-        # NULL keys are poison, not data: they can never be matched by a
-        # later event, and they crash the driver-side key paths
-        # (np.sort/searchsorted) with an unorderable TypeError on every
-        # retry — fail FIRST with a diagnosable batch error instead
-        # (one cached-frame pass; the stats agg below reuses the cache)
-        null_key = None
-        for k in key_cols:
-            c = F.col(k).isNull()
-            null_key = c if null_key is None else (null_key | c)
-        n_null = final.where(null_key).count()
-        if n_null:
-            raise ValueError(
-                f"{n_null} changelog event(s) carry a NULL key "
-                f"({key_cols}): a null key is unmatchable by any later "
-                "event — repair or filter them upstream (the batch was "
-                "not applied)"
-            )
         # suppression is only sound for keys PRESENT in the table: the
         # CDC before-image contract chains table == before_1 == after_1
         # == ... == after_N only when the chain is anchored to a live
@@ -568,11 +558,19 @@ def merge_into(
             spark, table, final, key_cols, max_probe_keys=max_driver_keys,
             snapshot_id=base_sid,
         )
+        # NULL keys are poison, not data: unmatchable by any later event
+        # and unorderable in the driver key paths — counted for free in
+        # the stats agg and rejected with a diagnosable batch error
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
         row = final.agg(
             F.count("*").alias("n"),
             F.max("_mo").alias("hwm"),
             F.sum("_freq").alias("rows"),
             F.max("_freq").alias("max_freq"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null_keys"),
             F.sum(F.col("_noop").cast("long")).alias("n_noop"),
             F.sum(
                 ((~F.col("_noop")) & (F.col("op") != "D")).cast("long")
@@ -584,6 +582,14 @@ def merge_into(
         n_keys_all, new_hwm = row["n"] or 0, row["hwm"]
         if n_keys_all == 0:
             return MergeResult(applied=False, high_water_mark=hwm, job_id=job_id)
+        n_null = int(row["n_null_keys"] or 0)
+        if n_null:
+            raise ValueError(
+                f"{n_null} changelog event(s) carry a NULL key "
+                f"({key_cols}): a null key is unmatchable by any later "
+                "event — repair or filter them upstream (the batch was "
+                "not applied)"
+            )
         n_noop = int(row["n_noop"] or 0)
         n_keys = n_keys_all - n_noop  # keys that actually change state
         n_up_keys = int(row["n_up_keys"] or 0)
