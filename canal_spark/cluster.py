@@ -302,7 +302,12 @@ def cluster(
     }
     if not counts:
         return ClusterResult(
-            snapshot_id=table.current_snapshot_id, curve=curve,
+            # branch mode: attribute the no-op to the BRANCH head, like
+            # the no-victims return above — never the mainline snapshot
+            snapshot_id=(
+                base_sid if branch is not None else table.current_snapshot_id
+            ),
+            curve=curve,
             files_before=len(victims), files_after=len(victims),
             tightness_before=before, tightness_after=before, job_id=job_id,
         )

@@ -24,8 +24,13 @@ from canal_spark.schema import TOKEN_TABLE_SCHEMA
 from canal_spark.table.format import Table, create_table
 from canal_spark.table.writer import append
 
+# null/whitespace-safe: a NULL text must produce tokens=[] / n_tok=0,
+# never tokens=NULL / n_tok=-1 (F.size of null is -1 under non-ANSI
+# defaults — violating the n_tok == size(tokens) invariant every audit
+# and pack_by budget depends on); consecutive/leading spaces must not
+# hash phantom md5('') tokens
 _TOKENS_EXPR = (
-    "transform(split(text, ' '), "
+    "transform(filter(split(coalesce(text, ''), ' '), w -> w != ''), "
     "w -> CAST(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 50257 AS INT))"
 )
 

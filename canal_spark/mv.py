@@ -206,6 +206,16 @@ def derive_star_view_changelog(
     joins run over the affected subset only, never the full view.
     """
     mk = cfg.main_key
+    if dim_changes is not None and len(dim_changes) != len(cfg.dims):
+        # mirror star_view_select's dim_currents check: a SHORT list
+        # would silently treat trailing dims as unchanged (positional
+        # ambiguity — wrong fk/pk pairing leaves view rows stale with
+        # no error), a long one would IndexError — unchanged dims must
+        # be explicit Nones
+        raise ValueError(
+            f"dim_changes has {len(dim_changes)} entries for "
+            f"{len(cfg.dims)} dims — pass None for unchanged dims"
+        )
     parts = []
     if main_changes is not None:
         parts.append(main_changes.select(*mk))
@@ -251,39 +261,54 @@ def derive_star_view_changelog(
     from canal_spark.operators.common import attach_cached_deps
 
     affected = affected.distinct().persist()
-    n_affected = affected.count()
+    live = None
+    try:
+        n_affected = affected.count()
 
-    def hint(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if n_affected <= max_broadcast_keys else df
+        def hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if n_affected <= max_broadcast_keys else df
 
-    live = main_current.join(hint(affected), mk, "leftsemi")
-    # the child subquery must also run over ONLY the affected keys — a
-    # bare groupBy of child_current would aggregate the whole child
-    # table every batch (O(child), not O(affected), at the 10^12-row
-    # design point); semi-join it down to the batch first
-    child_live = child_current
-    if cfg.child is not None and child_current is not None:
-        child_live = child_current.join(
-            hint(affected.select(F.col(mk[0]).alias(cfg.child.child_fk))),
-            cfg.child.child_fk,
-            "leftsemi",
+        # persisted: consumed TWICE (the re-derive and the delete
+        # anti-join build side) — without it each is a separate full
+        # scan of the main table per batch; batch-sized rows by the
+        # affected-key gate above
+        live = main_current.join(hint(affected), mk, "leftsemi").persist()
+        # the child subquery must also run over ONLY the affected keys —
+        # a bare groupBy of child_current would aggregate the whole
+        # child table every batch (O(child), not O(affected), at the
+        # 10^12-row design point); semi-join it down to the batch first
+        child_live = child_current
+        if cfg.child is not None and child_current is not None:
+            child_live = child_current.join(
+                hint(affected.select(F.col(mk[0]).alias(cfg.child.child_fk))),
+                cfg.child.child_fk,
+                "leftsemi",
+            )
+        after = star_view_select(cfg, live, dim_currents, child_live)
+        data_cols = [c for c in after.columns if c not in mk]
+        ups = after.select(
+            F.lit(ordinal).cast("long").alias("ordinal"),
+            F.lit("U").alias("op"),
+            *mk,
+            *data_cols,
         )
-    after = star_view_select(cfg, live, dim_currents, child_live)
-    data_cols = [c for c in after.columns if c not in mk]
-    ups = after.select(
-        F.lit(ordinal).cast("long").alias("ordinal"),
-        F.lit("U").alias("op"),
-        *mk,
-        *data_cols,
-    )
-    # live keys ⊆ affected keys, so the same gate bounds this build side
-    dels = affected.join(hint(live.select(*mk)), mk, "left_anti").select(
-        F.lit(ordinal).cast("long").alias("ordinal"),
-        F.lit("D").alias("op"),
-        *mk,
-        *[F.lit(None).cast(dict(after.dtypes)[c]).alias(c) for c in data_cols],
-    )
-    return attach_cached_deps(ups.unionByName(dels), [affected])
+        # live keys ⊆ affected keys, so the same gate bounds this side
+        dels = affected.join(hint(live.select(*mk)), mk, "left_anti").select(
+            F.lit(ordinal).cast("long").alias("ordinal"),
+            F.lit("D").alias("op"),
+            *mk,
+            *[F.lit(None).cast(dict(after.dtypes)[c]).alias(c)
+              for c in data_cols],
+        )
+        return attach_cached_deps(ups.unionByName(dels), [affected, live])
+    except BaseException:
+        # a validation raise downstream of the persists (e.g. a
+        # wrong-length dim_currents in star_view_select) must not leak
+        # the cached frames for the session lifetime
+        affected.unpersist()
+        if live is not None:
+            live.unpersist()
+        raise
 
 
 def maintain_star_view(
@@ -302,7 +327,15 @@ def maintain_star_view(
     """Apply one batch of star-schema changes to the materialized view —
     same MERGE-only write path (snapshot isolation, hwm idempotence,
     no-op suppression) as :func:`maintain_join_view`."""
-    ordinal = batch_ordinal if batch_ordinal is not None else merge_high_water_mark(view) + 1
+    # branch-aware default ordinal: merge_into filters against the
+    # BRANCH-aware hwm, so computing the default from the mainline mark
+    # would make every branch-mode batch after the first filter to
+    # empty and silently drop its view updates
+    ordinal = (
+        batch_ordinal
+        if batch_ordinal is not None
+        else merge_high_water_mark(view, branch=merge_kw.get("branch")) + 1
+    )
     cl = derive_star_view_changelog(
         cfg,
         main_current,
@@ -339,7 +372,12 @@ def maintain_join_view(
     view's own hwm+1 is used (always applies; still convergent, since
     re-derived rows equal the committed ones).
     """
-    ordinal = batch_ordinal if batch_ordinal is not None else merge_high_water_mark(view) + 1
+    # branch-aware like maintain_star_view — see the comment there
+    ordinal = (
+        batch_ordinal
+        if batch_ordinal is not None
+        else merge_high_water_mark(view, branch=merge_kw.get("branch")) + 1
+    )
     cl = derive_view_changelog(
         cfg, main_current, dim_current, main_changes, dim_changes, ordinal
     )

@@ -69,3 +69,23 @@ def test_full_load_files_have_disjoint_key_ranges(spark, tmp_path):
     for (_m1, x1), (m2, _x2) in zip(spans, spans[1:]):
         assert x1 < m2, (x1, m2)  # STRICT: equal bounds = shared key
     assert t.scan(spark).count() == 500
+
+
+def test_tokenize_null_and_whitespace_text(spark):
+    """NULL text tokenizes to [] / n_tok=0 (never NULL / -1 — size of a
+    null array is -1 under non-ANSI defaults, violating the
+    n_tok == size(tokens) invariant), and runs of spaces hash no
+    phantom empty-string tokens."""
+    from canal_spark.etl import tokenize_documents
+
+    docs = spark.createDataFrame(
+        [("1", None, "web"), ("2", "a  b", "web"), ("3", " x ", "web")],
+        "doc_id string, text string, source string",
+    )
+    got = {r["doc_id"]: (r["tokens"], r["n_tok"])
+           for r in tokenize_documents(docs).collect()}
+    assert got["web:1"] == ([], 0)
+    assert got["web:2"][1] == 2  # 'a', 'b' — no md5('') phantom
+    assert got["web:3"][1] == 1  # 'x'
+    for toks, n in got.values():
+        assert toks is not None and len(toks) == n
