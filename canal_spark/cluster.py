@@ -135,6 +135,22 @@ def with_cluster_key(
     raise ValueError(f"unknown curve {curve!r}")
 
 
+def cluster_dims(table) -> tuple[str | None, str]:
+    """The table's ``(stratum dim or None, curve source column)``.
+
+    The curve source column is the first partition column when the
+    table is partitioned, else the first key column.  This is the ONE
+    definition every ``with_cluster_key`` call site uses — the cluster
+    pass, compaction's in-bin re-sort, and merge's keep-path rewrite
+    all stamp files with the same ``sort_order`` tag, so a dim-selection
+    change applied at one site but not the others would silently mix
+    incompatible curve sort orders under a single tag (files claim the
+    same order but sort by different dims, breaking pruning).
+    """
+    dim = table.partition_by[0] if table.partition_by else None
+    return dim, (dim if dim is not None else table.key_cols[0])
+
+
 # --------------------------------------------------------------------------
 # clustering metrics (stat tightness)
 # --------------------------------------------------------------------------
@@ -159,7 +175,7 @@ def measure_tightness(
     if not entries:
         return {"hash_range": 1.0, "sources_per_file": 0.0, "files": 0}
     key_cols = table.key_cols
-    dim_col = table.partition_by[0] if table.partition_by else key_cols[0]
+    dim_col = cluster_dims(table)[1]
     rows = (
         table.read_files(spark, entries, with_file_path="fp")
         .select(
@@ -254,7 +270,7 @@ def cluster(
         )
 
     key_cols = table.key_cols
-    dim_col = table.partition_by[0] if table.partition_by else None
+    dim_col, source_col = cluster_dims(table)
     # live read: pending MoR equality-deletes fold in here, or the
     # re-clustered files (new sequence) would resurrect deleted rows
     # (branch mode: the BRANCH's pending deletes, not mainline's)
@@ -320,10 +336,7 @@ def cluster(
     bin_map = F.broadcast(
         spark.createDataFrame(offsets, ["_s", "_boff", "_bwidth"])
     )
-    df = with_cluster_key(
-        raw, curve=curve, doc_col=key_cols,
-        source_col=dim_col if dim_col is not None else key_cols[0],
-    )
+    df = with_cluster_key(raw, curve=curve, doc_col=key_cols, source_col=source_col)
     out = (
         df.withColumn("_s", strat)
         .withColumn("_bh", b_hash)

@@ -254,13 +254,12 @@ def _rewrite_chunk(
     if tag is not None:
         # recompute the curve key (vectorized Arrow kernel over only
         # the bin rows) and keep the bin internally curve-sorted
-        from canal_spark.cluster import with_cluster_key
+        from canal_spark.cluster import cluster_dims, with_cluster_key
 
         curve = tag.rsplit("-", 1)[0]
-        dim_col = table.partition_by[0] if table.partition_by else None
         df = with_cluster_key(
             df, curve=curve, doc_col=table.key_cols,
-            source_col=dim_col if dim_col is not None else table.key_cols[0],
+            source_col=cluster_dims(table)[1],
         )
         sort_by, drop_cols = ["_ckey"], ["_ckey"]
     # guard against silent path-join misses: rows in must equal rows

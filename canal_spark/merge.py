@@ -747,7 +747,7 @@ def merge_into(
             # already deduped, so the build side has no hot keys).
             keys_side = F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
             if keep_tag:
-                from canal_spark.cluster import with_cluster_key
+                from canal_spark.cluster import cluster_dims, with_cluster_key
 
                 src = table.read_files_live(
                     spark, affected, delete_entries=pending_dels,
@@ -760,10 +760,9 @@ def merge_into(
                     .withColumn("_kgrp", F.md5(F.col("_fp")))
                     .drop("_fp")
                 )
-                dim_col = table.partition_by[0] if table.partition_by else None
                 keep = with_cluster_key(
                     keep, curve=keep_tag.rsplit("-", 1)[0], doc_col=key_cols,
-                    source_col=dim_col if dim_col is not None else key_cols[0],
+                    source_col=cluster_dims(table)[1],
                 )
                 new_entries += write_datafiles(
                     spark, table, keep,
@@ -1445,16 +1444,15 @@ def materialize_deletes(
         if keep_tag and keep_tag.rsplit("-", 1)[0] not in ("zorder", "hilbert"):
             keep_tag = None
         if keep_tag:
-            from canal_spark.cluster import with_cluster_key
+            from canal_spark.cluster import cluster_dims, with_cluster_key
 
             src = table.read_files_live(
                 spark, affected, delete_entries=dels, with_file_path="_fp"
             )
             keep = src.withColumn("_kgrp", F.md5(F.col("_fp"))).drop("_fp")
-            dim_col = table.partition_by[0] if table.partition_by else None
             keep = with_cluster_key(
                 keep, curve=keep_tag.rsplit("-", 1)[0], doc_col=key_cols,
-                source_col=dim_col if dim_col is not None else key_cols[0],
+                source_col=cluster_dims(table)[1],
             )
             new_entries = write_datafiles(
                 spark, table, keep,
