@@ -927,11 +927,14 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side and PERSIST — the model tables B(bigram) and U(prefix) and
     the scoring probe all derive from that one frame, and without the
     persist each of the three would re-run the corpus scan + explode
-    (the plan showed 3 parquet scans).  B and U are vocab²-bounded
-    (dictionary-sized, not corpus-sized), and the scoring join is
-    equi-keyed with AQE choosing broadcast while the dictionaries stay
-    small.  Docs with fewer than two words carry no bigram and drop
-    out (same in the oracle)."""
+    (the plan showed 3 parquet scans).  B carries the prefix alongside
+    the bigram (bg determines w1, so grouping by (w1, bg) ≡ by bg) and
+    U then rolls up FROM B — a dictionary-scale regroup instead of a
+    second corpus-scale shuffle of the persisted doc-bigram frame.  B
+    and U are vocab²-bounded (dictionary-sized, not corpus-sized), and
+    the scoring join is equi-keyed with AQE choosing broadcast while
+    the dictionaries stay small.  Docs with fewer than two words carry
+    no bigram and drop out (same in the oracle)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     d = docs.where(F.size(F.split("text", " ")) >= 2).select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -950,9 +953,9 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
         .persist()  # released by the caller via release_cached_deps
     )
-    model_b = db.groupBy("bg").agg(F.sum("c").cast("long").alias("nb"))
-    model_u = db.groupBy("w1").agg(F.sum("c").cast("long").alias("nu"))
-    j = db.join(model_b, "bg").join(model_u, "w1")
+    model_b = db.groupBy("w1", "bg").agg(F.sum("c").cast("long").alias("nb"))
+    model_u = model_b.groupBy("w1").agg(F.sum("nb").cast("long").alias("nu"))
+    j = db.join(model_b.drop("w1"), "bg").join(model_u, "w1")
     per = j.select(
         "doc_id", "c", "nb", F.expr("nb * 1000 DIV nu").alias("pm")
     )
