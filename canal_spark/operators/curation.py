@@ -451,12 +451,97 @@ GROUP BY d.doc_id
 """
 
 
+# --- length-bucketed batching plan --------------------------------------------
+
+LEN_BUCKETS = (16, 32, 64, 128, 256, 512)  # padded sequence lengths
+MAX_SEQ = LEN_BUCKETS[-1]  # longer docs truncate to this (overflow tracked)
+BATCH_TOKENS = 8_192  # fixed per-batch token budget (padded tokens)
+
+
+def _bucket_case(n_col: str) -> str:
+    """Smallest bucket >= n, else the cap — an explicit CASE chain so
+    both engines agree exactly (no float log2 at bucket boundaries)."""
+    arms = " ".join(
+        f"WHEN {n_col} <= {b} THEN {b}" for b in LEN_BUCKETS[:-1]
+    )
+    return f"CASE {arms} ELSE {MAX_SEQ} END"
+
+
+def q_length_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch planning: assign every document to the smallest
+    power-of-two length bucket that holds it (capped at MAX_SEQ with
+    truncation), then report per bucket how many batches a fixed
+    BATCH_TOKENS budget yields and the exact padding waste in ppm —
+    the pre-training answer to "what does padding cost us if we batch
+    by length instead of concat-packing?" (`sequence_pack` is the
+    concat alternative; this is the padded-batch alternative, the two
+    plans a data team compares).  All integer math, so the plan is
+    bit-identical across engines and cluster sizes.
+
+    Scale shape: the bucket key is a map-side CASE over the word
+    count (pure JVM, no explode — only `size(split(...))`, never the
+    array itself, crosses the shuffle), then ONE partial-agg shuffle
+    onto a len(LEN_BUCKETS)-row frame; everything downstream is
+    constant-sized.  The same cost class as `sample_mix` — the
+    cheapest possible corpus pass."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    d = docs.select(
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n")
+    ).select(
+        F.expr(_bucket_case("n")).alias("bucket_len"),
+        F.least(F.col("n"), F.lit(MAX_SEQ)).alias("eff"),
+        F.greatest(F.col("n") - MAX_SEQ, F.lit(0)).alias("trunc"),
+    )
+    agg = d.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("eff").cast("long").alias("real_tokens"),
+        F.sum("trunc").cast("long").alias("trunc_tokens"),
+    )
+    return agg.select(
+        F.col("bucket_len").cast("long").alias("bucket_len"),
+        "n_seqs",
+        "real_tokens",
+        "trunc_tokens",
+        F.expr(
+            f"(n_seqs * bucket_len - real_tokens) * {PPM} "
+            f"DIV (n_seqs * bucket_len)"
+        ).cast("long").alias("pad_ppm"),
+        F.expr(
+            f"(n_seqs + ({BATCH_TOKENS} DIV bucket_len) - 1) "
+            f"DIV ({BATCH_TOKENS} DIV bucket_len)"
+        ).cast("long").alias("n_batches"),
+    ).orderBy("bucket_len")
+
+
+SQL_LENGTH_BUCKET_PLAN = f"""
+WITH n AS (SELECT len(string_split(coalesce(text, ''), ' ')) AS n
+           FROM documents),
+b AS (SELECT {_bucket_case("n")} AS bucket_len,
+             least(n, {MAX_SEQ}) AS eff,
+             greatest(n - {MAX_SEQ}, 0) AS trunc
+      FROM n),
+a AS (SELECT bucket_len, count(*) AS n_seqs,
+             sum(eff) AS real_tokens, sum(trunc) AS trunc_tokens
+      FROM b GROUP BY bucket_len)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       CAST(n_seqs AS BIGINT) AS n_seqs,
+       CAST(real_tokens AS BIGINT) AS real_tokens,
+       CAST(trunc_tokens AS BIGINT) AS trunc_tokens,
+       CAST((n_seqs * bucket_len - real_tokens) * {PPM}
+            // (n_seqs * bucket_len) AS BIGINT) AS pad_ppm,
+       CAST((n_seqs + ({BATCH_TOKENS} // bucket_len) - 1)
+            // ({BATCH_TOKENS} // bucket_len) AS BIGINT) AS n_batches
+FROM a ORDER BY bucket_len
+"""
+
+
 QUERIES = {
     "train_split": q_train_split,
     "mixture_plan": q_mixture_plan,
     "doc_chunk": q_doc_chunk,
     "quality_cut": q_quality_cut,
     "dsir_weight": q_dsir_weight,
+    "length_bucket_plan": q_length_bucket_plan,
 }
 
 ORACLES = {
@@ -465,4 +550,5 @@ ORACLES = {
     "doc_chunk": SQL_DOC_CHUNK,
     "quality_cut": SQL_QUALITY_CUT,
     "dsir_weight": SQL_DSIR_WEIGHT,
+    "length_bucket_plan": SQL_LENGTH_BUCKET_PLAN,
 }

@@ -147,3 +147,56 @@ def test_dsir_weight_ranks_target_like_docs_higher(spark, tmp_path):
     out2 = {r["doc_id"]: r["dsir_ppm"] for r in q2.collect()}
     release_cached_deps(q2)
     assert out == out2
+
+
+def test_length_bucket_plan_accounting_and_feasibility(spark):
+    from canal_spark.operators.curation import (
+        BATCH_TOKENS,
+        LEN_BUCKETS,
+        MAX_SEQ,
+        q_length_bucket_plan,
+    )
+
+    rows = q_length_bucket_plan(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_words = docs.agg(
+        F.sum(F.size(F.split(F.coalesce("text", F.lit("")), " ")))
+    ).first()[0]
+
+    assert sum(r["n_seqs"] for r in rows) == n_docs  # buckets partition
+    # conservation: every word is either kept (real) or truncated
+    assert sum(r["real_tokens"] + r["trunc_tokens"] for r in rows) == n_words
+    for r in rows:
+        assert r["bucket_len"] in LEN_BUCKETS
+        padded = r["n_seqs"] * r["bucket_len"]
+        assert 0 <= r["real_tokens"] <= padded
+        # exact ppm: floor of the integer ratio
+        assert r["pad_ppm"] == (padded - r["real_tokens"]) * 1_000_000 // padded
+        # truncation only happens at the cap bucket
+        if r["bucket_len"] < MAX_SEQ:
+            assert r["trunc_tokens"] == 0
+        # batch feasibility: minimal batch count for the budget
+        spb = BATCH_TOKENS // r["bucket_len"]
+        assert r["n_batches"] * spb >= r["n_seqs"]
+        assert (r["n_batches"] - 1) * spb < r["n_seqs"]
+
+
+def test_length_bucket_plan_bucket_assignment_is_minimal(spark, tmp_path):
+    from canal_spark.operators.curation import q_length_bucket_plan
+
+    # exact boundary docs: 16 words -> bucket 16; 17 words -> bucket 32;
+    # 600 words -> cap 512 with 88 truncated
+    rows = [
+        (1, " ".join(["w"] * 16), "s"),
+        (2, " ".join(["w"] * 17), "s"),
+        (3, " ".join(["w"] * 600), "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r["bucket_len"]: r for r in q_length_bucket_plan(spark, sf).collect()}
+    assert set(out) == {16, 32, 512}
+    assert out[16]["pad_ppm"] == 0 and out[16]["trunc_tokens"] == 0
+    assert out[32]["real_tokens"] == 17
+    assert out[512]["real_tokens"] == 512 and out[512]["trunc_tokens"] == 88
