@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import os
 import struct
+import zlib
 
 import numpy as np
 
@@ -39,7 +40,17 @@ BITS_PER_KEY = 10  # ~0.8% fpp at k=7
 K_PROBES = 7
 MIN_BITS = 1 << 11  # 256 B floor
 MAX_BITS = 1 << 24  # 2 MiB cap per file (≈1.7M keys at 10 bits/key)
-MAGIC = b"CSBF1"
+# v2 adds a crc32 of the bit payload.  A bloom is the one pruning
+# structure where corruption is NOT self-safe: range stats can only
+# over-approximate, but a zeroed/flipped bit inside a sidecar that
+# still passes the length check produces a FALSE NEGATIVE — a file
+# containing the key gets pruned and the delete/upsert is silently
+# lost.  The crc turns any payload corruption into "unreadable",
+# which degrades to range-only pruning (correct, just slower) —
+# Iceberg's puffin blobs carry the same integrity guard.
+MAGIC = b"CSBF2"
+MARKER_VERSION = 2
+_HEADER = "<IBI"  # m (bits), k (probes), crc32(bits)
 # driver-side probe gate: above this many batch keys, hashing the key
 # list costs more than bloom pruning saves (a batch that size is
 # range-pruned fine — and near max_driver_keys it is a bulk rewrite
@@ -102,33 +113,38 @@ def probe_any(bits: np.ndarray, m: int, hashes: np.ndarray) -> bool:
 
 def write_sidecar(data_path: str, values) -> dict:
     """Build + write the sidecar for ``values``; returns the manifest
-    marker {"m": bits, "k": probes}."""
+    marker {"m": bits, "k": probes, "v": format version}."""
     m = size_bits(len(values))
-    bits = build_bits(key_hashes(values), m)
+    payload = build_bits(key_hashes(values), m).tobytes()
     tmp = sidecar_path(data_path) + ".tmp"
     with open(tmp, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<IB", m, K_PROBES))
-        f.write(bits.tobytes())
+        f.write(struct.pack(_HEADER, m, K_PROBES, zlib.crc32(payload)))
+        f.write(payload)
     os.replace(tmp, sidecar_path(data_path))
-    return {"m": m, "k": K_PROBES}
+    return {"m": m, "k": K_PROBES, "v": MARKER_VERSION}
 
 
 def load_sidecar(data_path: str) -> tuple[int, np.ndarray] | None:
-    """(m, bit array) or None when absent/unreadable (probe degrades to
-    range-only pruning — never an error)."""
+    """(m, bit array) or None when absent/unreadable/corrupt (probe
+    degrades to range-only pruning — never an error, never a false
+    negative).  Validates magic, probe count, that m is a power of two
+    (the probe mask assumes it), payload length, AND the payload crc —
+    a v1 or bit-flipped sidecar reads as None, not as a wrong filter."""
     try:
         with open(sidecar_path(data_path), "rb") as f:
             raw = f.read()
     except OSError:
         return None
-    if len(raw) < len(MAGIC) + 5 or raw[: len(MAGIC)] != MAGIC:
+    hdr = len(MAGIC) + struct.calcsize(_HEADER)
+    if len(raw) < hdr or raw[: len(MAGIC)] != MAGIC:
         return None
-    m, k = struct.unpack_from("<IB", raw, len(MAGIC))
-    bits = np.frombuffer(raw, dtype=np.uint8, offset=len(MAGIC) + 5)
-    if k != K_PROBES or len(bits) != m // 8:
+    m, k, crc = struct.unpack_from(_HEADER, raw, len(MAGIC))
+    if k != K_PROBES or m <= 0 or m & (m - 1) or len(raw) - hdr != m // 8:
         return None  # foreign params: be conservative
-    return m, bits
+    if zlib.crc32(raw[hdr:]) != crc:
+        return None  # corrupt payload would FALSE-NEGATIVE: reject
+    return m, np.frombuffer(raw, dtype=np.uint8, offset=hdr)
 
 
 def build_for_file(data_path: str, col: str) -> dict | None:
@@ -189,7 +205,15 @@ def backfill(spark, table) -> dict:
         raise ValueError(f"table has no {BLOOM_PROP!r} property — set it first")
     table.refresh()
     entries = [e for e in table.all_entries() if e.content == "data"]
-    todo = [e for e in entries if "bloom" not in (e.stats.get(col) or {})]
+    # stale = no marker OR a marker from an older sidecar format whose
+    # file probes as unreadable now — backfill doubles as the format
+    # upgrade path (re-run it once after an engine upgrade).
+    todo = [
+        e
+        for e in entries
+        if ((e.stats.get(col) or {}).get("bloom") or {}).get("v")
+        != MARKER_VERSION
+    ]
     if not todo:
         return {"annotated": 0, "already": len(entries)}
     markers = build_sidecars(

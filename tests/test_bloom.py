@@ -53,6 +53,40 @@ def test_load_sidecar_missing_or_corrupt(tmp_path):
     assert bloom.load_sidecar(p) is None  # conservative, never an error
 
 
+def test_load_sidecar_rejects_payload_corruption(tmp_path):
+    """A flipped bit INSIDE a correctly-sized payload is the dangerous
+    case: without the crc it reads as a valid filter that can false-
+    negative (file wrongly pruned => silently lost delete).  v2 must
+    reject it entirely, degrading to range-only pruning."""
+    p = str(tmp_path / "h.parquet")
+    bloom.write_sidecar(p, ["a", "b", "c"])
+    side = bloom.sidecar_path(p)
+    raw = bytearray(open(side, "rb").read())
+    raw[-1] ^= 0xFF  # corrupt payload, keep length + header intact
+    open(side, "wb").write(bytes(raw))
+    assert bloom.load_sidecar(p) is None
+    # truncation (header intact, payload short) also rejected
+    bloom.write_sidecar(p, ["a", "b", "c"])
+    raw = open(side, "rb").read()
+    open(side, "wb").write(raw[:-8])
+    assert bloom.load_sidecar(p) is None
+
+
+def test_load_sidecar_rejects_v1_format(tmp_path):
+    """Pre-crc sidecars (magic CSBF1, 5-byte header) read as None —
+    safe degradation; bloom.backfill() is the documented upgrade."""
+    import struct
+
+    p = str(tmp_path / "i.parquet")
+    m = bloom.size_bits(3)
+    bits = bloom.build_bits(bloom.key_hashes(["a", "b", "c"]), m)
+    with open(bloom.sidecar_path(p), "wb") as f:
+        f.write(b"CSBF1")
+        f.write(struct.pack("<IB", m, bloom.K_PROBES))
+        f.write(bits.tobytes())
+    assert bloom.load_sidecar(p) is None
+
+
 # --- merge integration ---------------------------------------------------------
 
 
@@ -207,6 +241,17 @@ def test_backfill_annotates_history_and_enables_pruning(spark, token_table):
     # idempotent
     again = bloom.backfill(spark, t)
     assert again["annotated"] == 0 and again["already"] == len(t.files())
+    # format upgrade path: a stale-version marker is re-annotated
+    e0 = t.files()[0]
+    t.annotate_entry_stats(
+        {e0.path: {"doc_id": {"bloom": {"m": 2048, "k": 7}}}}  # no "v"
+    )
+    up = bloom.backfill(spark, t)
+    assert up["annotated"] == 1
+    assert all(
+        e.stats["doc_id"]["bloom"].get("v") == bloom.MARKER_VERSION
+        for e in t.files()
+    )
     # and the NEXT point delete prunes by membership on old files
     victims = [base[3][0], base[800][0]]
     rows = [(i + 1, "D", k, None, None, None, E, 1) for i, k in enumerate(victims)]
