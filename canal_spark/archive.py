@@ -75,13 +75,19 @@ def _staging_files(staging_dir: str) -> list[str]:
     )
 
 
-def _ordinal_range(path: str) -> tuple[int, int, int] | None:
-    """(min, max, rows) from the parquet footer — the position range a
-    binlog filename encodes.  None when any row group lacks ordinal
-    stats (conservative: the file is then never archived)."""
+def _footer(path: str):
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return pq.ParquetFile(path).metadata
+
+
+def _ordinal_range(path: str, md=None) -> tuple[int, int, int] | None:
+    """(min, max, rows) from the parquet footer — the position range a
+    binlog filename encodes.  None when any row group lacks ordinal
+    stats (conservative: the file is then never archived).  Pass ``md``
+    to reuse an already-opened footer."""
+    if md is None:
+        md = _footer(path)
     try:
         idx = md.schema.names.index("ordinal")
     except ValueError:
@@ -130,10 +136,20 @@ def archive_segments(
     seg_root = os.path.join(archive_dir, SEGMENT_DIR)
     os.makedirs(seg_root, exist_ok=True)
     manifest = _load_manifest(archive_dir)
-    known = {e["name"] for e in manifest}
+    known = {e["name"]: e for e in manifest}
     archived_files = archived_rows = kept = 0
     for path in _staging_files(staging_dir):
-        rng = _ordinal_range(path)
+        md = _footer(path)
+        # config error checked on EVERY staging file, retention or not —
+        # a misconfigured multi-stream dir must fail on the first run,
+        # not days later when retention first passes a file
+        if "stream_id" in md.schema.names:
+            raise ValueError(
+                "multi-stream changelog (stream_id column): per-stream "
+                "ordinals overlap, whole-file ordinal ranges are not "
+                "positions — archive per-stream staging dirs instead"
+            )
+        rng = _ordinal_range(path, md=md)
         if rng is None:
             kept += 1
             continue
@@ -141,20 +157,25 @@ def archive_segments(
         if hi >= retain_from_ordinal:
             kept += 1
             continue
-        if "stream_id" in _parquet_columns(path):
-            raise ValueError(
-                "multi-stream changelog (stream_id column): per-stream "
-                "ordinals overlap, whole-file ordinal ranges are not "
-                "positions — archive per-stream staging dirs instead"
-            )
         name = f"segment-{lo:020d}-{hi:020d}-{os.path.basename(path)}"
-        if name not in known:
+        entry = known.get(name)
+        if entry is None:
             shutil.copy2(path, os.path.join(seg_root, name))
-            manifest.append(
-                {"name": name, "min_ordinal": lo, "max_ordinal": hi, "rows": rows}
-            )
-            known.add(name)
+            entry = {"name": name, "min_ordinal": lo, "max_ordinal": hi,
+                     "rows": rows}
+            manifest.append(entry)
+            known[name] = entry
             _save_manifest(archive_dir, manifest)
+        elif rows != entry["rows"]:
+            # same name (same range + basename) but NOT the same file:
+            # deleting it would silently lose rows — the same loud-fail
+            # contract resolve_changelog enforces for this collision
+            raise ValueError(
+                f"staging file {path} collides with cataloged segment "
+                f"{name} but is not the same file ({rows} rows vs "
+                f"{entry['rows']} cataloged) — re-stage it under a "
+                "fresh basename"
+            )
         os.remove(path)
         archived_files += 1
         archived_rows += rows
@@ -175,12 +196,6 @@ def _segment_basename(name: str) -> str | None:
     if len(parts) != 4 or parts[0] != "segment":
         return None
     return parts[3]
-
-
-def _parquet_columns(path: str) -> list[str]:
-    import pyarrow.parquet as pq
-
-    return list(pq.ParquetFile(path).metadata.schema.names)
 
 
 def resolve_changelog(

@@ -28,7 +28,9 @@ Scale shape (10^12 sequences):
   JVM ``transform(sequence(...))`` + ONE posexplode — O(corpus tokens)
   rows but zero Python and no self-join; ``sample_mod=k`` switches to
   1-in-k hash-threshold fingerprinting (detects runs >= ~w*k) and cuts
-  the shuffle k-fold, the knob a 100 TB run sets first.
+  the shuffle k-fold — the knob a 100 TB run sets first to SIZE the
+  problem (``dry_run=True`` only: an applied cut needs every window of
+  a run, so it requires ``sample_mod=1``; estimate sampled, cut exact).
 - The duplicated-window set is an aggregation consumed by a semi/inner
   join — a boilerplate shared by a million docs is ONE group row,
   never O(b^2) pairs (same argument as the LSH hot-bucket cap).
@@ -64,7 +66,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canal_spark.operators.tokenops import DUP_W, span_windows
+from canal_spark.operators.tokenops import DUP_W, covered_positions, span_windows
 from canal_spark.table.format import Table
 
 
@@ -102,6 +104,17 @@ def dup_span_cut_pass(
     See module docstring for semantics, scale shape and safety."""
     from canal_spark.merge import merge_into
 
+    if sample_mod > 1 and not dry_run:
+        # sampling keeps 1-in-k windows: sound for DETECTING runs (and
+        # for a dry-run cost estimate) but an applied cut would excise
+        # only the sampled w-token patches, leaving ~ (k-1)/k of every
+        # duplicated run in place while reporting success — and the
+        # leftovers re-flag on the next run, breaking idempotence
+        raise ValueError(
+            "sample_mod > 1 is estimation-only (dry_run=True): an "
+            "applied cut must see every window of a duplicated run "
+            "(sample_mod=1) or it excises Swiss-cheese patches"
+        )
     job_id = job_id or uuid.uuid4().hex[:12]
     rows = table.scan(spark)
     sp = span_windows(
@@ -120,10 +133,9 @@ def dup_span_cut_pass(
     hits = sp.join(dup, "h")
     if keep_one:
         hits = hits.where(F.col("doc_id") != F.col("first_doc"))
-    # distinct covered positions per doc; bounded by matches
-    cov = hits.select(
-        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("p")
-    ).distinct().persist()
+    # distinct covered positions per doc; bounded by matches (the
+    # shared tokenops kernel — ONE coverage-expansion implementation)
+    cov = covered_positions(hits, w).persist()
     try:
         affected = cov.select("doc_id").distinct()
         n_affected = affected.count()

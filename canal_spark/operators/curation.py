@@ -57,7 +57,9 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "source",
             split.alias("split"),
-            F.size(F.split("text", " ")).cast("long").alias("_tok"),
+            F.size(F.split(F.coalesce("text", F.lit("")), " "))
+            .cast("long")
+            .alias("_tok"),
         )
         .groupBy("source", "split")
         .agg(
@@ -77,7 +79,7 @@ WITH b AS (
          CASE WHEN {_DUCK_BUCKET} < {TEST_PCT} THEN 'test'
               WHEN {_DUCK_BUCKET} < {TEST_PCT + VAL_PCT} THEN 'val'
               ELSE 'train' END AS split,
-         len(string_split(text, ' ')) AS tok
+         len(string_split(coalesce(text, ''), ' ')) AS tok
   FROM documents)
 SELECT source, split,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -109,7 +111,12 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with a cross join.  Nothing data-scale crosses the driver."""
     docs = load(spark, sf_dir, "documents")
     per_src = (
-        docs.select("source", F.size(F.split("text", " ")).cast("long").alias("_tok"))
+        docs.select(
+            "source",
+            F.size(F.split(F.coalesce("text", F.lit("")), " "))
+            .cast("long")
+            .alias("_tok"),
+        )
         .groupBy("source")
         .agg(F.sum("_tok").cast("long").alias("avail_tokens"))
         .withColumn("weight", (md5int(F.col("source")) % 4 + 1).cast("long"))
@@ -138,7 +145,8 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MIXTURE_PLAN = f"""
 WITH per_src AS (
   SELECT source,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
+         CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+           AS avail_tokens,
          CAST({duck_md5int('source')} % 4 + 1 AS BIGINT) AS weight
   FROM documents GROUP BY source),
 tot AS (SELECT sum(weight) AS sum_w, sum(avail_tokens) AS sum_avail FROM per_src),
@@ -177,7 +185,9 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(CHUNK_LEN)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     d = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
+        docs.select(
+            "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("w")
+        )
         .withColumn("n_tok", F.size("w"))
         .withColumn(
             "n_chunks",
@@ -205,7 +215,8 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_CHUNK = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+           FROM documents),
 n AS (SELECT doc_id, w, len(w) AS n_tok FROM t),
 c AS (SELECT doc_id, w, n_tok,
              (greatest(n_tok - {CHUNK_LEN}, 0) + {CHUNK_STRIDE} - 1)
@@ -250,9 +261,9 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    wc = F.size(F.split("text", " ")).cast("long")
+    wc = F.size(F.split(F.coalesce("text", F.lit("")), " ")).cast("long")
     stop = F.expr(
-        "size(filter(split(text, ' '), w -> w in ('the', 'a')))"
+        "size(filter(split(coalesce(text, ''), ' '), w -> w in ('the', 'a')))"
     ).cast("long")
     ciw = F.col("n_chars") - (wc - 1)
     quality = (
@@ -308,15 +319,17 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_CUT = f"""
 WITH s AS (
   SELECT source,
-         CAST(least(len(string_split(text, ' ')), 100) * 4
-              + floor((len(string_split(text, ' '))
-                       - len(list_filter(string_split(text, ' '),
+         CAST(least(len(string_split(coalesce(text, ''), ' ')), 100) * 4
+              + floor((len(string_split(coalesce(text, ''), ' '))
+                       - len(list_filter(string_split(coalesce(text, ''), ' '),
                                          w -> w IN ('the', 'a'))))
-                      * 400 / len(string_split(text, ' ')))
-              + least(floor((n_chars - (len(string_split(text, ' ')) - 1))
-                            * 25 / len(string_split(text, ' '))), 200)
+                      * 400 / len(string_split(coalesce(text, ''), ' ')))
+              + least(floor((n_chars
+                             - (len(string_split(coalesce(text, ''), ' ')) - 1))
+                            * 25 / len(string_split(coalesce(text, ''), ' '))),
+                      200)
               AS BIGINT) AS q,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok
   FROM documents),
 hist AS (SELECT source, q, CAST(count(*) AS BIGINT) AS cnt,
                 CAST(sum(tok) AS BIGINT) AS tok
@@ -502,10 +515,16 @@ def q_length_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seqs",
         "real_tokens",
         "trunc_tokens",
+        # padded-token counts * PPM exceed int64 near the 10^12-sequence
+        # design point (512-bucket: ~5e14 padded tokens * 1e6 = 5e20) —
+        # widen to DECIMAL(38,0) before the multiply, exactly the
+        # convention propagate_min_labels/dsir document for full-range
+        # int64 aggregation; floor == integer div (all values >= 0)
         F.expr(
-            f"(n_seqs * bucket_len - real_tokens) * {PPM} "
-            f"DIV (n_seqs * bucket_len)"
-        ).cast("long").alias("pad_ppm"),
+            f"CAST(floor((CAST(n_seqs AS DECIMAL(38,0)) * bucket_len"
+            f" - real_tokens) * {PPM}"
+            f" / (CAST(n_seqs AS DECIMAL(38,0)) * bucket_len)) AS BIGINT)"
+        ).alias("pad_ppm"),
         F.expr(
             f"(n_seqs + ({BATCH_TOKENS} DIV bucket_len) - 1) "
             f"DIV ({BATCH_TOKENS} DIV bucket_len)"
@@ -527,8 +546,8 @@ SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
        CAST(n_seqs AS BIGINT) AS n_seqs,
        CAST(real_tokens AS BIGINT) AS real_tokens,
        CAST(trunc_tokens AS BIGINT) AS trunc_tokens,
-       CAST((n_seqs * bucket_len - real_tokens) * {PPM}
-            // (n_seqs * bucket_len) AS BIGINT) AS pad_ppm,
+       CAST((CAST(n_seqs AS HUGEINT) * bucket_len - real_tokens) * {PPM}
+            // (CAST(n_seqs AS HUGEINT) * bucket_len) AS BIGINT) AS pad_ppm,
        CAST((n_seqs + ({BATCH_TOKENS} // bucket_len) - 1)
             // ({BATCH_TOKENS} // bucket_len) AS BIGINT) AS n_batches
 FROM a ORDER BY bucket_len

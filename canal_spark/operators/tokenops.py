@@ -240,8 +240,13 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cached_deps(out, [per])
 
 
+# mirrors etl._TOKENS_EXPR exactly, including its hardening: NULL text
+# coalesces to '' and empty words (consecutive/leading spaces) never
+# hash phantom md5('') tokens — without both guards the oracle computes
+# a DIFFERENT tokenizer than the Spark side on whitespace-odd text
 _TOK_DUCK = (
-    f"list_transform(string_split(text, ' '), "
+    f"list_transform(list_filter(string_split(coalesce(text, ''), ' '), "
+    f"w -> w != ''), "
     f"w -> CAST({duck_md5int('w')} % 50257 AS INT))"
 )
 
@@ -249,7 +254,11 @@ _DUP_CTES = f"""
 base AS (
   SELECT doc_id,
          CASE WHEN doc_id % {DUP_MOD} IN ({_REMS_SQL})
-              THEN text || ' u' || CAST(doc_id AS VARCHAR) || ' ' || {_BOILER_DUCK}
+              -- concat_ws, not ||: Spark's injection NULL-SKIPS a null
+              -- text (sentinel+boilerplate survive); || would NULL the
+              -- whole doc and silently drop it from the oracle
+              THEN concat_ws(' ', text,
+                             'u' || CAST(doc_id AS VARCHAR), {_BOILER_DUCK})
               ELSE text END AS text
   FROM documents),
 tok AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM base),

@@ -118,6 +118,44 @@ def test_multi_stream_refused(spark, tmp_path):
         archive_segments(spark, str(tmp_path / "stage"), str(tmp_path / "cold"), 10**9)
 
 
+def test_multi_stream_refused_even_when_retained(spark, tmp_path):
+    """The config error fires on the FIRST run, not days later when
+    retention first passes a file: even with retain_from_ordinal=0
+    (nothing archivable yet) a stream_id staging dir is refused."""
+    base = synth_token_rows(50)
+    rows = sorted(synth_changelog_rows(base, 30, seed=5), key=lambda r: r[0])
+    from pyspark.sql import functions as F
+
+    df = changelog_df(spark, rows).withColumn(
+        "stream_id", F.pmod(F.col("ordinal"), F.lit(2)).cast("string")
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    with pytest.raises(ValueError, match="per-stream ordinals overlap"):
+        archive_segments(spark, str(tmp_path / "stage"), str(tmp_path / "cold"), 0)
+
+
+def test_archive_refuses_to_delete_reused_basename(spark, staged, tmp_path):
+    """The archive-side twin of the resolve collision guard: a staging
+    file whose computed segment name is already cataloged but whose ROW
+    COUNT differs is NOT silently deleted (that would lose the rows the
+    archive copy lacks) — the run fails loudly and the file survives."""
+    stage, cold, rows = staged
+    archive_segments(spark, stage, cold, retain_from_ordinal=81)
+    seg_dir = os.path.join(cold, "segments")
+    seg = sorted(os.listdir(seg_dir))[0]
+    orig_name = seg.split("-", 3)[3]
+    # a corrected file with the SAME basename and the SAME min/max
+    # ordinals (first + last of the archived chunk) but fewer rows
+    subset = rows[0:10] + rows[30:40]
+    changelog_df(spark, subset).coalesce(1).write.parquet(str(tmp_path / "one"))
+    part = [n for n in os.listdir(tmp_path / "one") if n.endswith(".parquet")][0]
+    victim = os.path.join(stage, orig_name)
+    shutil.copy2(os.path.join(tmp_path / "one", part), victim)
+    with pytest.raises(ValueError, match="collides with cataloged segment"):
+        archive_segments(spark, stage, cold, retain_from_ordinal=81)
+    assert os.path.exists(victim)  # never deleted on the failing path
+
+
 def test_consumer_resumes_through_archive(spark, staged, tmp_path):
     """A client whose cursor predates staging retention resumes from
     cold segments and hands off to the live dir with no gap — the

@@ -94,6 +94,24 @@ def test_dry_run_and_cut_fraction_abort_touch_nothing(spark, tmp_table_root):
     assert _scan(spark, t) == orig
 
 
+def test_sampled_cut_is_estimation_only(spark, tmp_table_root):
+    """sample_mod > 1 keeps 1-in-k windows — sound for sizing the
+    problem (dry_run) but an APPLIED cut would excise Swiss-cheese
+    patches and leave most of every duplicated run: refused loudly,
+    nothing written."""
+    t, orig = _mk_table(spark, tmp_table_root)
+    snap = t.current_snapshot_id
+    with pytest.raises(ValueError, match="estimation-only"):
+        dup_span_cut_pass(spark, t, w=W, sample_mod=4, max_cut_fraction=0.99)
+    assert t.current_snapshot_id == snap
+    assert _scan(spark, t) == orig
+    # the dry-run estimate path stays available at any sample_mod
+    res = dup_span_cut_pass(
+        spark, t, w=W, sample_mod=4, dry_run=True, max_cut_fraction=0.99
+    )
+    assert res.dry_run and not res.applied
+
+
 def test_out_of_band_leaves_checkpoint_alone(spark, tmp_table_root):
     t, _ = _mk_table(spark, tmp_table_root)
     before = t.properties.get("hwm")
