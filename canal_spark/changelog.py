@@ -17,6 +17,7 @@ missing-key deletes, upsert-on-existing, and zipf key skew.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -25,6 +26,21 @@ from pyspark.sql import functions as F
 from canal_spark.schema import CHANGELOG_SCHEMA, SOURCES, TOKEN_TABLE_SCHEMA
 
 EPOCH = _dt.datetime(2026, 1, 1)
+
+
+def changelog_dir_has_data(d: str | None) -> bool:
+    """True when the staging dir exists and holds any parquet file or
+    partition subdir (skipping ``_``/``.`` metadata names) — the ONE
+    'has the producer started?' probe shared by the consumer server
+    and the instance pass, so the two can never disagree about whether
+    a changelog is empty."""
+    if not d or not os.path.isdir(d):
+        return False
+    return any(
+        n.endswith(".parquet") or os.path.isdir(os.path.join(d, n))
+        for n in os.listdir(d)
+        if not n.startswith(("_", "."))
+    )
 
 
 def _tokens_for(rng: np.ndarray) -> list:

@@ -177,13 +177,9 @@ class ConsumerServer:
     def _scan(self):
         """The event store: None when the staging dir is absent/empty
         (a destination configured before its producer starts)."""
-        if not os.path.isdir(self.changelog_dir):
-            return None
-        if not any(
-            n.endswith(".parquet") or os.path.isdir(os.path.join(self.changelog_dir, n))
-            for n in os.listdir(self.changelog_dir)
-            if not n.startswith(("_", "."))
-        ):
+        from canal_spark.changelog import changelog_dir_has_data
+
+        if not changelog_dir_has_data(self.changelog_dir):
             return None
         return self.spark.read.parquet(self.changelog_dir)
 
@@ -302,6 +298,18 @@ class ConsumerServer:
             if store is None:
                 return Message(-1)
             sl = store.where(F.col("ordinal") > F.lit(int(fetch_from)))
+        # re-checked per fetch, not only at subscribe: a destination
+        # configured BEFORE its producer starts subscribes against an
+        # empty dir (probe skipped), and a multi-stream producer that
+        # then appears would otherwise be consumed with overlapping
+        # per-stream ordinals — acking stream A's 1-10 silently skips
+        # stream B's 1-10 forever
+        if "stream_id" in sl.columns:
+            raise ValueError(
+                "multi-stream changelog (stream_id column): per-stream "
+                "ordinals overlap, a scalar consumer cursor is not a "
+                "valid position — consume through stream_apply instead"
+            )
         # client-side subscription filter on the event's source —
         # NULL kept (a D row's after-image source is null; dropping
         # an unclassifiable delete would leak the key forever)
@@ -376,6 +384,17 @@ class ConsumerServer:
         m = self._client(client_id)
         with m.lock:
             self._check_live(m, client_id)
+            # feasibility BEFORE the fetch: with an older batch still
+            # outstanding the auto-ack can only fail first-outstanding —
+            # failing after _fetch_locked would persist the new batch,
+            # advance the get-pointer past its ordinals, and drop the
+            # entries, burning one undeliverable batch per retry
+            if m.batches:
+                raise ValueError(
+                    f"get with auto-ack refused, clientId:{client_id} has "
+                    f"outstanding batchIds:{sorted(m.batches)} — ack or "
+                    f"rollback them first"
+                )
             msg = self._fetch_locked(m, batch_size)
             if not msg.is_empty:
                 self._ack_locked(m, client_id, msg.id)

@@ -58,6 +58,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import threading
 import uuid
 
 LEASE_FILE = "running.json"
@@ -78,6 +79,11 @@ class DestinationLease:
         self.server_id = server_id
         self.ttl_s = float(ttl_s)
         self.incarnation: str | None = None
+        # serializes same-process transitions: the round loop's
+        # try_acquire vs the background heartbeat thread (see
+        # FleetHA.start_heartbeats) — cross-process safety stays with
+        # the O_EXCL/os.replace file protocol
+        self._mutex = threading.Lock()
         # injectable clock so tests exercise TTL expiry without sleeping
         self._clock = _clock or (lambda: _dt.datetime.now(_dt.timezone.utc).timestamp())
 
@@ -120,10 +126,14 @@ class DestinationLease:
         """One acquisition attempt: O_EXCL create, or steal a stale
         lease (delete + re-race — ServerRunningMonitor's watch-fired
         initRunning scramble).  Idempotent while held."""
+        with self._mutex:
+            return self._try_acquire_locked()
+
+    def _try_acquire_locked(self) -> bool:
         if self.incarnation is not None:
             # already active — treat as a heartbeat so callers can use
             # try_acquire() as the single per-round verb
-            return self.heartbeat()
+            return self._heartbeat_locked()
         p = self.holder()
         if p is not None and not self.is_stale(p):
             return False
@@ -228,6 +238,10 @@ class DestinationLease:
         """Refresh the TTL; returns False (and demotes) when the lease
         was stolen or vanished — the isMine re-check of
         ServerRunningMonitor.java:182-187."""
+        with self._mutex:
+            return self._heartbeat_locked()
+
+    def _heartbeat_locked(self) -> bool:
         if self.incarnation is None:
             return False
         p = self.holder()
@@ -248,15 +262,16 @@ class DestinationLease:
     def release(self) -> None:
         """Voluntary handoff (:204-207): delete only if still mine, so a
         demoted holder can never delete the new holder's lease."""
-        if self.incarnation is None:
-            return
-        p = self.holder()
-        if p is not None and p.get("incarnation") == self.incarnation:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
-        self.incarnation = None
+        with self._mutex:
+            if self.incarnation is None:
+                return
+            p = self.holder()
+            if p is not None and p.get("incarnation") == self.incarnation:
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+            self.incarnation = None
 
 
 class FleetHA:
@@ -272,6 +287,7 @@ class FleetHA:
         self.ttl_s = ttl_s
         self._clock = _clock
         self._leases: dict[str, DestinationLease] = {}
+        self._hb_stop: threading.Event | None = None
 
     def lease(self, destination: str) -> DestinationLease:
         if destination not in self._leases:
@@ -310,7 +326,42 @@ class FleetHA:
                                "holder": (lease.holder() or {}).get("server_id")})
         return owned, events
 
+    def start_heartbeats(self, interval_s: float | None = None) -> None:
+        """Keep owned leases fresh from a daemon thread while the round
+        loop is busy.  select() heartbeats once per ROUND — a single
+        maintenance pass longer than the TTL would otherwise expire the
+        holder's lease mid-round and hand a standby the destination
+        while the pass is still running (minutes of two active servers,
+        not the one-GC-pause window the lease protocol bounds).  The
+        thread only touches leases that are currently active; a steal
+        detected by the heartbeat demotes exactly as the round-loop
+        path does, and the per-lease mutex serializes the two threads.
+        Idempotent; stop with :meth:`stop_heartbeats` (release_all does
+        it automatically)."""
+        if self._hb_stop is not None:
+            return
+        stop = threading.Event()
+        interval = interval_s if interval_s is not None else max(
+            1.0, self.ttl_s / 3.0
+        )
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                for lease in list(self._leases.values()):
+                    if lease.is_active:
+                        lease.heartbeat()
+
+        t = threading.Thread(target=_beat, daemon=True, name="ha-heartbeat")
+        t.start()
+        self._hb_stop = stop
+
+    def stop_heartbeats(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_stop = None
+
     def release_all(self) -> list[str]:
+        self.stop_heartbeats()
         released = [d for d, l in sorted(self._leases.items()) if l.is_active]
         for lease in self._leases.values():
             lease.release()

@@ -200,6 +200,19 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
               "filter_black_regex", "lineage", "band_index", "ivf_index"):
         if doc.get(k) is not None and not isinstance(doc[k], str):
             raise ValueError(f"[{destination}] '{k}' must be a string")
+    for k in ("filter_regex", "filter_black_regex"):
+        if doc.get(k):
+            # compile NOW: a malformed pattern must be a config_error at
+            # load time (the module's hard-error stance), not a
+            # pass_error every round / an HTTP 500 on every consumer get
+            import re as _re
+
+            try:
+                _re.compile(doc[k])
+            except _re.error as e:
+                raise ValueError(
+                    f"[{destination}] '{k}' is not a valid regex: {e}"
+                ) from e
     tmb = doc.get("target_mb")
     if tmb is not None and (isinstance(tmb, bool) or not isinstance(tmb, int) or tmb <= 0):
         raise ValueError(f"[{destination}] 'target_mb' must be a positive integer")
@@ -280,13 +293,9 @@ def _read_changelog(spark: SparkSession, spec: InstanceSpec) -> DataFrame | None
     """The instance's staged changelog, source-filtered; None when the
     staging dir is absent/empty (a destination may be configured before
     its producer starts — the pass still compacts/clusters)."""
-    if not spec.changelog or not os.path.isdir(spec.changelog):
-        return None
-    if not any(
-        n.endswith(".parquet") or os.path.isdir(os.path.join(spec.changelog, n))
-        for n in os.listdir(spec.changelog)
-        if not n.startswith(("_", "."))
-    ):
+    from canal_spark.changelog import changelog_dir_has_data
+
+    if not changelog_dir_has_data(spec.changelog):
         return None
     return _source_filter(spark.read.parquet(spec.changelog), spec)
 
@@ -321,6 +330,7 @@ def run_instance_pass(
     with the DESTINATION name, not the table path — matching the
     reference's per-instance exposition labels)."""
     from canal_spark import load_table
+    from canal_spark.ann_index import load_or_create_ivf_index
     from canal_spark.dedup_index import load_or_create_band_index
     from canal_spark.maintenance import prometheus_metrics, run_pass
 
@@ -339,7 +349,12 @@ def run_instance_pass(
         changes=_read_changelog(spark, spec),
         job_id=job_id,
         band_index=band_index,
-        ivf_index=load_table(spec.ivf_index) if spec.ivf_index else None,
+        # load_or_create, matching the stream path: a spec pointing at a
+        # not-yet-built index must bootstrap it on the first pass, not
+        # emit a pass_error every round until someone builds it by hand
+        ivf_index=(
+            load_or_create_ivf_index(spec.ivf_index) if spec.ivf_index else None
+        ),
         **spec.run_pass_kwargs(),
     )
     return {
@@ -499,8 +514,14 @@ class StreamFleet:
             except Exception as e:  # noqa: BLE001 — fleet isolation boundary
                 if cur is not None:
                     del self._running[dest]
-                events.append({"event": "start_error", "destination": dest,
-                               "error": f"{type(e).__name__}: {e}"})
+                err_ev = {"event": "start_error", "destination": dest,
+                          "error": f"{type(e).__name__}: {e}"}
+                if "previous_error" in ev:
+                    # the stopped query's terminal exception is the only
+                    # record of why it died — must survive a failed
+                    # restart, not vanish with the unsent reload event
+                    err_ev["previous_error"] = ev["previous_error"]
+                events.append(err_ev)
                 continue
             self._running[dest] = (spec.fingerprint, handle)
             events.append(ev)

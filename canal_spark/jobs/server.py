@@ -87,6 +87,10 @@ def main() -> None:
             DEFAULT_TTL_S, 3 * args.scan_interval
         )
         ha = FleetHA(args.conf_dir, server_id, ttl_s=ttl)
+        # leases stay fresh while a round's passes run longer than the
+        # TTL — without this a 10-minute compaction expires the lease
+        # mid-pass and a standby goes dual-active for the remainder
+        ha.start_heartbeats()
         emit({"event": "ha_enabled", "server_id": server_id, "ttl_s": ttl})
 
     registry: dict[str, str] = {}
@@ -128,8 +132,17 @@ def main() -> None:
             for ev in ha_events:
                 emit(ev)
             specs = {d: s for d, s in specs.items() if d in owned}
-        owned_now.clear()
-        owned_now.update(specs)
+            # active = LEASE-held, not error-filtered specs: a dest
+            # whose instance.json is transiently unreadable still holds
+            # its lease here (no other server can be "the running
+            # server"), so its consumer endpoint must keep answering.
+            # add-then-retain ordering: never empty mid-update against
+            # concurrent HTTP threads reading the set
+            owned_now.update(owned)
+            owned_now.intersection_update(owned)
+        else:
+            owned_now.update(specs)
+            owned_now.intersection_update(specs)
         if client_http is not None:
             # register consumer endpoints for every active destination
             # with a staged changelog; drop vanished ones (but keep a
@@ -148,6 +161,11 @@ def main() -> None:
                         os.path.join(args.conf_dir, dest, "consumer_meta"),
                         archive_dir=s.archive,
                     )
+                elif not s.changelog and dest in consumers:
+                    # reload REMOVED the changelog: keeping the old
+                    # endpoint would serve batches from a dir the
+                    # instance no longer consumes
+                    del consumers[dest]
         batch_specs = {d: s for d, s in specs.items() if s.mode == "batch"}
         for ev in diff_registry(registry, batch_specs, errors=errors):
             emit(ev)

@@ -167,6 +167,46 @@ def test_multi_stream_changelog_rejected(spark, tmp_path):
         srv.subscribe("c1")
 
 
+def test_multi_stream_appearing_after_subscribe_rejected(spark, tmp_path):
+    """A destination configured before its producer starts subscribes
+    against an empty dir (probe skipped); a multi-stream producer that
+    then appears must be refused at FETCH time — consuming it would
+    ack stream A's ordinals and silently skip stream B's."""
+    from pyspark.sql import functions as F
+
+    srv = ConsumerServer(spark, str(tmp_path / "cl"), str(tmp_path / "meta"))
+    srv.subscribe("c1")  # empty dir: subscribe-time probe is skipped
+    base = synth_token_rows(50)
+    rows = synth_changelog_rows(base, 20, seed=3)
+    changelog_df(spark, rows).withColumn("stream_id", F.lit("s1")).write.parquet(
+        str(tmp_path / "cl")
+    )
+    with pytest.raises(ValueError, match="stream_apply"):
+        srv.get_without_ack("c1", 10)
+
+
+def test_auto_ack_get_refused_while_batches_outstanding(staged):
+    """get (auto-ack) with an older unacked batch must fail BEFORE
+    fetching: failing after would persist the new batch, advance the
+    get-pointer past its ordinals, and drop the entries — one
+    undeliverable batch burned per retry."""
+    srv, rows = staged
+    srv.subscribe("c1")
+    m1 = srv.get_without_ack("c1", 40)
+    assert m1.id == 1
+    with pytest.raises(ValueError, match="outstanding"):
+        srv.get("c1", 40)
+    # nothing burned: batch 1 is still the only outstanding batch and
+    # the next plain fetch continues from batch 1's end, no gap
+    assert srv.list_batch_ids("c1") == [1]
+    m2 = srv.get_without_ack("c1", 40)
+    assert _ids(m2.entries) == [r[2] for r in rows[40:80]]
+    # after a rollback clears the outstanding set, auto-ack works again
+    srv.rollback("c1")
+    m3 = srv.get("c1", 40)
+    assert m3.id > m2.id and _ids(m3.entries) == [r[2] for r in rows[0:40]]
+
+
 def test_empty_store_returns_empty_packet(spark, tmp_path):
     srv = ConsumerServer(spark, str(tmp_path / "nope"), str(tmp_path / "meta"))
     srv.subscribe("c1")

@@ -212,6 +212,29 @@ spark.stop()
     assert ev2.count("ha_release") == 2  # clean shutdown hands back
 
 
+def test_background_heartbeats_survive_a_long_pass(tmp_path):
+    """A maintenance pass longer than the TTL must not lose the lease:
+    the fleet's daemon heartbeat keeps owned leases fresh while the
+    round loop is busy, so a standby's takeover probe keeps failing."""
+    import time
+
+    conf = str(tmp_path)
+    _mk(conf, "d1")
+    fleet = FleetHA(conf, "srv-a", ttl_s=0.6)  # real clock, tiny TTL
+    owned, _ = fleet.select(["d1"])
+    assert owned == ["d1"]
+    fleet.start_heartbeats(interval_s=0.1)
+    standby = DestinationLease(conf, "d1", "srv-b", ttl_s=0.6)
+    deadline = time.time() + 1.5  # >2 TTLs of "pass" time
+    while time.time() < deadline:
+        assert not standby.try_acquire()  # never goes stale
+        time.sleep(0.1)
+    assert fleet.lease("d1").is_active
+    # release_all stops the thread and frees the lease for the standby
+    assert fleet.release_all() == ["d1"]
+    assert standby.try_acquire()
+
+
 def test_delayed_sweep_cannot_delete_fresh_lease(tmp_path):
     """The remove-then-create takeover race: standbys A and B both read
     the same stale payload; A sweeps and acquires a fresh lease; B's

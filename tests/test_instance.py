@@ -70,6 +70,10 @@ def test_spec_defaults_and_fingerprint(tmp_path):
     ({"table": "/x", "target_mb": -1}, "positive integer"),
     ({"table": "/x", "keep_snapshots": "5"}, "must be a number"),
     ({"table": "/x", "changelog": 3}, "must be a string"),
+    # malformed regex is a config_error at LOAD time, not a pass_error
+    # every round / an HTTP 500 on every consumer get
+    ({"table": "/x", "filter_regex": "db1.("}, "not a valid regex"),
+    ({"table": "/x", "filter_black_regex": "[z"}, "not a valid regex"),
 ])
 def test_spec_validation_errors(tmp_path, doc, msg):
     from canal_spark.instance import load_instance
