@@ -90,7 +90,14 @@ def check_table(
         seen.add(e.path)
 
     existing = []
+    checked: set[str] = set()
     for e in entries:
+        # a duplicated path is already reported above — checking both
+        # entries would double every footer/rows/partition violation on
+        # that file and skew len(violations) for monitoring
+        if e.path in checked:
+            continue
+        checked.add(e.path)
         p = os.path.join(table.root, e.path)
         if not os.path.exists(p):
             violations.append(
@@ -132,9 +139,16 @@ def check_table(
     for e in existing:
         for col, val in e.partition.items():
             st = e.stats.get(table.era_stat_name(e, col))
-            if st and st.get("min") is not None and not (
-                st["min"] <= val <= st["max"]
-            ):
+            if st is None or st.get("min") is None:
+                continue
+            try:
+                inside = st["min"] <= val <= st["max"]
+            except TypeError:
+                # hand-edited value of the WRONG TYPE: unorderable
+                # against the stats — that is itself the corruption,
+                # report it instead of crashing mid-diagnosis
+                inside = False
+            if not inside:
                 violations.append(
                     {"file": e.path, "kind": "partition",
                      "detail": f"{col}={val!r} outside stats "
@@ -291,6 +305,11 @@ def check_archive(archive_dir: str) -> dict:
         name = e.get("name")
         missing = [k for k in ("name", "min_ordinal", "max_ordinal", "rows")
                    if e.get(k) is None]
+        if name is not None:
+            # even a broken entry CATALOGS its name — otherwise the
+            # on-disk sweep below double-reports the same entry's file
+            # as an uncataloged crash-window copy
+            cataloged.add(name)
         if missing:
             # a truncated/hand-edited entry is the corruption class this
             # check exists for — report it, never crash on it
@@ -299,7 +318,6 @@ def check_archive(archive_dir: str) -> dict:
                  "detail": f"manifest entry missing {missing}"}
             )
             continue
-        cataloged.add(name)
         if _segment_basename(name) is None:
             violations.append(
                 {"file": name, "kind": "segment-name",
@@ -312,7 +330,16 @@ def check_archive(archive_dir: str) -> dict:
                 {"file": name, "kind": "segment-missing", "detail": p}
             )
             continue
-        rng = _ordinal_range(p)
+        try:
+            rng = _ordinal_range(p)
+        except Exception as exc:  # noqa: BLE001 — truncated/garbled file
+            # an unreadable footer is the diagnosis, not a crash: the
+            # same containment check_table's _safe_footer_rows applies
+            violations.append(
+                {"file": name, "kind": "segment-corrupt",
+                 "detail": f"footer unreadable: {type(exc).__name__}: {exc}"}
+            )
+            continue
         if rng is None:
             violations.append(
                 {"file": name, "kind": "segment-range",

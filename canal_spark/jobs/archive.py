@@ -39,15 +39,10 @@ def main() -> None:
     if (args.retain_from_ordinal is None) == (args.retain_from_table is None):
         p.error("exactly one of --retain-from-ordinal / --retain-from-table")
 
-    import os
-
-    from canal_spark import get_spark
     from canal_spark.archive import archive_segments
+    from canal_spark.jobs.common import session
 
-    master = os.environ.get("SPARK_GRAFT_MASTER")
-    if not master and "PYSPARK_GATEWAY_PORT" in os.environ:
-        master = "from-submit"
-    spark = get_spark(args.app_name or "canal-archive", master=master)
+    spark = session(args, "canal-archive")
 
     if args.retain_from_table is not None:
         from canal_spark import load_table

@@ -15,8 +15,6 @@ token table — full build or incremental refresh from a changelog batch
 
 from __future__ import annotations
 
-import os
-
 from canal_spark.jobs.common import base_parser, emit, session
 
 
@@ -66,16 +64,19 @@ def main() -> None:
     from canal_spark.dedup_index import (
         MAX_BUCKET,
         corpus_dedup_pass,
-        create_band_index,
+        load_or_create_band_index,
         refresh_band_index,
     )
 
+    if not (args.full or args.changelog or args.self_dedup or args.span_cut):
+        # keys=None means a FULL O(table) rebuild — that mode is what
+        # --full exists to opt into explicitly; a cron line that lost
+        # its --changelog must not silently rebuild the index every run
+        p.error("pass --changelog for an incremental refresh or --full "
+                "for a complete rebuild")
     spark = session(args, "canal-dedup-index")
     table = load_table(args.table)
-    if os.path.exists(os.path.join(args.index, "metadata")):
-        index = load_table(args.index)
-    else:
-        index = create_band_index(args.index)
+    index = load_or_create_band_index(args.index)
 
     if args.span_cut:
         from canal_spark.dupspan import dup_span_cut_pass
@@ -104,7 +105,15 @@ def main() -> None:
                     "tokens_removed": res.tokens_removed,
                 },
             )
-        emit({"job": "span_cut", **dict(res.__dict__)})
+        out = dict(res.__dict__)
+        if res.applied:
+            # the pass COW-refreshed the index for touched keys — expire
+            # here like the refresh verb below, or scheduled span-cut
+            # runs retain every historical index file forever
+            out["index_expire"] = index.expire_snapshots(
+                keep_last=args.keep_snapshots
+            )
+        emit({"job": "span_cut", **out})
         if res.aborted or (
             args.wap and res.wap and not res.wap.get("published", True)
         ):
@@ -131,9 +140,12 @@ def main() -> None:
                     "hot_buckets_capped": res.hot_buckets_capped,
                 },
             )
-        emit({"job": "self_dedup", **{
-            k: v for k, v in res.__dict__.items()
-        }})
+        out = dict(res.__dict__)
+        if res.applied:
+            out["index_expire"] = index.expire_snapshots(
+                keep_last=args.keep_snapshots
+            )
+        emit({"job": "self_dedup", **out})
         if args.wap and res.wap and not res.wap.get("published", True):
             raise SystemExit(3)
         return

@@ -80,14 +80,9 @@ def main() -> None:
     changes = spark.read.parquet(args.changelog) if args.changelog else None
     band_index = None
     if args.band_index:
-        import os
+        from canal_spark.dedup_index import load_or_create_band_index
 
-        from canal_spark.dedup_index import create_band_index
-
-        if os.path.exists(os.path.join(args.band_index, "metadata")):
-            band_index = load_table(args.band_index)
-        else:
-            band_index = create_band_index(args.band_index)
+        band_index = load_or_create_band_index(args.band_index)
     rep = run_pass(
         spark, table, changes,
         lineage_root=args.lineage,

@@ -54,7 +54,7 @@ from canal_spark.table.format import (
     Table,
     prune_files,
 )
-from canal_spark.table.writer import norm_file_path, write_datafiles
+from canal_spark.table.writer import write_datafiles
 
 # checkpoint keys are OWNED by the format layer (rollback_to resets them
 # as the sanctioned redelivery path); historical local names kept
@@ -78,26 +78,36 @@ DATA_COLS = ["doc_id", "tokens", "n_tok", "source"]
 
 def _position_reset_id(table: Table, branch: str | None = None) -> int | None:
     """Snapshot id of the LATEST position-reset (a redelivery
-    ``rollback_to``) in the head's ancestry, or None.  Marks from
+    ``rollback_to``) at or below the head, or None.  Marks from
     snapshots older than it no longer count: they belong to batches the
     rollback un-applied — counting them would make those ordinals
-    permanently undeliverable."""
-    by_id = {s.snapshot_id: s for s in table.snapshots}
-    head = None
+    permanently undeliverable.
+
+    Deliberately NOT a parent-link walk: snapshot expiry can remove
+    intermediate ancestors (a tag may pin an older snapshot while the
+    chain between it and the head expires), and a broken walk would
+    silently report "no reset" — resurrecting pre-rollback marks and
+    swallowing the redelivery.  Resets are mainline commits, so every
+    retained reset with id <= head id is in the head's ancestry; ids
+    are globally monotone (commit assigns max+1).  A reset newer than
+    a branch's FORK point can over-apply to that branch's view, which
+    errs low — the safe direction (redelivered ordinals replay as
+    idempotent no-ops)."""
+    head_id = None
     if branch is not None:
         ref = table.refs.get(branch)
         if ref is not None:
-            head = by_id.get(ref["snapshot_id"])
-    if head is None:
-        cur = table.current_snapshot_id
-        head = by_id.get(cur) if cur is not None else None
-    while head is not None:
-        if head.summary.get(POSITION_RESET_KEY):
-            return head.snapshot_id
-        head = (
-            by_id.get(head.parent_id) if head.parent_id is not None else None
-        )
-    return None
+            head_id = ref["snapshot_id"]
+    if head_id is None:
+        head_id = table.current_snapshot_id
+    if head_id is None:
+        return None
+    resets = [
+        s.snapshot_id
+        for s in table.snapshots
+        if s.summary.get(POSITION_RESET_KEY) and s.snapshot_id <= head_id
+    ]
+    return max(resets, default=None)
 
 
 def merge_high_water_mark(table: Table, branch: str | None = None) -> int:
@@ -229,6 +239,31 @@ class MergeResult:
     extra: dict = field(default_factory=dict)
 
 
+def _canon_driver_keys(vals) -> np.ndarray | None:
+    """Collected driver keys canonicalized to the MANIFEST-STATS form
+    (writer._json_native JSON-natives footer min/max: dates/timestamps
+    to isoformat strings) so `_affected_files`' searchsorted compares
+    like against like — a raw datetime.date vs a stats string raises
+    TypeError mid-merge.  Isoformat is ordering-preserving, so string
+    pruning stays exact for temporal keys.  Decimal/bytes keys return
+    None — their string form does NOT sort numerically, so the caller
+    must skip pruning (every file affected: slower, never wrong).
+    None keys are dropped (rejected loudly by the batch stats agg)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    out = []
+    for v in vals:
+        if v is None:
+            continue
+        if isinstance(v, (_Dec, bytes, bytearray)):
+            return None
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            v = v.isoformat()
+        out.append(v)
+    return np.sort(np.array(out, dtype=object))
+
+
 def _affected_files(
     entries: list[DataFile],
     keys: np.ndarray,
@@ -318,19 +353,16 @@ def _refine_noops(
         return final
     if n_noop > max_probe_keys:
         return final.withColumn("_noop", F.lit(False))
-    keys = np.sort(
-        np.array(
-            # a NULL key (rejected with a batch error by the stats agg
-            # right after this) is unorderable — excluding it here keeps
-            # the probe from dying in np.sort before that diagnosis
-            [r[0] for r in noops.select(key_cols[0]).collect()
-             if r[0] is not None],
-            dtype=object,
+    keys = _canon_driver_keys(
+        r[0] for r in noops.select(key_cols[0]).collect()
+    )
+    if keys is None:  # Decimal/bytes key: pruning skipped, probe all
+        candidates = table.files(snapshot_id)
+    else:
+        candidates, _ = _affected_files(
+            table.files(snapshot_id), keys, key_cols[0],
+            table_root=table.root,
         )
-    )
-    candidates, _ = _affected_files(
-        table.files(snapshot_id), keys, key_cols[0], table_root=table.root
-    )
     if not candidates:
         return final.withColumn("_noop", F.lit(False))
     live = table.read_files_live(
@@ -417,11 +449,12 @@ def merge_into(
     else:
         base_sid = None
     hwm = merge_high_water_mark(table, branch=branch)
-    # checkpoint CAS pins for commit time (mainline only — branch marks
-    # live in chain summaries, serialized by the ref CAS): a concurrent
-    # merge advancing these between our planning and our commit makes a
-    # PURE-ADD plan double-apply, the one shape the manifest removal
-    # checks cannot catch
+    # checkpoint CAS pins for commit time: a concurrent merge advancing
+    # the marks between our planning and our commit makes a PURE-ADD
+    # plan double-apply, the one shape the manifest removal checks
+    # cannot catch.  Mainline pins the checkpoint PROPERTIES; branches
+    # (whose marks live in chain summaries, not properties) pin the
+    # planning-time ref head instead (validate_branch_base below)
     planned_props = (
         {
             CKPT_KEY: table.properties.get(CKPT_KEY),
@@ -660,17 +693,19 @@ def merge_into(
         elif n_keys <= max_driver_keys:
             # manifest pruning needs the key list driver-side (O(K log F)
             # searchsorted against per-file min/max); bounded by contract
-            keys = np.sort(
-                np.array([r[0] for r in keys_df.select(key_cols[0]).collect()],
-                         dtype=object)
+            keys = _canon_driver_keys(
+                r[0] for r in keys_df.select(key_cols[0]).collect()
             )
-            prune_stats: dict[str, int] = {}
-            affected, untouched = _affected_files(
-                entries, keys, key_cols[0], table_root=table.root,
-                prune_stats=prune_stats,
-            )
-            if prune_stats.get("bloom"):
-                skew_stats["files_pruned_bloom"] = prune_stats["bloom"]
+            if keys is None:  # Decimal/bytes key: no pruning, all affected
+                affected, untouched = entries, []
+            else:
+                prune_stats: dict[str, int] = {}
+                affected, untouched = _affected_files(
+                    entries, keys, key_cols[0], table_root=table.root,
+                    prune_stats=prune_stats,
+                )
+                if prune_stats.get("bloom"):
+                    skew_stats["files_pruned_bloom"] = prune_stats["bloom"]
         else:
             # huge backfill: a batch this size is a full-table rewrite anyway
             affected, untouched = entries, []
@@ -833,6 +868,9 @@ def merge_into(
         # (MoR, upsert-only) are delete-safe by the sequence rules
         validate_no_new_deletes_since=plan_sid if affected else None,
         validate_properties=planned_props,
+        # branch twin of the property CAS (the resume marks live in
+        # chain summaries, not properties): pin the head the plan read
+        validate_branch_base=base_sid,
     )
     return MergeResult(
         applied=True,
@@ -974,7 +1012,17 @@ def _metadata_decide_files(
     pfields = [by_name[c] for c in pcols]
     probe = spark.createDataFrame([], StructType(pfields))
     try:
-        probe.where(condition).schema  # analysis-only; no job
+        fdf = probe.where(condition)
+        fdf.schema  # analysis-only; no job
+        # a NON-DETERMINISTIC predicate (rand() < 0.5) references no
+        # columns, so the partition-only analysis passes — but the
+        # per-file evaluation below would collapse it to one coin flip
+        # PER FILE, wholly dropping/keeping files instead of sampling
+        # rows: silent wrong result.  Catalyst already knows; ask it.
+        exprs = fdf._jdf.queryExecution().analyzed().expressions().iterator()
+        while exprs.hasNext():
+            if not exprs.next().deterministic():
+                return [], list(entries)  # row-level path, evaluated per row
     except Exception:
         return [], list(entries)  # non-partition columns: row-level only
     decidable, undecidable = [], []
@@ -1027,26 +1075,24 @@ def _write_pos_delete_entries(
 
 def _collect_eq_delete_keys(
     spark: SparkSession, table: Table, eq_dels: list[DataFile]
-) -> np.ndarray:
+) -> np.ndarray | None:
     """The distinct pending equality-delete keys as a sorted driver
-    array — the input `_affected_files` manifest pruning wants.  Only
-    called under a ``max_driver_keys`` bound (batch-sized by the
-    maintenance contract)."""
+    array in manifest-stats canonical form — the input
+    `_affected_files` manifest pruning wants — or None for key types
+    whose canonical form is not order-preserving (callers skip pruning:
+    every subject file affected).  Only called under a
+    ``max_driver_keys`` bound (batch-sized by the maintenance
+    contract)."""
     d_paths = [f"{table.root}/{d.path}" for d in eq_dels]
     kfield = [
         f for f in table.spark_schema().fields if f.name == table.key_cols[0]
     ]
-    return np.sort(
-        np.array(
-            [
-                r[0]
-                for r in spark.read.schema(StructType(kfield))
-                .parquet(*d_paths)
-                .distinct()
-                .collect()
-            ],
-            dtype=object,
-        )
+    return _canon_driver_keys(
+        r[0]
+        for r in spark.read.schema(StructType(kfield))
+        .parquet(*d_paths)
+        .distinct()
+        .collect()
     )
 
 
@@ -1402,9 +1448,12 @@ def materialize_deletes(
             # exact pending-key list (bounded by the maintenance contract:
             # batch-sized deltas times passes since the last materialize)
             keys = _collect_eq_delete_keys(spark, table, eq_dels)
-            affected, untouched = _affected_files(
-                subject, keys, key_cols[0], table_root=table.root
-            )
+            if keys is None:  # non-order-preserving key type: no pruning
+                affected, untouched = subject, []
+            else:
+                affected, untouched = _affected_files(
+                    subject, keys, key_cols[0], table_root=table.root
+                )
         else:
             affected, untouched = subject, []
     if pos_dels:
@@ -1476,7 +1525,12 @@ def materialize_deletes(
             "pos-delete-files": len(pos_dels),
         },
         branch=branch,
-        validate_no_new_deletes_since=plan_sid,
+        # only a REWRITE can strand a concurrent delete; when every
+        # pending delete is dead (affected == []) this commit is a pure
+        # metadata drop, and validating would spuriously conflict with
+        # any MoR merge landing mid-flight — under sustained write load
+        # the dead-delete GC could then never commit
+        validate_no_new_deletes_since=plan_sid if affected else None,
     )
     return MaterializeResult(
         applied=True,
@@ -1553,9 +1607,10 @@ def convert_eq_deletes(
         # whose key range (and bloom sidecar, when present) can contain
         # a pending key are scanned at all
         keys = _collect_eq_delete_keys(spark, table, eq_dels)
-        subject, _ = _affected_files(
-            subject, keys, key_cols[0], table_root=table.root
-        )
+        if keys is not None:  # None: non-order-preserving key, no pruning
+            subject, _ = _affected_files(
+                subject, keys, key_cols[0], table_root=table.root
+            )
     if not subject:
         # dead eq deletes (no file can contain their keys): dropping
         # them is pure metadata removal, nothing to convert
@@ -1581,45 +1636,12 @@ def convert_eq_deletes(
     df = table.read_files(
         spark, subject, with_file_path=fp, with_pos=pos
     ).select(*key_cols, fp, pos)
-    seq_df = spark.createDataFrame(
-        [
-            (os.path.abspath(f"{table.root}/{e.path}"), int(e.seq or 0))
-            for e in subject
-        ],
-        f"`{fp}` string, _sg_seq long",
-    )
-    df = df.join(F.broadcast(seq_df), fp, "left").withColumn(
-        "_sg_seq", F.coalesce(F.col("_sg_seq"), F.lit(0))
-    )
-    cur = {f.name: f for f in table.spark_schema().fields}
-    key_schema = StructType([cur[k] for k in key_cols])
-    d_paths = [os.path.join(table.root, d.path) for d in eq_dels]
-    d_df = (
-        spark.read.schema(key_schema)
-        .parquet(*d_paths)
-        .select(
-            *[F.col(k).alias(f"_sg_d_{k}") for k in key_cols],
-            norm_file_path(F.col("_metadata.file_path")).alias("_sg_dfp"),
-        )
-    )
-    dseq_df = spark.createDataFrame(
-        [
-            (os.path.abspath(f"{table.root}/{d.path}"), int(d.seq or 0))
-            for d in eq_dels
-        ],
-        "_sg_dfp string, _sg_dseq long",
-    )
-    d_df = d_df.join(F.broadcast(dseq_df), "_sg_dfp").drop("_sg_dfp")
-    cond = F.lit(True)
-    for k in key_cols:
-        cond = cond & (F.col(k) == F.col(f"_sg_d_{k}"))
-    cond = cond & (F.col("_sg_dseq") > F.col("_sg_seq"))
-    # same broadcast gate as read_files_live: a mass-delete backfill
-    # (n_eq_keys beyond broadcastable) falls back to a shuffled semi
-    # join under AQE instead of force-broadcasting the delete rows
-    d_side = F.broadcast(d_df) if n_eq_keys <= 5_000_000 else d_df
+    # the semi half of read_files_live's anti join — ONE shared
+    # implementation of the sequence rules (path normalization, seq
+    # defaulting, key+seq residual), so conversion output can never
+    # drift from scan semantics
     pos_df = (
-        df.join(d_side, cond, "left_semi")
+        table.eq_delete_join(spark, df, subject, eq_dels, fp, "left_semi")
         .select(
             F.expr(f"substring({fp}, {len(abs_root) + 2})").alias("file_path"),
             F.col(pos).cast("long").alias("pos"),

@@ -399,16 +399,19 @@ def stream_apply(
             # the published snapshot's audited live count IS the next
             # epoch's delete-bound denominator
             parent_rows_cache[0] = int(fin["rows"])
+        # one manifest walk serves both debt thresholds — this runs on
+        # the latency-sensitive trigger path of an always-on stream
+        dels = t.delete_files()
         if (
             max_pending_delete_files is not None
-            and len(t.delete_files()) >= max_pending_delete_files
+            and len(dels) >= max_pending_delete_files
         ):
             from canal_spark.merge import materialize_deletes
 
             materialize_deletes(spark, t)
         elif (
             convert_eq_debt_files is not None
-            and sum(1 for d in t.delete_files() if d.content == "eq-deletes")
+            and sum(1 for d in dels if d.content == "eq-deletes")
             >= convert_eq_debt_files
         ):
             from canal_spark.merge import convert_eq_deletes

@@ -33,16 +33,26 @@ data-plane work (stat collection, file writes) runs as Spark jobs.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
+import threading
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
 FORMAT_VERSION = 1
+
+# process-wide manifest parse cache (see Table._read_manifest):
+# manifests are immutable once written, keyed (table root, manifest
+# name), LRU-bounded so driver memory stays O(hot set)
+_MANIFEST_CACHE: OrderedDict = OrderedDict()
+_MANIFEST_CACHE_MAX = 256
+_MANIFEST_CACHE_LOCK = threading.Lock()
 
 
 # --------------------------------------------------------------------------
@@ -341,6 +351,70 @@ class Table:
     def _data_dir(self) -> str:
         return os.path.join(self.root, "data")
 
+    # ---- snapshot GC (shared by expire / delete_branch / abort_staged) --
+
+    def _dead_set(
+        self, retained: list["Snapshot"], dropped: list["Snapshot"]
+    ) -> tuple[set[str], set[str]]:
+        """(dead_manifests, dead_files): referenced by the dropped
+        snapshots and by NO retained snapshot.  The ONE computation of
+        reference liveness — expire, branch abandon and stage abort all
+        answer the same question, and a divergent copy in any of them
+        is either a leak or a deletion of live data."""
+        live_manifests: set[str] = set()
+        for s in retained:
+            live_manifests.update(s.manifests)
+        live_files: set[str] = set()
+        for m in live_manifests:
+            live_files.update(e.path for e in self._read_manifest(m))
+        dead_manifests: set[str] = set()
+        dead_files: set[str] = set()
+        for s in dropped:
+            for m in s.manifests:
+                if m not in live_manifests:
+                    dead_manifests.add(m)
+                    dead_files.update(
+                        e.path
+                        for e in self._read_manifest(m)
+                        if e.path not in live_files
+                    )
+        return dead_manifests, dead_files
+
+    def _gc_dead(
+        self, dead_manifests: set[str], dead_files: set[str]
+    ) -> tuple[int, int]:
+        """Physically remove a dead set: data files (with their bloom
+        sidecars, via _remove_data_file), the write-marker debris of
+        any directory left holding only markers (Spark's _SUCCESS /
+        .crc — meaningless once the data is gone), then the dead
+        manifests.  Returns (data_files_deleted, manifests_deleted).
+        Runs strictly AFTER the metadata commit that dropped the
+        references — a crash between the two leaves reclaimable
+        orphans, never a metadata entry pointing at deleted files."""
+        deleted = 0
+        dirs: set[str] = set()
+        for p in dead_files:
+            full = os.path.join(self.root, p)
+            dirs.add(os.path.dirname(full))
+            if _remove_data_file(full):
+                deleted += 1
+        for d in sorted(dirs, reverse=True):
+            try:
+                for side in os.listdir(d):
+                    if side.startswith(("_", ".")):
+                        os.remove(os.path.join(d, side))
+                os.rmdir(d)
+            except OSError:
+                pass  # shared with a retained commit — leave it
+        manifests_deleted = 0
+        for m in dead_manifests:
+            try:
+                os.remove(os.path.join(self._meta_dir(), m))
+                manifests_deleted += 1
+            except FileNotFoundError:
+                pass
+        return deleted, manifests_deleted
+
     def new_data_prefix(self) -> str:
         """A fresh, collision-free directory for one write job's files."""
         return os.path.join(self._data_dir(), uuid.uuid4().hex[:12])
@@ -348,8 +422,32 @@ class Table:
     # ---- manifest I/O ----------------------------------------------------
 
     def _read_manifest(self, name: str) -> list[DataFile]:
+        """Parse one manifest, memoized process-wide.
+
+        Manifests are immutable once written (uuid names, only ever
+        created whole + atomically), so the parse is cacheable forever;
+        the LRU bound keeps driver memory O(hot set).  One merge_into
+        walks the manifest list five-plus times (planning, delete debt,
+        no-op refine, per-commit-attempt reuse) — at the 200k-file
+        design point that is several full JSON parses of the whole
+        manifest set per batch without this.  CONTRACT: returned lists
+        and their DataFile entries are SHARED — callers must never
+        mutate them (annotate_entry_stats replaces entries for this
+        reason; commit only stamps seq on its own added entries)."""
+        key = (self.root, name)
+        with _MANIFEST_CACHE_LOCK:
+            hit = _MANIFEST_CACHE.get(key)
+            if hit is not None:
+                _MANIFEST_CACHE.move_to_end(key)
+                return hit
         with open(os.path.join(self._meta_dir(), name)) as f:
-            return [DataFile.from_json(d) for d in json.load(f)]
+            entries = [DataFile.from_json(d) for d in json.load(f)]
+        with _MANIFEST_CACHE_LOCK:
+            _MANIFEST_CACHE[key] = entries
+            _MANIFEST_CACHE.move_to_end(key)
+            while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+                _MANIFEST_CACHE.popitem(last=False)
+        return entries
 
     def _write_manifest(self, files: list[DataFile], tag: str) -> str:
         name = f"manifest-{tag}-{uuid.uuid4().hex[:8]}.json"
@@ -428,11 +526,32 @@ class Table:
         if snapshot_id is not None:
             return self.snapshot_by_id(snapshot_id)
         if as_of_version is not None:
-            # versions are metadata versions; map via snapshot order
-            snaps = self.snapshots
-            if not 0 <= as_of_version < len(snaps):
-                raise KeyError(f"version {as_of_version} out of range")
-            return snaps[as_of_version]
+            # TRUE metadata versions: read v{N}.metadata.json (version
+            # files are never deleted) and resolve ITS current snapshot.
+            # Indexing the snapshot list would drift: snapshot-less
+            # commits (set_properties, tags, retry bumps) advance the
+            # version without adding a snapshot, and expiry removes
+            # list entries — the index then names an arbitrary snapshot
+            try:
+                with open(_metadata_path(self.root, as_of_version)) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                raise KeyError(
+                    f"metadata version {as_of_version} does not exist"
+                ) from None
+            sid = meta.get("current_snapshot_id")
+            if sid is None:
+                raise KeyError(
+                    f"metadata version {as_of_version} has no current "
+                    "snapshot (pre-first-commit)"
+                )
+            try:
+                return self.snapshot_by_id(sid)
+            except KeyError:
+                raise KeyError(
+                    f"metadata version {as_of_version}'s snapshot {sid} "
+                    "was expired — time travel to it is gone"
+                ) from None
         if as_of_timestamp_ms is not None:
             cands = [s for s in self.snapshots if s.timestamp_ms <= as_of_timestamp_ms]
             if not cands:
@@ -693,23 +812,7 @@ class Table:
             retained = [
                 s for s in self.snapshots if s.snapshot_id not in chain_ids
             ]
-            live_manifests: set[str] = set()
-            for s in retained:
-                live_manifests.update(s.manifests)
-            live_files: set[str] = set()
-            for m in live_manifests:
-                live_files.update(e.path for e in self._read_manifest(m))
-            dead_manifests: set[str] = set()
-            dead_files: set[str] = set()
-            for s in chain:
-                for m in s.manifests:
-                    if m not in live_manifests:
-                        dead_manifests.add(m)
-                        dead_files.update(
-                            e.path
-                            for e in self._read_manifest(m)
-                            if e.path not in live_files
-                        )
+            dead_manifests, dead_files = self._dead_set(retained, chain)
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["snapshots"] = [s.to_json() for s in retained]
@@ -719,31 +822,12 @@ class Table:
                 self.metadata = meta
             except FileExistsError:
                 continue
-            deleted = 0
-            dirs: set[str] = set()
-            for p in dead_files:
-                full = os.path.join(self.root, p)
-                dirs.add(os.path.dirname(full))
-                if _remove_data_file(full):
-                    deleted += 1
-            for d in sorted(dirs, reverse=True):
-                try:
-                    for side in os.listdir(d):
-                        if side.startswith(("_", ".")):
-                            os.remove(os.path.join(d, side))
-                    os.rmdir(d)
-                except OSError:
-                    pass  # shared with a retained commit — leave it
-            for m in dead_manifests:
-                try:
-                    os.remove(os.path.join(self._meta_dir(), m))
-                except FileNotFoundError:
-                    pass
+            deleted, manifests_deleted = self._gc_dead(dead_manifests, dead_files)
             return {
                 "deleted": True,
                 "snapshots_dropped": len(chain),
                 "data_files_deleted": deleted,
-                "manifests_deleted": len(dead_manifests),
+                "manifests_deleted": manifests_deleted,
             }
         raise CommitConflict("delete_branch gave up after 5 retries")
 
@@ -941,9 +1025,6 @@ class Table:
         read or deleted rows would resurrect.
         """
         from pyspark.sql import functions as FF
-        from pyspark.sql.types import StructType
-
-        from canal_spark.table.writer import norm_file_path
 
         dels = list(delete_entries) if delete_entries is not None else self.delete_files()
         eq_dels, pos_dels = self.prune_deletes_for(entries, dels)
@@ -992,48 +1073,10 @@ class Table:
             )
 
         if eq_dels:
-            seq_df = spark.createDataFrame(
-                [
-                    (os.path.abspath(f"{self.root}/{e.path}"), int(e.seq or 0))
-                    for e in entries
-                ],
-                f"`{fp}` string, _sg_seq long",
+            df = self.eq_delete_join(
+                spark, df, entries, eq_dels, fp, "left_anti",
+                max_broadcast_delete_rows=max_broadcast_delete_rows,
             )
-            df = df.join(FF.broadcast(seq_df), fp, "left").withColumn(
-                "_sg_seq", FF.coalesce(FF.col("_sg_seq"), FF.lit(0))
-            )
-
-            # delete keys: key columns are protected from rename/retype, so
-            # the current schema's key fields read every delete era
-            key_cols = self.key_cols
-            cur = {f.name: f for f in self.spark_schema().fields}
-            key_schema = StructType([cur[k] for k in key_cols])
-            d_paths = [os.path.join(self.root, d.path) for d in eq_dels]
-            d_df = (
-                spark.read.schema(key_schema)
-                .parquet(*d_paths)
-                .select(
-                    *[FF.col(k).alias(f"_sg_d_{k}") for k in key_cols],
-                    norm_file_path(FF.col("_metadata.file_path")).alias("_sg_dfp"),
-                )
-            )
-            dseq_df = spark.createDataFrame(
-                [
-                    (os.path.abspath(f"{self.root}/{d.path}"), int(d.seq or 0))
-                    for d in eq_dels
-                ],
-                "_sg_dfp string, _sg_dseq long",
-            )
-            d_df = d_df.join(FF.broadcast(dseq_df), "_sg_dfp", "left").drop("_sg_dfp")
-            n_del_rows = sum(d.rows for d in eq_dels)
-            d_side = (
-                FF.broadcast(d_df) if n_del_rows <= max_broadcast_delete_rows else d_df
-            )
-            cond = FF.lit(True)
-            for k in key_cols:
-                cond = cond & (FF.col(k) == FF.col(f"_sg_d_{k}"))
-            cond = cond & (FF.col("_sg_dseq") > FF.col("_sg_seq"))
-            df = df.join(d_side, cond, "left_anti").drop("_sg_seq")
 
         out = df
         if with_file_path is None:
@@ -1041,6 +1084,73 @@ class Table:
         if with_pos is None and need_pos:
             out = out.drop(pos)
         return out
+
+    def eq_delete_join(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        entries: list[DataFile],
+        eq_dels: list[DataFile],
+        fp: str,
+        how: str,
+        max_broadcast_delete_rows: int = 5_000_000,
+    ) -> DataFrame:
+        """The ONE implementation of the equality-delete sequence rules:
+        attach each row's data-file sequence (via the absolute-path
+        column ``fp``), read the pending delete keys with their
+        delete-file sequences, and join on key-equality AND
+        ``delete_seq > data_seq``.  ``how='left_anti'`` keeps the rows
+        the deletes DON'T kill (the live read, :meth:`read_files_live`);
+        ``how='left_semi'`` keeps exactly the rows they DO (the eq→pos
+        conversion, merge.convert_eq_deletes) — shared so scan and
+        conversion can never drift on path normalization, sequence
+        defaulting, or the residual condition."""
+        from pyspark.sql import functions as FF
+        from pyspark.sql.types import StructType
+
+        from canal_spark.table.writer import norm_file_path
+
+        seq_df = spark.createDataFrame(
+            [
+                (os.path.abspath(f"{self.root}/{e.path}"), int(e.seq or 0))
+                for e in entries
+            ],
+            f"`{fp}` string, _sg_seq long",
+        )
+        df = df.join(FF.broadcast(seq_df), fp, "left").withColumn(
+            "_sg_seq", FF.coalesce(FF.col("_sg_seq"), FF.lit(0))
+        )
+        # delete keys: key columns are protected from rename/retype, so
+        # the current schema's key fields read every delete era
+        key_cols = self.key_cols
+        cur = {f.name: f for f in self.spark_schema().fields}
+        key_schema = StructType([cur[k] for k in key_cols])
+        d_paths = [os.path.join(self.root, d.path) for d in eq_dels]
+        d_df = (
+            spark.read.schema(key_schema)
+            .parquet(*d_paths)
+            .select(
+                *[FF.col(k).alias(f"_sg_d_{k}") for k in key_cols],
+                norm_file_path(FF.col("_metadata.file_path")).alias("_sg_dfp"),
+            )
+        )
+        dseq_df = spark.createDataFrame(
+            [
+                (os.path.abspath(f"{self.root}/{d.path}"), int(d.seq or 0))
+                for d in eq_dels
+            ],
+            "_sg_dfp string, _sg_dseq long",
+        )
+        d_df = d_df.join(FF.broadcast(dseq_df), "_sg_dfp", "left").drop("_sg_dfp")
+        n_del_rows = sum(d.rows for d in eq_dels)
+        d_side = (
+            FF.broadcast(d_df) if n_del_rows <= max_broadcast_delete_rows else d_df
+        )
+        cond = FF.lit(True)
+        for k in key_cols:
+            cond = cond & (FF.col(k) == FF.col(f"_sg_d_{k}"))
+        cond = cond & (FF.col("_sg_dseq") > FF.col("_sg_seq"))
+        return df.join(d_side, cond, how).drop("_sg_seq")
 
     def era_stat_name(self, entry: "DataFile", col: str, target_schema_id: int | None = None) -> str:
         """The name ``col`` had when ``entry`` was written (file stats
@@ -1173,6 +1283,7 @@ class Table:
         validate_no_new_deletes_since: int | None = None,
         validate_files_exist: Iterable[str] | None = None,
         validate_properties: dict | None = None,
+        validate_branch_base: int | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot (optimistic concurrency).
 
@@ -1233,6 +1344,21 @@ class Table:
                     raise CommitConflict(
                         f"branch {branch!r} no longer exists "
                         "(deleted or fast-forwarded concurrently)"
+                    )
+                # branch twin of the property CAS: the ref arbitrates
+                # WRITE order but not PLAN staleness — a pure-add merge
+                # planned at a stale head removes no files and would
+                # sail through the manifest checks, double-applying its
+                # changelog on top of the concurrent winner
+                if (
+                    validate_branch_base is not None
+                    and ref["snapshot_id"] != validate_branch_base
+                ):
+                    raise CommitConflict(
+                        f"branch {branch!r} advanced since planning "
+                        f"({validate_branch_base} -> {ref['snapshot_id']}): "
+                        "a concurrent writer committed to it — replan the "
+                        "batch"
                     )
                 parent = self.snapshot_by_id(ref["snapshot_id"])
             else:
@@ -1609,6 +1735,20 @@ class Table:
             # a tag's whole purpose is surviving retention policy, so
             # only delete_tag releases them to expiry
             keep.update(r["snapshot_id"] for r in self.refs.values())
+            # the LATEST position-reset boundary is pinned: resume-mark
+            # scans skip summaries older than it, and a tag can pin a
+            # PRE-rollback snapshot indefinitely — expiring the reset
+            # while that tag survives would resurrect the rolled-back
+            # marks and silently swallow the redelivery.  Earlier
+            # resets are superseded by the newest one and expire
+            # normally, so this pins at most ONE extra snapshot
+            resets = [
+                s.snapshot_id
+                for s in snaps
+                if s.summary.get(POSITION_RESET_KEY)
+            ]
+            if resets:
+                keep.add(max(resets))
             # branch chains are pinned whole (head AND intermediates):
             # fast_forward needs every chain snapshot's manifests and
             # deferred properties; only fast_forward/delete_branch ends
@@ -1622,24 +1762,7 @@ class Table:
             if not expired:
                 return {"expired": 0, "data_files_deleted": 0, "manifests_deleted": 0}
 
-            live_manifests: set[str] = set()
-            live_files: set[str] = set()
-            for s in retained:
-                live_manifests.update(s.manifests)
-            for m in live_manifests:
-                live_files.update(e.path for e in self._read_manifest(m))
-
-            dead_manifests: set[str] = set()
-            dead_files: set[str] = set()
-            for s in expired:
-                for m in s.manifests:
-                    if m not in live_manifests:
-                        dead_manifests.add(m)
-                        dead_files.update(
-                            e.path
-                            for e in self._read_manifest(m)
-                            if e.path not in live_files
-                        )
+            dead_manifests, dead_files = self._dead_set(retained, expired)
 
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
@@ -1658,15 +1781,12 @@ class Table:
 
         deleted_data = deleted_manifests = 0
         if delete_orphans:
-            for p in dead_files:
-                if _remove_data_file(os.path.join(self.root, p)):
-                    deleted_data += 1
-            for m in dead_manifests:
-                try:
-                    os.remove(os.path.join(self._meta_dir(), m))
-                    deleted_manifests += 1
-                except FileNotFoundError:
-                    pass
+            # shared GC: also marker-sweeps dirs emptied by the expiry
+            # (delete_branch/abort_staged always did; expiry previously
+            # left _SUCCESS/.crc debris to remove_orphan_files)
+            deleted_data, deleted_manifests = self._gc_dead(
+                dead_manifests, dead_files
+            )
         return {
             "expired": len(expired),
             "data_files_deleted": deleted_data,
@@ -1702,7 +1822,14 @@ class Table:
         # neither snapshot expiry (which only follows expired snapshots'
         # references) nor the data sweep below would ever collect them
         for n in os.listdir(self._meta_dir()):
-            if not (n.startswith("manifest-") and n.endswith(".json")):
+            # *.tmp / *.tmp<suffix>: atomic-write staging a crashed
+            # driver left between open(tmp) and os.replace — matched by
+            # neither the manifest sweep nor the data sweep, so without
+            # this they accumulate forever in a long-lived table
+            is_tmp_debris = ".tmp" in n
+            if not is_tmp_debris and not (
+                n.startswith("manifest-") and n.endswith(".json")
+            ):
                 continue
             if n in live_manifests:
                 continue
@@ -1731,10 +1858,14 @@ class Table:
         # reclaim their directories
         for dirpath, _dirs, names in os.walk(self._data_dir()):
             for n in names:
-                if not n.endswith(".bloom"):
-                    continue
-                p = os.path.join(dirpath, n)
-                if os.path.exists(p[: -len(".bloom")]):
+                if n.endswith(".bloom"):
+                    p = os.path.join(dirpath, n)
+                    if os.path.exists(p[: -len(".bloom")]):
+                        continue
+                elif n.endswith(".bloom.tmp"):
+                    # crashed sidecar build between write and os.replace
+                    p = os.path.join(dirpath, n)
+                else:
                     continue
                 try:
                     if os.path.getmtime(p) < cutoff:
@@ -1961,20 +2092,7 @@ class Table:
             if not snap.summary.get(WAP_STAGED_KEY):
                 raise ValueError(f"snapshot {snapshot_id} is not staged")
             retained = [s for s in self.snapshots if s.snapshot_id != snapshot_id]
-            live_manifests: set[str] = set()
-            for s in retained:
-                live_manifests.update(s.manifests)
-            live_files: set[str] = set()
-            for m in live_manifests:
-                live_files.update(e.path for e in self._read_manifest(m))
-            dead_manifests = [m for m in snap.manifests if m not in live_manifests]
-            dead_files: set[str] = set()
-            for m in dead_manifests:
-                dead_files.update(
-                    e.path
-                    for e in self._read_manifest(m)
-                    if e.path not in live_files
-                )
+            dead_manifests, dead_files = self._dead_set(retained, [snap])
             meta = dict(self.metadata)
             meta["version"] = self.version + 1
             meta["snapshots"] = [s.to_json() for s in retained]
@@ -1983,32 +2101,11 @@ class Table:
                 self.metadata = meta
             except FileExistsError:
                 continue
-            deleted = 0
-            dirs: set[str] = set()
-            for p in dead_files:
-                full = os.path.join(self.root, p)
-                dirs.add(os.path.dirname(full))
-                if _remove_data_file(full):
-                    deleted += 1
-            # the stage's per-commit staging dirs are empty now (Spark
-            # side files included in the manifestless sweep below)
-            for d in sorted(dirs, reverse=True):
-                try:
-                    for side in os.listdir(d):
-                        if side.startswith(("_", ".")):
-                            os.remove(os.path.join(d, side))
-                    os.rmdir(d)
-                except OSError:
-                    pass  # shared with a retained commit — leave it
-            for m in dead_manifests:
-                try:
-                    os.remove(os.path.join(self._meta_dir(), m))
-                except FileNotFoundError:
-                    pass
+            deleted, manifests_deleted = self._gc_dead(dead_manifests, dead_files)
             return {
                 "aborted": True,
                 "data_files_deleted": deleted,
-                "manifests_deleted": len(dead_manifests),
+                "manifests_deleted": manifests_deleted,
             }
         raise CommitConflict("abort_staged gave up after 5 retries")
 
@@ -2085,17 +2182,24 @@ class Table:
         snap = self.current_snapshot()
         if snap is None:
             raise ValueError("cannot annotate an empty table")
-        entries = self.all_entries()
+        # REPLACE, never mutate: manifest entries are shared through the
+        # parse cache (_read_manifest) — in-place stats edits would leak
+        # into every other reader of the old manifest name
+        annotated: list[DataFile] = []
         changed = 0
-        for e in entries:
+        for e in self.all_entries():
             upd = updates.get(e.path)
             if not upd:
+                annotated.append(e)
                 continue
+            stats = {k: dict(v) for k, v in e.stats.items()}
             for col, ann in upd.items():
-                cur = dict(e.stats.get(col) or {})
+                cur = dict(stats.get(col) or {})
                 cur.update(ann)
-                e.stats[col] = cur
+                stats[col] = cur
+            annotated.append(dataclasses.replace(e, stats=stats))
             changed += 1
+        entries = annotated
         new_manifests = []
         for i in range(0, len(entries), 10_000):
             new_manifests.append(

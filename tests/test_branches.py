@@ -231,3 +231,36 @@ def test_branch_gtid_marks_stay_on_branch(spark, token_table):
     t.fast_forward("g")
     assert merge_gtid_set(t) == branch_marks
     assert scan_dict(spark, t) == oracle_dict(base, rows1)
+
+
+def test_branch_pure_add_plan_staleness_conflicts(spark, token_table):
+    """The branch twin of the mainline checkpoint CAS: a commit whose
+    plan was computed at a stale branch head (validate_branch_base)
+    conflicts instead of double-applying — a pure-add merge removes no
+    files, so the manifest checks alone cannot catch it."""
+    from canal_spark.table.format import DataFile
+
+    t, base = token_table
+    t.create_branch("b")
+    rows1, _ = _chained_batches(base)
+    base_head = t.refs["b"]["snapshot_id"]
+    merge_into(spark, t, changelog_df(spark, rows1), branch="b")
+    t.refresh()
+    assert t.refs["b"]["snapshot_id"] != base_head
+    # a second writer whose plan pinned the OLD head must conflict
+    with pytest.raises(CommitConflict, match="advanced since planning"):
+        t.commit(
+            added=[DataFile(path="data/phantom.parquet", rows=1, bytes=1)],
+            removed_paths=[],
+            operation="overwrite",
+            summary={},
+            branch="b",
+            validate_branch_base=base_head,
+        )
+    # a plan pinned at the CURRENT head commits fine (sequential chain)
+    cur = t.refs["b"]["snapshot_id"]
+    rows2 = [(10_000, "D", base[0][0], None, None, None, None, 1, None, None)]
+    r = merge_into(spark, t, changelog_df(spark, rows2), branch="b")
+    assert r.applied
+    t.refresh()
+    assert t.refs["b"]["snapshot_id"] != cur

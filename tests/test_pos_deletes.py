@@ -390,6 +390,23 @@ def test_metadata_delete_partition_aligned(spark, tmp_table_root):
                         mode="mor-pos").applied is False
 
 
+def test_metadata_delete_rejects_nondeterministic_predicate(spark, tmp_table_root):
+    """rand() < 0.5 references no columns, so the partition-only
+    analysis passes — but evaluating it per FILE would wholly drop or
+    keep files on a single coin flip instead of sampling rows.  The
+    classifier must route it to the row-level path."""
+    from canal_spark.merge import _metadata_decide_files
+
+    t = _pure_partition_table(spark, tmp_table_root)
+    entries = t.files()
+    for cond in ("rand() < 0.5", "source = 'web' OR rand() < 0.5"):
+        decided, undecidable = _metadata_decide_files(spark, t, cond, entries)
+        assert decided == [] and len(undecidable) == len(entries), cond
+    # deterministic partition predicates still classify
+    decided, _ = _metadata_decide_files(spark, t, "source = 'web'", entries)
+    assert {e.partition.get("source") for e in decided} == {"web"}
+
+
 def test_metadata_delete_counts_live_rows_under_debt(spark, tmp_table_root):
     """A metadata drop on files that pending MoR debt already reaches
     reports LIVE rows, not physical rows."""

@@ -225,6 +225,38 @@ def test_rollback_resets_position_for_redelivery(spark, token_table):
     assert got[k2] == [7, 8]
 
 
+def test_rollback_reset_survives_expiry_with_pinned_old_tag(spark, token_table):
+    """A tag pinning a PRE-rollback snapshot must not resurrect its
+    marks after snapshot expiry: the reset boundary is pinned by
+    expire_snapshots and the reset lookup tolerates chain holes —
+    otherwise hwm would jump back to the rolled-back value and the
+    redelivered ordinals would be swallowed forever."""
+    from canal_spark.merge import merge_high_water_mark, merge_into
+
+    t, base = token_table
+    k1, k2, k3 = base[0][0], base[1][0], base[2][0]
+    s1, s2, s3 = base[0][3], base[1][3], base[2][3]
+
+    merge_into(spark, t, changelog_df(spark, [_u(10, k1, [1], s1)]))
+    good = t.current_snapshot_id
+    merge_into(spark, t, changelog_df(spark, [_u(500, k2, [666], s2)]))
+    # the bad (hwm=500) snapshot is pinned by a training-set tag
+    t.set_tag("train-v1", t.current_snapshot_id)
+    t.rollback_to(good)
+    assert merge_high_water_mark(t) == 10
+    # post-rollback life continues, then aggressive expiry
+    merge_into(spark, t, changelog_df(spark, [_u(120, k3, [3], s3)]))
+    assert merge_high_water_mark(t) == 120
+    t.expire_snapshots(keep_last=1)
+    t.refresh()
+    # the tagged hwm=500 summary is retained — but the pinned reset
+    # keeps it out of the mark scan: 120, never 500
+    assert merge_high_water_mark(t) == 120
+    # ordinals in (120, 500] remain deliverable
+    r = merge_into(spark, t, changelog_df(spark, [_u(300, k2, [7], s2)]))
+    assert r.applied and merge_high_water_mark(t) == 300
+
+
 def test_stale_handle_pure_insert_merge_conflicts(spark, token_table):
     """Exactly-once for PURE-ADD merges: a second driver holding a
     stale handle replays the same all-new-keys changelog — the

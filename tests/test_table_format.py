@@ -355,3 +355,82 @@ def test_rollback_to_expired_target_raises(spark, tmp_table_root):
     with pytest.raises(KeyError, match="expired"):
         t.rollback_to(s1)
     assert t.scan(spark).count() == 40  # table unharmed
+
+
+def test_time_travel_by_metadata_version(spark, tmp_table_root):
+    """as_of_version reads the ACTUAL v{N}.metadata.json (version files
+    are never deleted), so snapshot-less commits (set_properties, tags)
+    and snapshot expiry cannot shift which snapshot a version names."""
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 20).repartition(1))
+    v_first = t.metadata["version"]
+    n_first = t.scan(spark).count()
+    # snapshot-less version bumps between the two appends
+    t.set_properties({"owner": "a"})
+    t.set_tag("x")
+    append(spark, t, base_table_df(spark, 10, seed=7).repartition(1))
+    # travel to the FIRST append's metadata version: exactly its rows
+    assert t.scan(spark, as_of_version=v_first).count() == n_first
+    # a version bumped by set_properties resolves to the same snapshot
+    assert t.scan(spark, as_of_version=v_first + 1).count() == n_first
+    with pytest.raises(KeyError, match="does not exist"):
+        t.resolve_snapshot(as_of_version=999)
+    # expire the first snapshot: travel to it reports expiry, not a
+    # silently wrong snapshot
+    t.delete_tag("x")
+    t.expire_snapshots(keep_last=1, delete_orphans=True)
+    t.refresh()
+    with pytest.raises(KeyError, match="expired"):
+        t.resolve_snapshot(as_of_version=v_first)
+
+
+def test_orphan_sweep_collects_tmp_debris(spark, tmp_table_root):
+    """Atomic-write staging a crashed driver leaves behind —
+    manifest-*.json.tmp, v{N}.metadata.json.tmp*, *.bloom.tmp — is
+    reclaimed by remove_orphan_files (age-guarded like everything)."""
+    import os
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 20).repartition(1))
+    mdir = os.path.join(t.root, "metadata")
+    debris = [
+        os.path.join(mdir, "manifest-rw-deadbeef.json.tmp"),
+        os.path.join(mdir, "v99.metadata.json.tmpabc123"),
+    ]
+    ddir = os.path.join(t.root, "data")
+    first = next(
+        os.path.join(d, n)
+        for d, _s, ns in os.walk(ddir) for n in ns if n.endswith(".parquet")
+    )
+    debris.append(first + ".bloom.tmp")
+    for p in debris:
+        with open(p, "w") as f:
+            f.write("junk")
+        old = os.path.getmtime(p) - 10 * 24 * 3600
+        os.utime(p, (old, old))
+    # a FRESH tmp file must survive (in-flight write protection)
+    fresh = os.path.join(mdir, "manifest-rw-feedface.json.tmp")
+    with open(fresh, "w") as f:
+        f.write("junk")
+    t.remove_orphan_files(older_than_s=24 * 3600)
+    assert all(not os.path.exists(p) for p in debris)
+    assert os.path.exists(fresh)
+    assert t.scan(spark).count() == 20  # live table untouched
+
+
+def test_annotate_does_not_mutate_shared_manifest_entries(spark, tmp_table_root):
+    """Manifest entries are shared through the parse cache: annotating
+    stats must REPLACE entries, not mutate them — an in-place edit
+    would leak the annotation into every reader of the old manifest."""
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    append(spark, t, base_table_df(spark, 20).repartition(1))
+    before = t.all_entries()
+    e0 = before[0]
+    assert "fake" not in (e0.stats.get("doc_id") or {})
+    t.annotate_entry_stats({e0.path: {"doc_id": {"fake": 1}}})
+    # the previously-read objects are untouched...
+    assert "fake" not in (e0.stats.get("doc_id") or {})
+    # ...while a fresh read sees the annotation
+    t.refresh()
+    new0 = next(e for e in t.all_entries() if e.path == e0.path)
+    assert new0.stats["doc_id"]["fake"] == 1
