@@ -66,7 +66,13 @@ def token_band_frame(df: DataFrame) -> DataFrame:
     salted md5 kernel is byte-identical to the text operators'); docs
     shorter than SHINGLE_K tokens produce no rows and are simply absent
     from the index.  One posexplode — never an N-branch union."""
-    sh = df.select(
+    # filter BEFORE the generator, not after: sequence(1, size-2) is
+    # DESCENDING for docs shorter than SHINGLE_K (e.g. [1, 0]) and
+    # slice(tokens, 0, 3) is a runtime error — a post-select where
+    # happens to work only because PushDownPredicates rewrites it below
+    # the explode, and correctness must not hang on an optimizer rule
+    # (bpe_train orders the identical pattern this way)
+    sh = df.where(F.size("tokens") >= SHINGLE_K).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -75,7 +81,7 @@ def token_band_frame(df: DataFrame) -> DataFrame:
                 " t -> cast(t as string))))"
             )
         ).alias("shingle"),
-    ).where(F.size("tokens") >= SHINGLE_K)
+    )
     aggs = [
         F.min(md5int(F.concat_ws("#", "shingle", F.lit(str(k))))).alias(f"mh{k}")
         for k in range(N_MINHASH)
@@ -535,6 +541,11 @@ def corpus_dedup_pass(
         r = refresh_band_index(
             spark, table, index, keys=refresh_keys, job_id=job_id,
             max_bucket=max_bucket,
+            # the refreshed keys are just-deleted losers (plus stale
+            # repairs) with no band rows left: the candidate metrics
+            # would cost an index-wide semi-join + two actions and the
+            # report below discards them anyway
+            report_candidates=False,
         )
     finally:
         ranked.unpersist()

@@ -69,6 +69,24 @@ def export_snapshot(
     if snap is None:
         raise ValueError("table has no snapshot to export")
     df = table.scan(spark, snapshot_id=snap.snapshot_id)
+    # the shard/sort-key columns must not SHADE a same-named data
+    # column (withColumn silently replaces): the exported values would
+    # be corrupted and partitionBy would consume the data column
+    for reserved in ("_sg_export_sk", "shard"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"table has a column named {reserved!r}, which the export "
+                "shard layout reserves — rename it or export manually"
+            )
+    # an EMPTY snapshot (tag set pre-load, fully-deleted table) would
+    # write only _SUCCESS and the count read-back would crash with
+    # UNABLE_TO_INFER_SCHEMA — after overwrite already destroyed the
+    # previous good artifact.  Refuse before touching out_dir.
+    if df.limit(1).count() == 0:
+        raise ValueError(
+            f"snapshot {snap.snapshot_id} has no rows — refusing to "
+            "replace an export artifact with an empty directory"
+        )
     key_col = table.key_cols[0]
     sk = md5int(
         F.concat_ws(
@@ -76,13 +94,15 @@ def export_snapshot(
         )
     )
     out = (
-        df.withColumn("_sk", sk)
-        .withColumn("shard", F.pmod(F.col("_sk"), F.lit(shards)).cast("int"))
+        df.withColumn("_sg_export_sk", sk)
+        .withColumn(
+            "shard", F.pmod(F.col("_sg_export_sk"), F.lit(shards)).cast("int")
+        )
         # one balanced exchange on the shard id, then a per-shard
         # external sort — the epoch order never funnels through one task
         .repartition(shards, "shard")
-        .sortWithinPartitions("shard", "_sk", key_col)
-        .drop("_sk")
+        .sortWithinPartitions("shard", "_sg_export_sk", key_col)
+        .drop("_sg_export_sk")
     )
     # always overwrite: the guard above is the immutability contract
     # (empty-or-explicit-overwrite); Spark's errorifexists tests path

@@ -248,7 +248,14 @@ def run_pass(
         # batch unapplied so the next pass retries it after the upstream
         # bug is fixed.  Exactly Iceberg's spark.wap.id flow, run by the
         # pass itself.
-        parent_rows = wap_parent_rows(spark, table) if wap else None
+        # the live-row count feeds ONLY the delete-fraction bound — on a
+        # debt-carrying MoR table it is a full anti-joined scan, so skip
+        # it when no bound is configured (audit_snapshot ignores it)
+        parent_rows = (
+            wap_parent_rows(spark, table)
+            if wap and wap_max_delete_fraction is not None
+            else None
+        )
         m = _merge.merge_into(
             spark, table, changes, target_file_rows=target_file_rows, job_id=job_id,
             mode=merge_mode, stage_only=wap, branch=branch,
@@ -275,8 +282,15 @@ def run_pass(
         # index in step with the batch's keys, right after the data
         # merge so the index reads the post-merge row states.  Keys come
         # from the changelog (a superset of applied keys is fine — the
-        # refresh is idempotent per key).
-        if band_index is not None and merge_live:
+        # refresh is idempotent per key).  Runs ALSO when the merge was
+        # a pure replay (m.applied False because the hwm already covers
+        # the batch): that is the recovery path for a crash BETWEEN the
+        # merge commit and the index commit — without it the re-run
+        # would skip the sync forever and the index would stay stale
+        # for the batch's keys.  A WAP-aborted stage (m.applied True,
+        # published False) must NOT sync: readers never saw the batch.
+        sync_indexes = merge_live or not m.applied
+        if band_index is not None and sync_indexes:
             from canal_spark.dedup_index import refresh_band_index
 
             _t0 = time.perf_counter()
@@ -300,7 +314,8 @@ def run_pass(
                 )
         # Second derived store: the IVF (ANN) cell index — changed keys
         # re-assign under the FROZEN codebook, deletes fall out.
-        if ivf_index is not None and merge_live:
+        # Same replay-heals-crash gate as the band index above.
+        if ivf_index is not None and sync_indexes:
             from canal_spark.ann_index import refresh_ivf_index
 
             _t0 = time.perf_counter()

@@ -451,3 +451,67 @@ def test_self_dedup_is_out_of_band_and_self_heals(spark, tmp_path):
     idx_ids = {r["doc_id"] for r in index.scan(spark).select("doc_id").collect()}
     assert "web:u000" not in idx_ids  # ...but the drift was repaired
     assert again.index_refresh.get("applied")
+
+
+def test_replay_pass_heals_crashed_index_sync(spark, token_table, tmp_path):
+    """Crash BETWEEN the merge commit and the index refresh: the hwm
+    already covers the batch, so the re-run's merge replays to
+    applied=False — the index sync must still run (idempotent per key)
+    or the batch's keys stay stale in the index forever."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+    from canal_spark.maintenance import run_pass
+    from canal_spark.merge import merge_into
+
+    t, base = token_table
+    index = create_band_index(str(tmp_path / "bands"))
+    refresh_band_index(spark, t, index)
+    idx_before = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in index.scan(spark).collect()
+    }
+
+    changes = changelog_df(spark, synth_changelog_rows(base, 150, seed=13))
+    # "crashed" first pass: the data merge commits, the index sync never
+    # happens (simulated by merging outside run_pass)
+    m = merge_into(spark, t, changes)
+    assert m.applied
+
+    # recovery re-run: merge replays to a no-op, index must still sync
+    rep = run_pass(spark, t, changes, target_file_bytes=1 << 20,
+                   target_file_rows=100_000, band_index=index)
+    assert rep.merge["applied"] is False  # pure replay
+    assert rep.band_index is not None and rep.band_index["applied"]
+
+    # the index now equals a from-scratch rebuild of the merged table
+    fresh = create_band_index(str(tmp_path / "bands_fresh"))
+    refresh_band_index(spark, t, fresh)
+    got = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in index.scan(spark).collect()
+    }
+    want = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in fresh.scan(spark).collect()
+    }
+    assert got == want and got != idx_before
+
+
+def test_token_band_frame_short_docs_never_crash(spark):
+    """Docs shorter than SHINGLE_K must be filtered BEFORE the window
+    generator (sequence(1, size-2) descends for them and slice(tokens,
+    0, 3) is a runtime error) — including when the frame is cached, so
+    the guard cannot rely on predicate pushdown through the explode."""
+    from canal_spark.dedup_index import token_band_frame
+
+    df = spark.createDataFrame(
+        [("a", [1]), ("b", [1, 2]), ("c", [1, 2, 3, 4])],
+        "doc_id string, tokens array<int>",
+    )
+    out = token_band_frame(df)
+    assert {r["doc_id"] for r in out.collect()} == {"c"}
+    cached = df.cache()
+    try:
+        assert {r["doc_id"] for r in token_band_frame(cached).collect()} == {"c"}
+    finally:
+        cached.unpersist()

@@ -101,3 +101,61 @@ def test_export_after_changes_matches_oracle(spark, token_table, tmp_path):
     out = str(tmp_path / "exp")
     export_snapshot(spark, t, out, shards=4)
     assert _read_dict(spark, out) == oracle_dict(base, rows)
+
+
+def test_export_refuses_empty_snapshot_and_keeps_artifact(spark, token_table, tmp_path):
+    """An empty snapshot (tag set pre-load / fully-deleted table) must
+    refuse BEFORE touching out_dir — a zero-row partitionBy write
+    leaves only _SUCCESS and would replace a good artifact with a
+    directory the read-back cannot even infer a schema from."""
+    import pytest as _pytest
+
+    from canal_spark import create_table
+    from canal_spark.export import export_snapshot
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+    from canal_spark.changelog import base_table_df
+
+    t, _ = token_table
+    out = str(tmp_path / "exp")
+    res = export_snapshot(spark, t, out, shards=2)
+    assert res.rows > 0
+
+    empty = create_table(str(tmp_path / "empty_tbl"), TOKEN_TABLE_SCHEMA,
+                         partition_by=["source"])
+    append(spark, empty, base_table_df(spark, 5).repartition(1))
+    first = empty.current_snapshot_id
+    # delete everything -> current snapshot has rows, first doesn't? no:
+    # export the PRE-load state via a table with zero rows instead
+    del first
+    empty2 = create_table(str(tmp_path / "empty2"), TOKEN_TABLE_SCHEMA,
+                          partition_by=["source"])
+    append(spark, empty2, base_table_df(spark, 5).where("1 = 0").repartition(1))
+    with _pytest.raises(ValueError, match="no rows"):
+        export_snapshot(spark, empty2, out, shards=2, overwrite=True)
+    # the good artifact is untouched
+    assert spark.read.parquet(out).count() == res.rows
+
+
+def test_export_rejects_reserved_column_collision(spark, tmp_path):
+    """A data column named `shard` would be silently REPLACED by the
+    shard id (and consumed by partitionBy) — refuse loudly."""
+    import pytest as _pytest
+
+    from canal_spark import create_table
+    from canal_spark.export import export_snapshot
+    from canal_spark.table.writer import append
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("doc_id string, shard int, source string")
+    t = create_table(
+        str(tmp_path / "tbl"), schema,
+        partition_by=["source"], properties={"key-cols": "doc_id"},
+    )
+    df = spark.createDataFrame(
+        [("d1", 7, "s"), ("d2", 9, "s")], "doc_id string, shard int, source string"
+    )
+    append(spark, t, df.repartition(1))
+    with _pytest.raises(ValueError, match="shard"):
+        export_snapshot(spark, t, str(tmp_path / "exp"), shards=2)
