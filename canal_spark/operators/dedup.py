@@ -702,6 +702,241 @@ FROM r WHERE rn = 1
 """
 
 
+# --- cross-source overlap matrix ---------------------------------------------
+
+
+# a shingle present in more than this many sources is corpus-wide
+# boilerplate: it says nothing about PAIRWISE provenance overlap (every
+# pair would share it) while costing O(spread²) pair rows — excluded
+# from the overlap evidence, mirrored exactly in the oracle
+OVERLAP_MAX_SPREAD = 16
+PPM = 1_000_000
+
+
+def q_source_overlap(
+    spark: SparkSession, sf_dir: str, max_spread: int = OVERLAP_MAX_SPREAD
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, the
+    number of distinct 3-word shingles present in both, plus an exact
+    integer Jaccard (ppm) over the pair's distinct-shingle union — the
+    corpus diagnostic run before cross-dump dedup (two crawl dumps with
+    high overlap should be deduped against each other first) and after
+    it (residual overlap ≈ boilerplate the shingle cap excluded).
+
+    Scale shape (100 TB audit): ONE corpus-scale shuffle — the
+    distinct-(source, shingle) aggregation with map-side combine.
+    Everything after is source-cardinality-bounded: the per-shingle
+    source set is collected with collect_set (bounded by the spread
+    cap, not the corpus), ordered pairs are expanded map-side from the
+    sorted set (≤ C(OVERLAP_MAX_SPREAD, 2) per shingle), and the pair
+    rollup keys on (src_a, src_b) — at most S² rows for S sources, a
+    config-scale dimension (dozens of dumps/domains), never data
+    scale.  Per-source totals are a tiny broadcast join.  No doc×doc
+    or corpus×corpus join anywhere.
+
+    Reference analogue: the per-destination delivery stats Canal's
+    instance metrics aggregate (CanalInstanceExports.java) generalized
+    from row counts to content identity."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    sh = (
+        docs.select(
+            F.col("source").alias("src"), F.split("text", " ").alias("ws")
+        )
+        .where(F.size("ws") >= 3)
+        .select(
+            "src",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    per_src = sh.groupBy("src").agg(F.count("*").alias("n_shingles"))
+    # per-shingle source sets; binary string sort matches DuckDB's
+    # varchar '<' so both engines order each pair identically
+    pair_rows = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("src")).alias("ss"))
+        .where((F.size("ss") >= 2) & (F.size("ss") <= F.lit(max_spread)))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ss) - 1),"
+                    " i -> transform(sequence(0, i - 1),"
+                    " j -> struct(ss[j] AS src_a, ss[i] AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+    )
+    pairs = pair_rows.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_shared")
+    )
+    na = per_src.select(
+        F.col("src").alias("src_a"), F.col("n_shingles").alias("n_src_a")
+    )
+    nb = per_src.select(
+        F.col("src").alias("src_b"), F.col("n_shingles").alias("n_src_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_src_a").cast("long").alias("n_src_a"),
+            F.col("n_src_b").cast("long").alias("n_src_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr(
+                f"CAST(({PPM} * n_shared) DIV (n_src_a + n_src_b - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH sh AS (
+  SELECT DISTINCT source AS src,
+         array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM (SELECT source, string_split(text, ' ') AS ws
+              FROM documents WHERE len(string_split(text, ' ')) >= 3))
+),
+n AS (SELECT src, count(*) AS n_shingles FROM sh GROUP BY src),
+spread AS (SELECT shingle, count(*) AS ns FROM sh GROUP BY shingle),
+keep AS (SELECT sh.src, sh.shingle FROM sh
+         JOIN spread USING (shingle)
+         WHERE ns BETWEEN 2 AND {OVERLAP_MAX_SPREAD}),
+p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+      FROM keep a JOIN keep b USING (shingle)
+      WHERE a.src < b.src GROUP BY 1, 2)
+SELECT p.src_a, p.src_b,
+       CAST(na.n_shingles AS BIGINT) AS n_src_a,
+       CAST(nb.n_shingles AS BIGINT) AS n_src_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(({PPM} * p.n_shared)
+            // (na.n_shingles + nb.n_shingles - p.n_shared)
+            AS BIGINT) AS jaccard_ppm
+FROM p JOIN n na ON p.src_a = na.src
+       JOIN n nb ON p.src_b = nb.src
+"""
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+WINNOW_W = 4       # winnowing window (consecutive k-gram hashes)
+WINNOW_MIN = 2     # pairs must share >= this many fingerprints
+# fingerprints in more docs than this are boilerplate (same argument
+# as the LSH MAX_BUCKET guard): drop before pairing, mirror in oracle
+WINNOW_MAX_DOCS = 8
+
+
+def q_winnow_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN,
+    max_docs: int = WINNOW_MAX_DOCS,
+) -> DataFrame:
+    """Winnowing near-dup candidate pairs (Schleimer, Wilkerson,
+    Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every 3-word shingle, slide a window of
+    ``WINNOW_W`` consecutive hashes, keep each window's MINIMUM as a
+    fingerprint.  Unlike the 1-in-k hash-threshold sampling used by
+    ``dup_span_detect(sample_mod=k)`` — which only detects a shared
+    run probabilistically — winnowing carries a GUARANTEE: any shared
+    word run of length >= WINNOW_W + 3 - 1 selects at least one common
+    fingerprint in both documents (the shared hash window contains a
+    shared minimum).  Docs sharing >= ``WINNOW_MIN`` distinct
+    fingerprints become candidate pairs for the exact
+    ``ngram_jaccard`` verify stage.
+
+    Scale shape (100 TB audit): hashing and window-min selection are
+    pure JVM array expressions per doc (transform + array_min over
+    slices — O(n·w) map-side work, no shuffle, no Python); the corpus
+    pays two shuffles — the distinct-(doc, fp) aggregation, then the
+    fp-keyed spread count whose partitioning the pair equi-join
+    reuses.  The boilerplate cap bounds every fp group to
+    ``WINNOW_MAX_DOCS`` docs before the pair expansion (≤ C(8,2) = 28
+    pair rows per fp — the hot-bucket argument from `_minhash_bands`),
+    and the pair rollup is candidate-scale.  Density vs sampling: winnowing stores ~2/(w+1)
+    of all shingle hashes — the price of the detection guarantee."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    # H: per-doc array of 60-bit shingle hashes (JVM md5, same
+    # rendering as md5int/duck_md5int so both engines agree bit-exact)
+    h_arr = (
+        "transform(transform(sequence(1, size(ws) - 2),"
+        " i -> concat_ws(' ', slice(ws, i, 3))),"
+        " s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+    fps = (
+        _words(docs)
+        .where(F.size("ws") >= 3 + w - 1)  # >= one full window
+        .select("doc_id", F.expr(h_arr).alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {w} + 1),"
+                    f" i -> array_min(slice(hs, i, {w})))"
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    capped = fps.withColumn(
+        "n_docs", F.count("*").over(_fp_window())
+    ).where(F.col("n_docs") <= max_docs)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def _fp_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("fp")
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3 + {WINNOW_W} - 1),
+hs AS (SELECT doc_id,
+              list_transform(
+                list_transform(generate_series(1, len(ws) - 2),
+                               i -> array_to_string(ws[i:i+2], ' ')),
+                s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)) AS hs
+       FROM docs),
+fps AS (SELECT DISTINCT doc_id, fp FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, len(hs) - {WINNOW_W} + 1),
+                   i -> list_min(hs[i:i+{WINNOW_W}-1]))) AS fp
+          FROM hs)),
+capped AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS nd
+             FROM fps)
+           WHERE nd <= {WINNOW_MAX_DOCS})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -713,6 +948,8 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "dedup_incremental": q_dedup_incremental,
     "dedup_canonical": q_dedup_canonical,
+    "source_overlap": q_source_overlap,
+    "winnow_pairs": q_winnow_pairs,
 }
 
 ORACLES = {
@@ -726,4 +963,6 @@ ORACLES = {
     "contamination_check": SQL_CONTAMINATION,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_canonical": SQL_DEDUP_CANONICAL,
+    "source_overlap": SQL_SOURCE_OVERLAP,
+    "winnow_pairs": SQL_WINNOW_PAIRS,
 }

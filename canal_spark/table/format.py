@@ -425,22 +425,29 @@ class Table:
         """Parse one manifest, memoized process-wide.
 
         Manifests are immutable once written (uuid names, only ever
-        created whole + atomically), so the parse is cacheable forever;
-        the LRU bound keeps driver memory O(hot set).  One merge_into
+        created whole + atomically), so the parse is cacheable; the
+        LRU bound keeps driver memory O(hot set).  One merge_into
         walks the manifest list five-plus times (planning, delete debt,
         no-op refine, per-commit-attempt reuse) — at the 200k-file
         design point that is several full JSON parses of the whole
-        manifest set per batch without this.  CONTRACT: returned lists
-        and their DataFile entries are SHARED — callers must never
-        mutate them (annotate_entry_stats replaces entries for this
-        reason; commit only stamps seq on its own added entries)."""
-        key = (self.root, name)
+        manifest set per batch without this.  The cache key includes
+        the file's (mtime_ns, size): one stat per read — noise next to
+        a JSON parse — turns the immutability ASSUMPTION into a checked
+        one, so out-of-band tampering (exactly what `doctor.check_table`
+        exists to detect) and same-name rewrites are never served
+        stale.  CONTRACT: returned lists and their DataFile entries are
+        SHARED — callers must never mutate them (annotate_entry_stats
+        replaces entries for this reason; commit only stamps seq on its
+        own added entries)."""
+        path = os.path.join(self._meta_dir(), name)
+        st = os.stat(path)
+        key = (self.root, name, st.st_mtime_ns, st.st_size)
         with _MANIFEST_CACHE_LOCK:
             hit = _MANIFEST_CACHE.get(key)
             if hit is not None:
                 _MANIFEST_CACHE.move_to_end(key)
                 return hit
-        with open(os.path.join(self._meta_dir(), name)) as f:
+        with open(path) as f:
             entries = [DataFile.from_json(d) for d in json.load(f)]
         with _MANIFEST_CACHE_LOCK:
             _MANIFEST_CACHE[key] = entries
