@@ -603,6 +603,43 @@ def main() -> None:
     ))
     release_cached_deps(dsir)
 
+    # 30. source overlap: one corpus-scale distinct (HashAggregate);
+    # pair expansion is map-side from the capped source set (Generate),
+    # per-source totals enter via broadcast — no corpus self-join, no
+    # window, no Python.  ObjectHashAggregate carries the collect_set.
+    from canal_spark.operators.dedup import q_source_overlap
+
+    p30 = plan_of(q_source_overlap(spark, sf_dir))
+    sections.append((
+        "Source overlap: distinct shuffle + capped set expansion, broadcast totals",
+        p30,
+        ["Generate", "ObjectHashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
+    # 31. winnowing pairs: hashing + window-min are ONE map-side
+    # Generate (transform/array_min over slices — no window function
+    # for the minima); the spread-cap count is a Window over the same
+    # fp key the pair equi-join shuffles on; never a doc x doc product.
+    from canal_spark.operators.dedup import q_winnow_pairs
+
+    p31 = plan_of(q_winnow_pairs(spark, sf_dir))
+    sections.append((
+        "Winnow pairs: map-side window minima, fp-keyed cap + equi-join, no product",
+        p31,
+        ["Generate", "Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+    for args in re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", p31):
+        if "fp" not in args:
+            sections.append((
+                "Winnow pairs: cap window missing fp partition spec", p31,
+                ["IMPOSSIBLE"], [],
+            ))
+            break
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
