@@ -320,14 +320,26 @@ def bench_queries(spark, sf_dir: str, which: str) -> dict:
 
     out = {}
     for name, fn in sorted(qs.items()):
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-        # queries that persist internal frames tag them on the result;
-        # without the release a 40-query sweep accumulates one cached
-        # corpus-scale frame per query for the session lifetime
-        release_cached_deps(df)
+        # best-of-2 per query, same reason as the pass's pass_runs:
+        # whole-stage codegen + JIT land on the FIRST execution of each
+        # unique plan (measured 2-4x on the heavy dedup queries), so a
+        # single-shot sweep charges compilation to whichever queries
+        # are cold and round-over-round comparison reads phantom
+        # regressions.  Run 2 re-plans from scratch (no persisted state
+        # survives release_cached_deps), so it measures the same work
+        # minus the one-time compilation.
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            # queries that persist internal frames tag them on the
+            # result; without the release the sweep accumulates one
+            # cached corpus-scale frame per query per run for the
+            # session lifetime
+            release_cached_deps(df)
+        out[name] = min(runs)
     return out
 
 
