@@ -165,7 +165,15 @@ Raw per-run JSON: `BENCH_SCALING.json`. Reproduce:
     with open(path) as f:
         text = f.read()
     if "## Scaling evidence" in text:
-        text = re.sub(r"## Scaling evidence.*", section, text, flags=re.S)
+        # replace ONLY this section — stop at the next top-level
+        # heading (an unanchored .* with DOTALL would eat every section
+        # after it, e.g. the hand-written round headline numbers)
+        text = re.sub(
+            r"## Scaling evidence.*?(?=\n## |\Z)",
+            section.rstrip() + "\n",
+            text,
+            flags=re.S,
+        )
     else:
         text = text.rstrip() + "\n\n" + section
     with open(path, "w") as f:
