@@ -1,11 +1,24 @@
-"""Maintained MinHash band index — the dedup suite wired into the
+"""Maintained dedup signature index — the dedup suite wired into the
 maintenance pass.
 
 The driver-query operators (`operators/dedup.py`) compute band tables
 from scratch per query; a production pass over a 10^12-sequence corpus
-instead MAINTAINS the band table as a lakehouse table of its own
-(`doc_id, band, bucket` — one row per doc per minhash band over the
-TOKEN arrays) and, per changelog batch, only
+instead MAINTAINS the signature table as a lakehouse table of its own
+(`doc_id, band, bucket`) in one of two signature families, pinned per
+index by the `dedup.signature` table property:
+
+  * ``minhash`` (default) — one row per doc per MinHash band over the
+    TOKEN arrays: constant N_MINHASH rows/doc, probabilistic candidate
+    recall (any shared band).
+  * ``winnow`` — winnowing fingerprints (window-of-w minima over the
+    shingle hash stream, `token_winnow_frame`): ~2/(w+1) of all
+    shingle hashes per doc, but a GUARANTEE that any shared token run
+    of >= w + SHINGLE_K - 1 tokens produces a shared bucket.
+
+Everything downstream of the frame builder — incremental refresh,
+manifest-pruned COW rewrites, hot-bucket caps, delta candidates,
+corpus self-dedup, index compaction — is family-agnostic: it only ever
+sees (doc_id, band, bucket).  Per changelog batch the refresh
 
   1. rewrites the index files whose key range overlaps the batch's
      changed doc_ids (same manifest min/max pruning as the data merge),
@@ -95,23 +108,117 @@ def token_band_frame(df: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("band").cast("int"), "bucket")
 
 
-def load_or_create_band_index(root: str) -> Table:
+WINNOW_W = 4  # winnowing window width (consecutive shingle hashes)
+
+
+def token_winnow_frame(df: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, band, bucket) WINNOWING fingerprints over TOKEN arrays
+    — the second signature family the index machinery can maintain
+    (Schleimer et al., SIGMOD 2003; the query-side sibling is
+    `operators.dedup.q_winnow_pairs` over text).
+
+    Each 3-token shingle hashes with the same md5 kernel as the
+    MinHash builder; a window of ``w`` consecutive hashes keeps its
+    MINIMUM as a fingerprint, rows are the doc's DISTINCT fingerprints
+    with ``band = 0`` (winnowing has no band dimension — the shared
+    (band, bucket) key space simply collapses to one band).  Unlike
+    MinHash-LSH's probabilistic candidate recall, a shared TOKEN run
+    of >= w + 3 - 1 tokens GUARANTEES a shared fingerprint, at the
+    cost of ~2/(w+1) of all shingle hashes stored per doc (vs a flat
+    N_MINHASH rows/doc) — pick per corpus: guarantee-carrying local
+    duplication detection vs constant index size.
+
+    Hashing + window minima are pure JVM array expressions (transform
+    + array_min over slices, map-side); the only shuffle is the
+    distinct.  Docs shorter than one full window contribute no rows."""
+    sh_arr = (
+        f"transform(sequence(1, size(tokens) - {SHINGLE_K - 1}),"
+        f" i -> concat_ws(' ', transform(slice(tokens, i, {SHINGLE_K}),"
+        " t -> cast(t as string))))"
+    )
+    h_arr = (
+        f"transform({sh_arr},"
+        " s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+    # filter BEFORE the generator (same rule as token_band_frame):
+    # sequence() descends on short docs and slice() errors
+    return (
+        df.where(F.size("tokens") >= SHINGLE_K + w - 1)
+        .select("doc_id", F.expr(h_arr).alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {w} + 1),"
+                    f" i -> array_min(slice(hs, i, {w})))"
+                )
+            ).alias("bucket"),
+        )
+        .distinct()
+        .select("doc_id", F.lit(0).cast("int").alias("band"), "bucket")
+    )
+
+
+# signature family -> delta/rebuild frame builder.  The family is
+# pinned as a TABLE PROPERTY at index creation: one index must never
+# mix signature families (minhash buckets and winnow fingerprints
+# share the (band, bucket) key space but mean different things — a
+# mixed index would silently emit garbage candidates).
+SIGNATURES = {
+    "minhash": token_band_frame,
+    "winnow": token_winnow_frame,
+}
+SIGNATURE_PROP = "dedup.signature"
+
+
+def index_signature(index_table: Table) -> str:
+    """The index's pinned signature family (pre-property indexes are
+    minhash — the only family that existed when they were created)."""
+    sig = index_table.properties.get(SIGNATURE_PROP, "minhash")
+    if sig not in SIGNATURES:
+        raise ValueError(
+            f"unknown {SIGNATURE_PROP}={sig!r} on {index_table.root}"
+            f" (known: {sorted(SIGNATURES)})"
+        )
+    return sig
+
+
+def load_or_create_band_index(root: str, signature: str | None = None) -> Table:
     """Load an existing band index or create an empty one — the shared
     bootstrap for every entry point that takes an index ROOT (run_pass,
-    jobs/stream, instance specs)."""
+    jobs/stream, instance specs).
+
+    ``signature`` selects the family for a NEW index (default minhash);
+    passing it for an EXISTING index validates it against the pinned
+    property and raises on mismatch (refreshing a minhash index with
+    winnow rows would corrupt it silently — fail at config time)."""
     import os
 
     from canal_spark.table.format import load_table
 
     if os.path.exists(os.path.join(root, "metadata")):
-        return load_table(root)
-    return create_band_index(root)
+        t = load_table(root)
+        have = index_signature(t)
+        if signature is not None and signature != have:
+            raise ValueError(
+                f"index at {root} is pinned to {SIGNATURE_PROP}={have!r};"
+                f" requested {signature!r} — create a separate index"
+            )
+        return t
+    return create_band_index(root, signature=signature or "minhash")
 
 
-def create_band_index(root: str) -> Table:
-    """An empty band-index table (keyed by doc_id for manifest pruning)."""
+def create_band_index(root: str, signature: str = "minhash") -> Table:
+    """An empty band-index table (keyed by doc_id for manifest pruning),
+    pinned to one signature family."""
+    if signature not in SIGNATURES:
+        raise ValueError(
+            f"unknown signature {signature!r} (known: {sorted(SIGNATURES)})"
+        )
     return create_table(
-        root, BAND_INDEX_SCHEMA, properties={"key-cols": "doc_id"}
+        root,
+        BAND_INDEX_SCHEMA,
+        properties={"key-cols": "doc_id", SIGNATURE_PROP: signature},
     )
 
 
@@ -221,12 +328,13 @@ def refresh_band_index(
     from canal_spark.merge import _affected_files
 
     job_id = job_id or uuid.uuid4().hex[:12]
+    frame_fn = SIGNATURES[index_signature(index_table)]
     entries = index_table.files()
     full = keys is None or not entries
 
     if full:
         src = token_table.scan(spark).select("doc_id", "tokens")
-        bands = token_band_frame(src)
+        bands = frame_fn(src)
         n_out = max(1, spark.sparkContext.defaultParallelism)
         # RANGE layout, same lesson as etl.full_load: hash-partitioned
         # files each span the whole doc_id space, so per-file min/max
@@ -267,9 +375,15 @@ def refresh_band_index(
             F.broadcast(keys_df) if n_keys <= max_broadcast_keys else keys_df
         )
         src = token_table.scan(spark).select("doc_id", "tokens")
-        delta_bands = token_band_frame(
+        delta_bands = frame_fn(
             src.join(keys_side, "doc_id", "leftsemi")
         ).persist()
+        # count FIRST (materializes the persist the candidate join
+        # reuses): the broadcast gate below must compare ACTUAL band
+        # rows, not keys — minhash is a flat N_MINHASH rows/doc but a
+        # winnow delta is O(tokens), so any per-doc multiplier estimate
+        # under-gates one family or the other
+        n_bands = delta_bands.count()
 
         cands_n = dup_docs = capped_n = 0
         if report_candidates:
@@ -280,11 +394,7 @@ def refresh_band_index(
                 index_bands.join(keys_side, "doc_id", "left_anti"),
                 delta_bands,
                 max_bucket=max_bucket,
-                # the frames this hints are BAND rows — N_MINHASH× the
-                # delta's doc count — so the gate must compare band
-                # rows, not keys, or a near-threshold backfill forces a
-                # broadcast N_MINHASH× past the limit
-                hint_broadcast=n_keys * N_MINHASH <= max_broadcast_keys,
+                hint_broadcast=n_bands <= max_broadcast_keys,
             )
             try:
                 agg = cands.agg(
@@ -304,7 +414,6 @@ def refresh_band_index(
         else:
             affected, untouched = entries, []
 
-        n_bands = delta_bands.count()
         if not affected and n_bands == 0:
             # batch keys overlap no index file and contribute no bands
             # (absent or sub-shingle docs): committing would mint an

@@ -21,6 +21,10 @@ from canal_spark.jobs.common import base_parser, emit, session
 def main() -> None:
     p = base_parser("MinHash band-index maintenance")
     p.add_argument("--index", required=True, help="band-index table root")
+    p.add_argument("--signature", choices=["minhash", "winnow"], default=None,
+                   help="signature family for a NEW index (existing "
+                        "indexes keep their pinned family; a mismatch "
+                        "errors instead of corrupting the index)")
     p.add_argument("--changelog", default=None,
                    help="changelog parquet dir (keys to refresh)")
     p.add_argument("--full", action="store_true",
@@ -76,7 +80,7 @@ def main() -> None:
                 "for a complete rebuild")
     spark = session(args, "canal-dedup-index")
     table = load_table(args.table)
-    index = load_or_create_band_index(args.index)
+    index = load_or_create_band_index(args.index, signature=args.signature)
 
     if args.span_cut:
         from canal_spark.dupspan import dup_span_cut_pass

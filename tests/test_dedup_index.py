@@ -515,3 +515,130 @@ def test_token_band_frame_short_docs_never_crash(spark):
         assert {r["doc_id"] for r in token_band_frame(cached).collect()} == {"c"}
     finally:
         cached.unpersist()
+
+
+# --------------------------------------------------------------------------
+# winnow signature family
+# --------------------------------------------------------------------------
+
+
+def test_token_winnow_frame_matches_python_reference(spark):
+    """Engine fingerprints == a pure-Python winnower over the same
+    3-token shingle hash stream (window-of-w minima, distinct)."""
+    import hashlib
+
+    from canal_spark.dedup_index import SHINGLE_K, WINNOW_W, token_winnow_frame
+
+    toks = [5, 17, 5, 99, 42, 17, 5, 3, 8, 12, 99]
+    df = spark.createDataFrame(
+        [("d0", toks)], "doc_id string, tokens array<int>"
+    )
+    hs = [
+        int(
+            hashlib.md5(
+                " ".join(str(t) for t in toks[i : i + SHINGLE_K]).encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(toks) - SHINGLE_K + 1)
+    ]
+    expect = {
+        min(hs[i : i + WINNOW_W]) for i in range(len(hs) - WINNOW_W + 1)
+    }
+    got = {
+        (r["band"], r["bucket"]) for r in token_winnow_frame(df).collect()
+    }
+    assert got == {(0, fp) for fp in expect}
+
+
+def test_token_winnow_frame_short_docs_never_crash(spark):
+    """Docs shorter than one full winnowing window contribute no rows
+    (filter BEFORE the generator, same rule as token_band_frame)."""
+    from canal_spark.dedup_index import SHINGLE_K, WINNOW_W, token_winnow_frame
+
+    min_len = SHINGLE_K + WINNOW_W - 1
+    df = spark.createDataFrame(
+        [("a", [1]), ("b", list(range(min_len - 1))),
+         ("c", list(range(min_len)))],
+        "doc_id string, tokens array<int>",
+    )
+    assert {r["doc_id"] for r in token_winnow_frame(df).collect()} == {"c"}
+
+
+def test_winnow_index_signature_pinned(spark, tmp_path):
+    """The signature family is a table property: creation pins it,
+    reopening validates it, a mismatch errors at config time."""
+    import pytest as _pytest
+
+    from canal_spark.dedup_index import (
+        SIGNATURE_PROP,
+        create_band_index,
+        index_signature,
+        load_or_create_band_index,
+    )
+
+    root = str(tmp_path / "widx")
+    idx = create_band_index(root, signature="winnow")
+    assert idx.properties[SIGNATURE_PROP] == "winnow"
+    assert index_signature(idx) == "winnow"
+    # reopen without a signature: keeps the pinned family
+    assert index_signature(load_or_create_band_index(root)) == "winnow"
+    # explicit match is fine, mismatch errors
+    load_or_create_band_index(root, signature="winnow")
+    with _pytest.raises(ValueError, match="pinned"):
+        load_or_create_band_index(root, signature="minhash")
+    with _pytest.raises(ValueError, match="unknown signature"):
+        create_band_index(str(tmp_path / "bad"), signature="simhash")
+
+
+def test_winnow_index_incremental_equals_full_rebuild(spark, token_table, tmp_path):
+    """The refresh machinery is family-agnostic: a winnow index kept in
+    sync incrementally equals a from-scratch winnow rebuild, and the
+    frame builder comes from the pinned property (not a caller arg)."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import create_band_index, refresh_band_index
+    from canal_spark.merge import merge_into
+
+    t, base = token_table
+    index = create_band_index(str(tmp_path / "wbands"), signature="winnow")
+    res = refresh_band_index(spark, t, index)
+    assert res.applied and res.full_rebuild and res.bands_written > 0
+    assert {r["band"] for r in index.scan(spark).select("band").distinct().collect()} == {0}
+
+    changes = changelog_df(spark, synth_changelog_rows(base, 300, seed=43))
+    assert merge_into(spark, t, changes).applied
+    res2 = refresh_band_index(spark, t, index, keys=changes.select("doc_id"))
+    assert res2.applied and not res2.full_rebuild
+
+    fresh = create_band_index(str(tmp_path / "wbands_full"), signature="winnow")
+    refresh_band_index(spark, t, fresh)
+    assert _index_state(spark, index) == _index_state(spark, fresh)
+
+
+def test_corpus_self_dedup_with_winnow_index(spark, tmp_path):
+    """Self-dedup over a WINNOW index removes the same losers as the
+    minhash path on the exact-copy clusters (shared full-token runs —
+    the case the winnowing guarantee covers deterministically)."""
+    from canal_spark.dedup_index import (
+        corpus_dedup_pass,
+        create_band_index,
+        refresh_band_index,
+    )
+
+    t = _mk_dup_table(spark, tmp_path, name="wseldedup")
+    index = create_band_index(str(tmp_path / "wsd_bands"), signature="winnow")
+    refresh_band_index(spark, t, index)
+    rows_before = t.row_count()
+
+    res = corpus_dedup_pass(spark, t, index)
+    assert res.applied
+    assert res.losers_removed == 3  # a0, a1, b1 — same as minhash
+    ids = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    assert {"web:a2", "web:b0"} <= ids
+    assert not {"web:a0", "web:a1", "web:b1"} & ids
+    assert t.row_count() == rows_before - 3
+    idx_ids = {r["doc_id"] for r in index.scan(spark).select("doc_id").collect()}
+    assert not {"web:a0", "web:a1", "web:b1"} & idx_ids
+
+    again = corpus_dedup_pass(spark, t, index)
+    assert not again.applied and again.losers_removed == 0
