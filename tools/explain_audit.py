@@ -252,6 +252,27 @@ def main() -> None:
         ["SortMergeJoin", "CartesianProduct", "Union"],
     ))
 
+    # 10a-bis. winnow family: same delta skeleton (broadcast key
+    # semi-join before any hashing), window minima are map-side array
+    # exprs inside the Generate — NO window function, no Python, no
+    # union fan-out.  The single Exchange is the distinct over
+    # (doc_id, bucket).
+    from canal_spark.dedup_index import token_winnow_frame
+
+    p10w = plan_of(
+        token_winnow_frame(
+            t.scan(spark).select("doc_id", "tokens")
+            .join(F.broadcast(keys_df), "doc_id", "leftsemi")
+        )
+    )
+    sections.append((
+        "Winnow-index delta: map-side window minima inside Generate, one distinct exchange",
+        p10w,
+        ["BroadcastHashJoin LeftSemi", "Generate", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "Union", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     # 10b. delta-vs-index candidates: index side restricted by the
     # (broadcast) delta bucket set FIRST — the big index never shuffles
     idx_bands = token_band_frame(t.scan(spark).select("doc_id", "tokens"))
