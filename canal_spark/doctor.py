@@ -268,6 +268,106 @@ def check_table(
             "violations": violations, "warnings": warnings}
 
 
+def check_dedup_index(
+    spark: SparkSession, token_table: Table, index_table: Table
+) -> dict:
+    """Consistency of a maintained dedup signature index vs its token
+    table — the read-only diagnosis counterpart of the self-heal that
+    `corpus_dedup_pass` applies (a crashed sync between the data merge
+    and the index refresh leaves drift; the pass folds it back in, the
+    doctor reports it without touching anything).
+
+    Violations (structural — the index cannot be trusted):
+      * ``signature-unknown`` — the pinned `dedup.signature` property
+        names no known family; every refresh would raise.
+      * ``band-domain`` — band values outside the family's domain
+        ([0, N_MINHASH) for minhash, exactly 0 for winnow): rows from
+        a DIFFERENT family were written into this index, so bucket
+        equality no longer means signature agreement.
+
+    Warnings (sync debt — normal between a crash and the next pass):
+      * ``phantom-docs`` — index doc_ids absent from the table (the
+        crashed-sync residue the next pass self-heals).
+      * ``missing-docs`` — table docs long enough to produce signature
+        rows for this family but absent from the index (an un-synced
+        batch; short docs are legitimately absent and not counted).
+
+    One aggregation + two anti-join counts; never corpus x corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from canal_spark.dedup_index import (
+        N_MINHASH,
+        SHINGLE_K,
+        SIGNATURE_PROP,
+        SIGNATURES,
+        WINNOW_W,
+    )
+
+    violations: list[dict] = []
+    warnings: list[dict] = []
+    sig = index_table.properties.get(SIGNATURE_PROP, "minhash")
+    if sig not in SIGNATURES:
+        violations.append(
+            {"file": index_table.root, "kind": "signature-unknown",
+             "detail": f"{SIGNATURE_PROP}={sig!r}"}
+        )
+        return {"ok": False, "signature": sig, "violations": violations,
+                "warnings": warnings, "docs_indexed": None,
+                "phantom_docs": None, "missing_docs": None}
+
+    idx = index_table.scan(spark).persist()
+    try:
+        agg = idx.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("doc_id").alias("docs"),
+            F.min("band").alias("bmin"),
+            F.max("band").alias("bmax"),
+        ).collect()[0]
+        n_docs = int(agg["docs"] or 0)
+        if int(agg["rows"] or 0) > 0:
+            lo, hi = (0, 0) if sig == "winnow" else (0, N_MINHASH - 1)
+            if int(agg["bmin"]) < lo or int(agg["bmax"]) > hi:
+                violations.append(
+                    {"file": index_table.root, "kind": "band-domain",
+                     "detail": f"{sig} bands must lie in [{lo}, {hi}], "
+                               f"found [{agg['bmin']}, {agg['bmax']}]"}
+                )
+
+        idx_ids = idx.select("doc_id").distinct()
+        tbl = token_table.scan(spark).select("doc_id", "tokens")
+        phantom = idx_ids.join(
+            tbl.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        if phantom:
+            warnings.append(
+                {"file": index_table.root, "kind": "phantom-docs",
+                 "detail": f"{phantom} indexed doc_ids not in the table "
+                           "(crashed sync debt; the next pass self-heals)"}
+            )
+        min_len = (
+            SHINGLE_K + WINNOW_W - 1 if sig == "winnow" else SHINGLE_K
+        )
+        missing = (
+            tbl.where(F.size("tokens") >= min_len)
+            .select("doc_id")
+            .join(idx_ids, "doc_id", "left_anti")
+            .count()
+        )
+        if missing:
+            warnings.append(
+                {"file": index_table.root, "kind": "missing-docs",
+                 "detail": f"{missing} eligible table docs have no index "
+                           "rows (un-synced batch)"}
+            )
+    finally:
+        idx.unpersist()
+    return {"ok": not violations, "signature": sig,
+            "violations": violations, "warnings": warnings,
+            "docs_indexed": n_docs, "phantom_docs": phantom,
+            "missing_docs": missing}
+
+
 def check_archive(archive_dir: str) -> dict:
     """Cold-archive consistency: ``manifest.json`` vs the segment
     files (archive.py).  A broken archive is silent data loss for any

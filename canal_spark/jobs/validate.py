@@ -22,10 +22,14 @@ def main() -> None:
         "--archive-dir", default=None,
         help="also check a cold-archive catalog vs its segment files",
     )
+    p.add_argument(
+        "--dedup-index", default=None,
+        help="also check a maintained dedup signature index vs the table",
+    )
     args = p.parse_args()
 
     from canal_spark import load_table
-    from canal_spark.doctor import check_archive, check_table
+    from canal_spark.doctor import check_archive, check_dedup_index, check_table
 
     spark = session(args, "canal-validate")
     table = load_table(args.table)
@@ -38,6 +42,10 @@ def main() -> None:
         arep = check_archive(args.archive_dir)
         rep["archive"] = arep
         rep["ok"] = rep["ok"] and arep["ok"]
+    if args.dedup_index:
+        drep = check_dedup_index(spark, table, load_table(args.dedup_index))
+        rep["dedup_index"] = drep
+        rep["ok"] = rep["ok"] and drep["ok"]
     emit({"job": "validate", **rep})
     if not rep["ok"]:
         sys.exit(2)

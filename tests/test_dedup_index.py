@@ -642,3 +642,58 @@ def test_corpus_self_dedup_with_winnow_index(spark, tmp_path):
 
     again = corpus_dedup_pass(spark, t, index)
     assert not again.applied and again.losers_removed == 0
+
+
+def test_doctor_check_dedup_index(spark, token_table, tmp_path):
+    """check_dedup_index: clean sync is ok with zero drift; phantom and
+    missing docs WARN (self-healable debt); cross-family band rows and
+    an unknown signature are VIOLATIONS."""
+    from canal_spark.changelog import changelog_df, synth_changelog_rows
+    from canal_spark.dedup_index import (
+        SIGNATURE_PROP,
+        create_band_index,
+        refresh_band_index,
+        token_band_frame,
+    )
+    from canal_spark.doctor import check_dedup_index
+    from canal_spark.merge import merge_into
+    from canal_spark.table.writer import write_datafiles
+
+    t, base = token_table
+    index = create_band_index(str(tmp_path / "doc_bands"))
+    refresh_band_index(spark, t, index)
+    rep = check_dedup_index(spark, t, index)
+    assert rep["ok"] and not rep["warnings"]
+    assert rep["signature"] == "minhash"
+    assert rep["docs_indexed"] > 0
+    assert rep["phantom_docs"] == 0 and rep["missing_docs"] == 0
+
+    # un-synced batch -> missing-docs warning (and deletes -> phantom)
+    changes = changelog_df(spark, synth_changelog_rows(base, 200, seed=47))
+    assert merge_into(spark, t, changes).applied
+    rep2 = check_dedup_index(spark, t, index)
+    assert rep2["ok"]  # drift is debt, not corruption
+    kinds = {w["kind"] for w in rep2["warnings"]}
+    assert rep2["phantom_docs"] > 0 or rep2["missing_docs"] > 0
+    assert kinds <= {"phantom-docs", "missing-docs"} and kinds
+
+    # resync clears the warnings
+    refresh_band_index(spark, t, index, keys=changes.select("doc_id"))
+    rep3 = check_dedup_index(spark, t, index)
+    assert rep3["ok"] and not rep3["warnings"]
+
+    # cross-family rows: minhash bands committed into a WINNOW index
+    widx = create_band_index(str(tmp_path / "doc_wbands"), signature="winnow")
+    bands = token_band_frame(t.scan(spark).select("doc_id", "tokens"))
+    entries = write_datafiles(spark, widx, bands)
+    widx.commit(added=entries, removed_paths=[], operation="append",
+                summary={"phase": "test-corrupt"})
+    rep4 = check_dedup_index(spark, t, widx)
+    assert not rep4["ok"]
+    assert {v["kind"] for v in rep4["violations"]} == {"band-domain"}
+
+    # unknown signature property
+    index.set_properties({SIGNATURE_PROP: "simhash"})
+    rep5 = check_dedup_index(spark, t, index)
+    assert not rep5["ok"]
+    assert rep5["violations"][0]["kind"] == "signature-unknown"
