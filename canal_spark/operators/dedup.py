@@ -937,6 +937,61 @@ HAVING count(*) >= {WINNOW_MIN}
 """
 
 
+# --- n-gram novelty -----------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction (exact integer ppm) of a
+    doc's DISTINCT 3-word shingles whose first corpus occurrence —
+    smallest doc_id owning the shingle — is this document.  Low
+    novelty = the doc is mostly restatement of earlier content
+    (boilerplate, quotes, templated spam); dedup pipelines use it to
+    rank which docs contribute fresh text before spending LSH budget,
+    and data-age studies read it as the redundancy growth curve.
+
+    Scale shape (100 TB audit): one corpus-scale shuffle for the
+    distinct (doc, shingle) set, a shingle-keyed min(doc_id) partial
+    agg (map-side combine collapses hot shingles), an equi-join back
+    on shingle (AQE-chosen strategy — both sides are the same
+    distinct-shingle scale), and a doc-keyed rollup.  No window
+    functions, no doc×doc join, no Python."""
+    sh = _shingles(spark, sf_dir).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr(f"CAST(({PPM} * n_novel) DIV n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH {DUCK_SHINGLES},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM d GROUP BY shingle)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(({PPM} * sum(CASE WHEN first.first_doc = d.doc_id THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM d JOIN first USING (shingle)
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -950,6 +1005,7 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "source_overlap": q_source_overlap,
     "winnow_pairs": q_winnow_pairs,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES = {
@@ -965,4 +1021,5 @@ ORACLES = {
     "dedup_canonical": SQL_DEDUP_CANONICAL,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "winnow_pairs": SQL_WINNOW_PAIRS,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
 }

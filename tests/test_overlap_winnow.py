@@ -151,3 +151,25 @@ def test_source_overlap_spread_cap_excludes_boilerplate(spark, tmp_path):
     # 'p q r' spread=4 > 3 -> dropped; only 'a b c' pairs s0/s1.
     # totals still include the boilerplate shingle (2 each).
     assert got == {("s0", "s1"): (2, 2, 1)}
+
+
+def test_ngram_novelty_exact_values(spark, tmp_path):
+    """Hand-computable: doc 1 owns both its shingles; doc 2 restates
+    one of doc 1's and adds one new -> 500000 ppm; doc 3 fully novel."""
+    from canal_spark.operators.dedup import q_ngram_novelty
+
+    rows = [
+        (1, "s0", "a b c d"),   # shingles {a b c, b c d} — both first here
+        (2, "s0", "b c d e"),   # {b c d (first: doc 1), c d e (novel)}
+        (3, "s1", "x y z"),     # {x y z} novel
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+        for r in q_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert got == {
+        1: (2, 2, 1_000_000),
+        2: (2, 1, 500_000),
+        3: (1, 1, 1_000_000),
+    }

@@ -661,6 +661,20 @@ def main() -> None:
             ))
             break
 
+    # 32. n-gram novelty: distinct shingle set (one corpus shuffle),
+    # shingle-keyed min partial agg, AQE-chosen equi-join back, doc
+    # rollup — no window, no product, no Python.
+    from canal_spark.operators.dedup import q_ngram_novelty
+
+    p32 = plan_of(q_ngram_novelty(spark, sf_dir))
+    sections.append((
+        "N-gram novelty: distinct + min partial agg + keyed join, no window",
+        p32,
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     failures = []
     out = ["# PLANS — physical-plan audit of the hot paths",
            "",
