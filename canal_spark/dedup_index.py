@@ -109,6 +109,10 @@ def token_band_frame(df: DataFrame) -> DataFrame:
 
 
 WINNOW_W = 4  # winnowing window width (consecutive shingle hashes)
+# self-dedup pair threshold for the winnow family: one shared
+# fingerprint is one shared 3-token phrase — too weak to merge (and
+# delete) on; require at least this many distinct shared fingerprints
+WINNOW_MIN_SHARED = 2
 
 
 def token_winnow_frame(df: DataFrame, w: int = WINNOW_W) -> DataFrame:
@@ -517,7 +521,11 @@ def corpus_dedup_pass(
 
     Scale shape: pair generation is the capped within-bucket equi-join
     (a hot boilerplate bucket costs one linear count, never O(b²)
-    pairs); components run on the shared `propagate_min_labels` kernel
+    pairs), with a per-family evidence threshold — a winnow index
+    requires ``WINNOW_MIN_SHARED`` distinct shared fingerprints before
+    two docs pair (one shared fp is one shared phrase; deleting on it
+    would over-merge), while a minhash band is a full-signature
+    agreement and pairs on one; components run on the shared `propagate_min_labels` kernel
     (pair-scale frames, checkpointed rounds); survivor choice is a
     window partitioned by group label; the deletes flow through
     `merge_into`'s manifest-pruned COW — every step is the shape its
@@ -558,12 +566,32 @@ def corpus_dedup_pass(
     try:
         a = hits.select("band", "bucket", F.col("doc_id").alias("doc_a"))
         b = hits.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-        pairs = (
+        # evidence threshold per signature family: one shared MINHASH
+        # band is agreement of a full 60-bit signature (strong), but
+        # one shared WINNOW fingerprint is a single common shingle —
+        # far weaker evidence, and pairing (then DELETING a member) on
+        # it would over-merge any two docs sharing one selected
+        # 3-token phrase.  The winnow family therefore requires
+        # >= WINNOW_MIN_SHARED shared fingerprints (the q_winnow_pairs
+        # contract); the count rides the same (band, bucket) join and
+        # stays candidate-pair scale.
+        min_shared = (
+            WINNOW_MIN_SHARED if index_signature(index) == "winnow" else 1
+        )
+        joined = (
             a.join(b, ["band", "bucket"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
-            .distinct()
         )
+        if min_shared > 1:
+            pairs = (
+                joined.groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") >= min_shared)
+                .select("doc_a", "doc_b")
+            )
+        else:
+            pairs = joined.distinct()
         labels = propagate_min_labels(spark, pairs, max_rounds=max_rounds)
     finally:
         hits.unpersist()

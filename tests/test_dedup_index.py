@@ -697,3 +697,54 @@ def test_doctor_check_dedup_index(spark, token_table, tmp_path):
     rep5 = check_dedup_index(spark, t, index)
     assert not rep5["ok"]
     assert rep5["violations"][0]["kind"] == "signature-unknown"
+
+
+def test_winnow_self_dedup_requires_min_shared_evidence(spark, tmp_path):
+    """Two docs sharing only a SHORT token run (>= the winnowing
+    guarantee threshold, so they DO share a fingerprint) must NOT be
+    merged-and-deleted by the winnow self-dedup — one shared
+    fingerprint is one shared phrase, below WINNOW_MIN_SHARED.  Exact
+    copies (many shared fps) still dedupe in the same pass."""
+    from canal_spark import create_table
+    from canal_spark.dedup_index import (
+        SHINGLE_K,
+        WINNOW_W,
+        corpus_dedup_pass,
+        create_band_index,
+        refresh_band_index,
+        token_winnow_frame,
+    )
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    run = list(range(500, 500 + SHINGLE_K + WINNOW_W - 1))  # 6 tokens
+    rows = [
+        # p0/p1: distinct bodies + the short shared run -> 1-ish shared fp
+        ("web:p0", list(range(100, 130)) + run, 30 + len(run), "web"),
+        ("web:p1", run + list(range(200, 230)), len(run) + 30, "web"),
+        # exact copies -> many shared fps, must still dedupe
+        ("web:c0", list(range(3000, 3040)), 40, "web"),
+        ("web:c1", list(range(3000, 3040)), 40, "web"),
+    ]
+    t = create_table(str(tmp_path / "wmin_t"), TOKEN_TABLE_SCHEMA,
+                     partition_by=["source"])
+    append(spark, t, spark.createDataFrame(rows, TOKEN_TABLE_SCHEMA))
+    index = create_band_index(str(tmp_path / "wmin_i"), signature="winnow")
+    refresh_band_index(spark, t, index)
+
+    # sanity: p0/p1 DO share at least one fingerprint (the guarantee),
+    # so without the evidence threshold they would have paired
+    fps = token_winnow_frame(t.scan(spark).select("doc_id", "tokens"))
+    shared = (
+        fps.where(fps.doc_id == "web:p0").select("bucket")
+        .intersect(fps.where(fps.doc_id == "web:p1").select("bucket"))
+        .count()
+    )
+    assert shared >= 1
+
+    res = corpus_dedup_pass(spark, t, index)
+    assert res.applied
+    ids = {r["doc_id"] for r in t.scan(spark).select("doc_id").collect()}
+    assert {"web:p0", "web:p1"} <= ids  # weak-evidence pair survived
+    assert "web:c0" in ids and "web:c1" not in ids  # copies deduped
+    assert res.losers_removed == 1
