@@ -96,7 +96,8 @@ _TOP_KEYS = {
     "filter_regex",     # whitelist on changelog `source` (schema.table analogue)
     "filter_black_regex",  # blacklist — wins over the whitelist, Canal order
     "lineage",          # lineage table root
-    "band_index",       # MinHash band-index table root (created if absent)
+    "band_index",       # dedup signature-index table root (created if absent)
+    "band_index_signature",  # family for a NEW band index (minhash|winnow)
     "ivf_index",        # IVF ANN-index table root (must be pre-built)
     "target_mb",        # compaction target file size (MB)
     "mode",             # "batch" (default: one run_pass per round) | "stream"
@@ -126,6 +127,7 @@ class InstanceSpec:
     filter_black_regex: str | None = None
     lineage: str | None = None
     band_index: str | None = None
+    band_index_signature: str | None = None
     ivf_index: str | None = None
     target_mb: int | None = None
     pass_kwargs: dict = field(default_factory=dict)
@@ -197,7 +199,8 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
                 raise ValueError(f"[{destination}] '{k}' must be {typ.__name__}")
             pass_kwargs[k] = v
     for k in ("table", "changelog", "archive", "checkpoint", "filter_regex",
-              "filter_black_regex", "lineage", "band_index", "ivf_index"):
+              "filter_black_regex", "lineage", "band_index",
+              "band_index_signature", "ivf_index"):
         if doc.get(k) is not None and not isinstance(doc[k], str):
             raise ValueError(f"[{destination}] '{k}' must be a string")
     for k in ("filter_regex", "filter_black_regex"):
@@ -213,6 +216,21 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
                 raise ValueError(
                     f"[{destination}] '{k}' is not a valid regex: {e}"
                 ) from e
+    sig = doc.get("band_index_signature")
+    if sig is not None:
+        from canal_spark.dedup_index import SIGNATURES
+
+        # config-time hard errors, same stance as the regex compile:
+        # a bad family must fail the spec load, not every round
+        if sig not in SIGNATURES:
+            raise ValueError(
+                f"[{destination}] 'band_index_signature' must be one of "
+                f"{sorted(SIGNATURES)}, got {sig!r}"
+            )
+        if not doc.get("band_index"):
+            raise ValueError(
+                f"[{destination}] 'band_index_signature' requires 'band_index'"
+            )
     tmb = doc.get("target_mb")
     if tmb is not None and (isinstance(tmb, bool) or not isinstance(tmb, int) or tmb <= 0):
         raise ValueError(f"[{destination}] 'target_mb' must be a positive integer")
@@ -227,6 +245,7 @@ def load_instance(conf_dir: str, destination: str) -> InstanceSpec:
         filter_black_regex=doc.get("filter_black_regex"),
         lineage=doc.get("lineage"),
         band_index=doc.get("band_index"),
+        band_index_signature=doc.get("band_index_signature"),
         ivf_index=doc.get("ivf_index"),
         target_mb=tmb,
         pass_kwargs=pass_kwargs,
@@ -341,7 +360,10 @@ def run_instance_pass(
         )
     table = load_table(spec.table)
     band_index = (
-        load_or_create_band_index(spec.band_index) if spec.band_index else None
+        load_or_create_band_index(
+            spec.band_index, signature=spec.band_index_signature
+        )
+        if spec.band_index else None
     )
     rep = run_pass(
         spark,
@@ -438,7 +460,9 @@ def start_instance_stream(spark: SparkSession, spec: InstanceSpec):
         if (spec.filter_regex or spec.filter_black_regex) else None,
         return_query=True,
         band_index=(
-            load_or_create_band_index(spec.band_index)
+            load_or_create_band_index(
+                spec.band_index, signature=spec.band_index_signature
+            )
             if spec.band_index else None
         ),
         ivf_index=(

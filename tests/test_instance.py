@@ -74,6 +74,11 @@ def test_spec_defaults_and_fingerprint(tmp_path):
     # every round / an HTTP 500 on every consumer get
     ({"table": "/x", "filter_regex": "db1.("}, "not a valid regex"),
     ({"table": "/x", "filter_black_regex": "[z"}, "not a valid regex"),
+    # signature family is validated at load time too
+    ({"table": "/x", "band_index": "/b",
+      "band_index_signature": "simhash"}, "must be one of"),
+    ({"table": "/x", "band_index_signature": "winnow"},
+     "requires 'band_index'"),
 ])
 def test_spec_validation_errors(tmp_path, doc, msg):
     from canal_spark.instance import load_instance
