@@ -642,12 +642,88 @@ FROM r WHERE rnk <= {OUTLIER_K}
 """
 
 
+# --- near-dup threshold sweep -------------------------------------------------
+
+
+SWEEP_PCTS = (30, 35, 40, 45)  # cosine thresholds, integer percent
+
+
+def q_near_dup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning table for embedding near-dup detection: for
+    each candidate cosine cutoff, how many within-cell pairs and how
+    many distinct documents it would implicate — the sweep an operator
+    reads before committing a dedup threshold (too low deletes unique
+    content, too high leaves duplicates; the doc count bounds the
+    worst-case removal).
+
+    Scale shape: the cell-bucketed pair join runs ONCE (the
+    embed_near_dup shape — never a global cross join); each pair then
+    explodes to its two member rows map-side, and ALL thresholds are
+    answered by one aggregation of conditional counts (n_pairs =
+    conditional row count / 2 since every pair contributes exactly two
+    member rows; n_docs = conditional distinct).  Adding thresholds
+    adds aggregation columns, not passes.  Thresholds compare as
+    t/100.0 computed identically in both engines (one IEEE division),
+    against the module's 9-decimal-rounded cosines."""
+    e = _with_norm(load(spark, sf_dir, "embeddings", spread=True))
+    a = e.select(F.col("vec_id").alias("a_id"), "label",
+                 F.col("v").alias("av"), F.col("norm").alias("an"))
+    b = e.select(F.col("vec_id").alias("b_id"), "label",
+                 F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    ex = (
+        a.join(b, "label")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.round(
+                _cosine(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 9
+            ).alias("c9"),
+            F.explode(F.array("a_id", "b_id")).alias("id"),
+        )
+    )
+    aggs = []
+    for t in SWEEP_PCTS:
+        cond = F.expr(f"c9 >= {t} / 100.0")
+        aggs.append(F.sum(cond.cast("long")).alias(f"p{t}"))
+        aggs.append(
+            F.count_distinct(F.when(cond, F.col("id"))).alias(f"d{t}")
+        )
+    row = ex.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({t} AS BIGINT), CAST(p{t} DIV 2 AS BIGINT), CAST(d{t} AS BIGINT)"
+        for t in SWEEP_PCTS
+    )
+    return row.selectExpr(
+        f"stack({len(SWEEP_PCTS)}, {stack})"
+        " AS (threshold_pct, n_pairs, n_docs)"
+    )
+
+
+_sweep_ts = ", ".join(str(t) for t in SWEEP_PCTS)
+
+SQL_NEAR_DUP_SWEEP = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(a.v, b.v), 9) AS c
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+ex AS (SELECT c, unnest([a_id, b_id]) AS id FROM p),
+t AS (SELECT unnest([{_sweep_ts}]) AS tp)
+SELECT CAST(t.tp AS BIGINT) AS threshold_pct,
+       CAST(count(CASE WHEN ex.c >= t.tp / 100.0 THEN 1 END) // 2
+            AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN ex.c >= t.tp / 100.0 THEN ex.id END)
+            AS BIGINT) AS n_docs
+FROM t CROSS JOIN ex GROUP BY t.tp
+"""
+
+
 QUERIES = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "embed_ivf_topk": q_embed_ivf_topk,
     "semantic_dedup": q_semantic_dedup,
     "embed_near_dup": q_embed_near_dup,
     "label_outliers": q_label_outliers,
+    "near_dup_sweep": q_near_dup_sweep,
 }
 
 ORACLES = {
@@ -656,4 +732,5 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "label_outliers": SQL_LABEL_OUTLIERS,
+    "near_dup_sweep": SQL_NEAR_DUP_SWEEP,
 }

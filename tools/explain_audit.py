@@ -661,6 +661,21 @@ def main() -> None:
             ))
             break
 
+    # 31b. near-dup threshold sweep: ONE cell-bucketed pair join (no
+    # product), all thresholds answered by a single aggregation of
+    # conditional counts — adding thresholds adds agg columns, not
+    # passes; the final stack/unpivot is a map-side Generate/Expand.
+    from canal_spark.operators.similarity import q_near_dup_sweep
+
+    p31b = plan_of(q_near_dup_sweep(spark, sf_dir))
+    sections.append((
+        "Near-dup sweep: one pair join, one multi-threshold aggregation",
+        p31b,
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
     # 32. n-gram novelty: distinct shingle set (one corpus shuffle),
     # shingle-keyed min partial agg, AQE-chosen equi-join back, doc
     # rollup — no window, no product, no Python.
