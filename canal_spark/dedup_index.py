@@ -57,7 +57,13 @@ from pyspark.sql.types import (
 )
 
 from canal_spark.operators.common import md5int
-from canal_spark.operators.dedup import MAX_BUCKET, N_MINHASH
+from canal_spark.operators.dedup import (
+    MAX_BUCKET,
+    N_MINHASH,
+    WINNOW_MIN,
+    WINNOW_W,
+    winnow_min_expr,
+)
 from canal_spark.table.format import Table, create_table
 from canal_spark.table.writer import write_datafiles
 
@@ -108,11 +114,13 @@ def token_band_frame(df: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("band").cast("int"), "bucket")
 
 
-WINNOW_W = 4  # winnowing window width (consecutive shingle hashes)
-# self-dedup pair threshold for the winnow family: one shared
-# fingerprint is one shared 3-token phrase — too weak to merge (and
-# delete) on; require at least this many distinct shared fingerprints
-WINNOW_MIN_SHARED = 2
+# WINNOW_W is imported from operators.dedup (single source of truth —
+# the text query, this token index, the SQL oracle, and the doctor's
+# min-length math all derive from the same width).  Self-dedup pair
+# threshold for the winnow family: one shared fingerprint is one shared
+# 3-token phrase — too weak to merge (and delete) on; require at least
+# WINNOW_MIN distinct shared fingerprints (same bar as q_winnow_pairs).
+WINNOW_MIN_SHARED = WINNOW_MIN
 
 
 def token_winnow_frame(df: DataFrame, w: int = WINNOW_W) -> DataFrame:
@@ -151,12 +159,7 @@ def token_winnow_frame(df: DataFrame, w: int = WINNOW_W) -> DataFrame:
         .select("doc_id", F.expr(h_arr).alias("hs"))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(hs) - {w} + 1),"
-                    f" i -> array_min(slice(hs, i, {w})))"
-                )
-            ).alias("bucket"),
+            F.explode(F.expr(winnow_min_expr("hs", w))).alias("bucket"),
         )
         .distinct()
         .select("doc_id", F.lit(0).cast("int").alias("band"), "bucket")

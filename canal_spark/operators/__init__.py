@@ -20,9 +20,16 @@ from canal_spark.operators import (
     tokenops,
 )
 
+# Registry ORDER IS LOAD-BEARING: the external correctness driver
+# checks the first 50 entries of the flattened registry.  Modules whose
+# queries have the thinnest external verification history go FIRST
+# (round 4 found 21 queries that had never received a driver oracle row
+# because they sat past position 50); the long-green engine-core basics
+# (mv/cdc_ext/relational — stable since round 1-2, still covered by the
+# in-repo parity harness tests/test_entry_parity.py) rotate to the back.
 _MODULES = (
-    relational, cdc_ext, mv, dedup, text, similarity, multimodal, funcreg,
-    temporal, curation, tokenops,
+    similarity, temporal, curation, tokenops, funcreg, multimodal, text,
+    dedup, mv, cdc_ext, relational,
 )
 
 

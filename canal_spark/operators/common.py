@@ -41,8 +41,19 @@ def attach_cached_deps(df: DataFrame, deps: list[DataFrame]) -> DataFrame:
     `release_cached_deps(df)` once fully consumed.  Long-lived sessions
     (bench sweeps, services) MUST release, else each call leaks one
     MEMORY_AND_DISK copy of a corpus-scale frame for the session
-    lifetime."""
-    df._cached_deps = list(deps)
+    lifetime.
+
+    Deps are FLATTENED: a dep that itself carries ``_cached_deps`` (a
+    builder returning a derived view of its own persisted frame, e.g.
+    the capped band table over the persisted uncapped one) hands those
+    through, so the caller's single release reaches every persisted
+    ancestor.  Unpersisting an unpersisted frame is a no-op, so listing
+    intermediate views is harmless."""
+    flat: list[DataFrame] = []
+    for d in deps:
+        flat.append(d)
+        flat.extend(getattr(d, "_cached_deps", []))
+    df._cached_deps = flat
     return df
 
 

@@ -683,7 +683,12 @@ def q_near_dup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for t in SWEEP_PCTS:
         cond = F.expr(f"c9 >= {t} / 100.0")
-        aggs.append(F.sum(cond.cast("long")).alias(f"p{t}"))
+        # coalesce: a zero-pair corpus (no two embeddings share a label)
+        # must yield 0-valued threshold rows, not NULL sums — mirrored in
+        # the oracle by LEFT JOIN instead of CROSS JOIN.
+        aggs.append(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(f"p{t}")
+        )
         aggs.append(
             F.count_distinct(F.when(cond, F.col("id"))).alias(f"d{t}")
         )
@@ -713,8 +718,58 @@ SELECT CAST(t.tp AS BIGINT) AS threshold_pct,
             AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT CASE WHEN ex.c >= t.tp / 100.0 THEN ex.id END)
             AS BIGINT) AS n_docs
-FROM t CROSS JOIN ex GROUP BY t.tp
+FROM t LEFT JOIN ex ON TRUE GROUP BY t.tp
 """
+
+
+def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search through the MAINTAINED IVF index (the real
+    `ann_index.py` machinery — reference parity: the ES adapter's
+    derived-store read path, client-adapter/elasticsearch ESAdapter
+    query-after-sync): build the embedding table + index store in a
+    scratch dir, train + pin the codebook, range-write the cell index,
+    then answer the standard query set THROUGH the index with
+    nprobe = IVF_K (every cell probed).
+
+    At full probe the candidate set is exactly the index's contents, so
+    the search must equal brute-force cosine top-k EXACTLY — the oracle
+    is therefore the brute-force SQL (`SQL_EMBED_COSINE_TOPK`), and a
+    green row proves the maintained store's completeness (every vector
+    indexed exactly once, none lost or duplicated by the build/refresh
+    machinery) plus the codebook→cells→candidates→rank read path.
+    Recall at production nprobe (3) is pinned separately in
+    tests/test_ann_index.py.
+
+    Scale shape: identical to `ann_search`'s audit — O(K) codebook
+    collect, broadcast query×cell explode, cell equi-join, windowed
+    per-query top-k; nothing here is corpus-cross-join.  The scratch
+    table build is sandbox plumbing (the production store already
+    exists); the dir persists until process exit because the returned
+    frame is lazy."""
+    import os
+    import tempfile
+
+    from canal_spark.ann_index import (
+        ann_search,
+        create_ivf_index,
+        refresh_ivf_index,
+    )
+    from canal_spark.table.format import create_table
+    from canal_spark.table.writer import append
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    root = tempfile.mkdtemp(prefix="annq-")
+    t = create_table(
+        os.path.join(root, "emb"), emb.schema,
+        properties={"key-cols": "vec_id"},
+    )
+    append(spark, t, emb)
+    idx = create_ivf_index(os.path.join(root, "ivf"))
+    refresh_ivf_index(spark, t, idx)
+    q = _query_set(_with_norm(emb)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return ann_search(spark, t, idx, q, k=TOPK, nprobe=IVF_K)
 
 
 QUERIES = {
@@ -724,6 +779,7 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "label_outliers": q_label_outliers,
     "near_dup_sweep": q_near_dup_sweep,
+    "ann_index_search": q_ann_index_search,
 }
 
 ORACLES = {
@@ -733,4 +789,6 @@ ORACLES = {
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "label_outliers": SQL_LABEL_OUTLIERS,
     "near_dup_sweep": SQL_NEAR_DUP_SWEEP,
+    # full-probe maintained-index search ≡ brute force (see docstring)
+    "ann_index_search": SQL_EMBED_COSINE_TOPK,
 }

@@ -514,8 +514,11 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lays out: tokenize every document (the shared cross-engine md5
     word hash mod 50257), concatenate the corpus in doc_id order into
     one token stream, and emit actual fixed-SEQ_LEN chunks — (chunk_id,
-    n_tok, tokens) rows a pretraining dataloader reads directly; the
-    final partial chunk keeps its true length.
+    n_tok, tokens_md5) rows; the final partial chunk keeps its true
+    length.  The driver-visible output digests the token array
+    (md5 of the comma-joined tokens — the dup_span_cut pattern) because
+    the external canonicalizer cannot hash list cells; the reassembly
+    pytest keeps pinning the real arrays via pack_chunks().
 
     Scale shape: global offsets come from the two-phase chunked cumsum
     (no single-partition window); the token stream then explodes
@@ -526,6 +529,16 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (slot, token) structs, never a window.  Chunks are ~SEQ_LEN tokens
     by construction, so groups are constant-bounded at any corpus size.
     """
+    return pack_chunks(spark, sf_dir).select(
+        "chunk_id",
+        "n_tok",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
+    )
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real packed chunks — (chunk_id, n_tok, tokens:array<int>) —
+    behind ``q_pack_materialize``; the reassembly pytest reads this."""
     from canal_spark.operators.common import chunked_cumsum
 
     docs = load(spark, sf_dir, "documents", spread=True)
@@ -572,7 +585,7 @@ ex AS (SELECT c.cum_end - c.n_tok + u.i - 1 AS gpos, c.toks[u.i] AS tok
        FROM c, UNNEST(range(1, c.n_tok + 1)) AS u(i))
 SELECT CAST(gpos // {SEQ_LEN} AS BIGINT) AS chunk_id,
        CAST(count(*) AS BIGINT) AS n_tok,
-       list(tok ORDER BY gpos) AS tokens
+       md5(array_to_string(list(tok ORDER BY gpos), ',')) AS tokens_md5
 FROM ex GROUP BY 1
 """
 

@@ -440,7 +440,20 @@ class Table:
         replaces entries for this reason; commit only stamps seq on its
         own added entries)."""
         path = os.path.join(self._meta_dir(), name)
-        st = os.stat(path)
+        try:
+            st = os.stat(path)
+        except OSError as e:
+            # A manifest referenced by a live snapshot is gone (or
+            # unreadable) out-of-band — surface it as table corruption
+            # naming the manifest, not a bare FileNotFoundError, even
+            # when an LRU-cached parse of an earlier (mtime, size)
+            # version exists: serving the cache would mask exactly the
+            # tampering the stat guard is there to detect.
+            raise RuntimeError(
+                f"corrupted table {self.root}: manifest {name} referenced"
+                f" by table metadata is missing or unreadable ({e});"
+                " run doctor.check_table / restore the metadata dir"
+            ) from e
         key = (self.root, name, st.st_mtime_ns, st.st_size)
         with _MANIFEST_CACHE_LOCK:
             hit = _MANIFEST_CACHE.get(key)

@@ -86,12 +86,12 @@ def test_pack_materialize_reassembles_the_exact_token_stream(spark):
     """Packed chunks ARE the corpus: all chunks full except the last,
     ids dense from 0, and the chunk-order concatenation equals the
     doc_id-order concatenation of every doc's tokens."""
-    from canal_spark.operators.text import SEQ_LEN, q_pack_materialize
+    from canal_spark.operators.text import SEQ_LEN, pack_chunks
 
     sf = "/root/testdata/sf0.001"
     rows = sorted(
         (r["chunk_id"], r["n_tok"], list(r["tokens"]))
-        for r in q_pack_materialize(spark, sf).collect()
+        for r in pack_chunks(spark, sf).collect()
     )
     assert [c for c, _, _ in rows] == list(range(len(rows)))
     assert all(n == SEQ_LEN for _, n, _ in rows[:-1])

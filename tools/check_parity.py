@@ -67,6 +67,24 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            # LINT (stricter than our own hasher, which can handle
+            # lists): the EXTERNAL driver canonicalizes through pandas
+            # Categorical/factorize, which crashes on unhashable cells —
+            # reject array/map/struct output columns outright so the
+            # mismatch in harness strictness can never hide again
+            # (round-4 pack_materialize lesson: digest such columns,
+            # e.g. md5(concat_ws(',', arr))).
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                failures.append(
+                    (name, f"non-scalar output columns {bad} (driver-unhashable)")
+                )
+                print(f"FAIL {name}: non-scalar output columns {bad}")
+                continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
             release_cached_deps(sdf)  # don't leak persisted deps across a 59-query sweep
