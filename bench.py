@@ -116,7 +116,41 @@ def synth_changelog(spark, token_df, n_upd_mod: int, n_del_mod: int,
     return upd.unionByName(dels)
 
 
-def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
+def bench_archive(spark, root: str, changes) -> dict:
+    """Cold-archive machinery cost at bench scale (S3/OSS archived-binlog
+    path, archive.py): re-stage the changelog as ordinal-contiguous
+    segments (the real binlog-slice layout — range partitioning, each
+    file a contiguous ordinal window), archive the cold half (below the
+    median ordinal), then time the cold∪live resolve a consumer pays per
+    fetch, resuming from the 25th-percentile ordinal — inside the
+    archived range, so the range catalog both PRUNES the older cold
+    segments and FETCHES the newer ones (the zero-exchange
+    scan+filter+union claim's cost side, both catalog decisions)."""
+    import glob
+
+    from canal_spark.archive import archive_segments, resolve_changelog
+
+    staging = os.path.join(root, "_archive_staging")
+    archive_dir = os.path.join(root, "_archive")
+    q = changes.selectExpr("ordinal").approxQuantile("ordinal", [0.25, 0.5], 0.001)
+    resume, mid = int(q[0]), int(q[1])
+    changes.repartitionByRange(32, "ordinal").write.parquet(staging)
+    out: dict = {"segments_staged": len(glob.glob(f"{staging}/part-*"))}
+    t0 = time.perf_counter()
+    rep = archive_segments(spark, staging, archive_dir, retain_from_ordinal=mid)
+    out["archive_sec"] = round(time.perf_counter() - t0, 3)
+    out["segments_archived"] = rep["archived_files"]
+    t0 = time.perf_counter()
+    df, rrep = resolve_changelog(spark, staging, archive_dir, from_ordinal=resume)
+    out["resolve_rows"] = df.count() if df is not None else 0
+    out["resolve_sec"] = round(time.perf_counter() - t0, 3)
+    out["segments_fetched"] = rrep["segments_fetched"]
+    out["segments_pruned"] = rrep["segments_pruned"]
+    out["live_files"] = rrep["live_files"]
+    return out
+
+
+def bench_maintenance(spark, sf_dir: str, replicas: int, extras: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from canal_spark import create_table
@@ -278,7 +312,47 @@ def bench_maintenance(spark, sf_dir: str, replicas: int) -> dict:
                 {f"dml_{k}": v for k, v in dml.items() if k.endswith("_sec")}
             )
 
+        # Branch (WAP) pass: the audited single-publish flow — every
+        # commit of the pass stages on a branch, then one fast-forward
+        # publishes (run_pass: branch= IS the multi-commit
+        # write-audit-publish) — with the same steady-state changelog
+        # shape, measured in the externally-read path so its overhead vs
+        # the direct steady pass is machine-readable round over round.
+        wap_branch: dict = {}
+        if extras and not keep_dir:
+            t0 = time.perf_counter()
+            cl4_dir = os.path.join(root, "_changelog_stage4")
+            synth_changelog(
+                spark, table.scan(spark), n_upd_mod=31, n_del_mod=37,
+                ordinal_base=1 << 44,
+            ).write.parquet(cl4_dir)
+            changes4 = spark.read.parquet(cl4_dir)
+            phases["stage_changelog4"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rep4 = run_pass(
+                spark, table, changes4,
+                target_file_bytes=target_mb << 20,
+                target_file_rows=target_rows,
+                keep_snapshots=3, measure=False,
+                branch="bench_audit", publish_branch=True,
+            )
+            wap_wall = time.perf_counter() - t0
+            phases["wap_branch_pass"] = wap_wall
+            wap_branch = {
+                "wap_branch_pass_sec": round(wap_wall, 3),
+                "wap_branch_published": rep4.branch.get("published"),
+                "wap_branch_commits": rep4.branch.get("commits"),
+                "wap_merge_files_rewritten": rep4.merge.get("files_rewritten"),
+            }
+
+        archive: dict = {}
+        if extras and not keep_dir:
+            archive = bench_archive(spark, root, changes)
+            phases["archive_resolve"] = archive["resolve_sec"]
+
         return {
+            "wap_branch": wap_branch,
+            "archive": archive,
             "dml": dml,
             "mor_pass_sec": round(mor_wall, 3),
             "mor_merge_files_rewritten": rep3.merge.get("files_rewritten"),
@@ -408,8 +482,11 @@ def main() -> None:
     # exists to remove.
     mult = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "10"))
     if mult > 1:
+        # extras=False: the WAP/archive phases are measured at base
+        # scale; the probe isolates the data-scale linearity of the
+        # core load+pass+scan path.
         probes = [
-            bench_maintenance(spark, sf_dir, replicas * mult)
+            bench_maintenance(spark, sf_dir, replicas * mult, extras=False)
             for _ in range(n_runs)
         ]
         probe = min(probes, key=lambda m: m["maintenance_pass_sec"])
