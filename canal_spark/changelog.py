@@ -65,6 +65,13 @@ def base_table_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(synth_token_rows(n, seed), TOKEN_TABLE_SCHEMA)
 
 
+def initial_state(base_rows: list[tuple]) -> dict[str, tuple]:
+    """Running-state dict for ``synth_changelog_rows(state=...)`` —
+    build once from the base rows, thread through every batch so
+    before-images stay accurate across separately-generated batches."""
+    return {r[0]: (list(r[1]), r[2]) for r in base_rows}
+
+
 def synth_changelog_rows(
     base_rows: list[tuple],
     n_ops: int,
@@ -77,6 +84,7 @@ def synth_changelog_rows(
     include_noop_update: bool = True,
     include_missing_delete: bool = True,
     max_len: int = 64,
+    state: dict[str, tuple] | None = None,
 ) -> list[tuple]:
     """Deterministic changelog over a base table (FIXTURES.md §2 scenarios).
 
@@ -86,11 +94,22 @@ def synth_changelog_rows(
     the intermediate state as its before-image — the same invariant the
     binlog gives Canal (a RowData's beforeColumns are the row as of the
     previous event, not the initial load).
+
+    MULTI-BATCH callers must thread ``state``: pass the dict returned
+    into the next call (it is seeded from ``base_rows`` when None, and
+    mutated in place).  Two independent calls each reset to the base
+    state, so a later batch can emit a "no-op update" (before == after)
+    carrying the BASE value for a key the earlier batch changed — the
+    engine rightly suppresses it (an accurate-before-image no-op can't
+    change replica state) while a naive oracle applies the stale
+    after-image, a fixture-made divergence, not an engine bug (found by
+    the round-5 stream-fleet reload soak).
     """
     rng = np.random.default_rng(seed)
     n_base = len(base_rows)
     rows = []
-    state: dict[str, tuple] = {r[0]: (list(r[1]), r[2]) for r in base_rows}
+    if state is None:
+        state = initial_state(base_rows)
     next_new = n_base + 1_000_000
     ops = rng.choice(["I", "U", "D"], size=n_ops, p=[p_insert, p_update, p_delete])
     for j in range(n_ops):

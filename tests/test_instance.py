@@ -353,6 +353,103 @@ def test_stream_fleet_lifecycle(spark, tmp_path):
         fleet.stop_all()
 
 
+def test_stream_fleet_reload_soak(spark, tmp_path):
+    """Churn soak: several reload cycles, each with a fresh batch
+    landing concurrently with the restart.  Pins the always-on parity
+    claims under churn: the final table matches the exactly-once
+    oracle over EVERY batch (no checkpoint drift — no double-apply, no
+    skipped ordinals across restarts), every reload really restarted
+    the query (distinct run ids), and the per-micro-batch-maintained
+    band index equals a from-scratch rebuild of the final state."""
+    from canal_spark import create_table, load_table
+    from canal_spark.changelog import (base_table_df, changelog_df,
+                                       initial_state, synth_changelog_rows,
+                                       synth_token_rows)
+    from canal_spark.dedup_index import (create_band_index,
+                                         load_or_create_band_index,
+                                         refresh_band_index)
+    from canal_spark.instance import StreamFleet, scan_instances
+    from canal_spark.schema import TOKEN_TABLE_SCHEMA
+    from canal_spark.table.writer import append
+
+    conf = tmp_path / "conf"
+    troot = str(tmp_path / "soak_tbl")
+    cdir = tmp_path / "soak_cl"
+    cdir.mkdir()
+    t = create_table(troot, TOKEN_TABLE_SCHEMA, partition_by=["source"])
+    base = synth_token_rows(150, seed=41)
+    append(spark, t, base_table_df(spark, 150, seed=41).repartition(2))
+    band_root = str(tmp_path / "soak_bands")
+
+    def write_soak_spec(knob):
+        _write_spec(conf, "soak", table=troot, mode="stream",
+                    changelog=str(cdir),
+                    checkpoint=str(tmp_path / "ckpt"),
+                    band_index=band_root, max_files_per_trigger=knob)
+
+    all_rows = []
+    # threaded running state: without it each batch's synthetic no-op
+    # updates (before == after) would carry the BASE value for keys an
+    # earlier batch changed — the engine rightly suppresses those while
+    # the oracle applies them (see synth_changelog_rows docstring)
+    st = initial_state(base)
+
+    def land(seed, start):
+        rows = synth_changelog_rows(
+            base, 40, seed=seed, start_ordinal=start, state=st
+        )
+        changelog_df(spark, rows).coalesce(1).write.mode("append").parquet(
+            str(cdir)
+        )
+        all_rows.extend(rows)
+
+    def table_settled():
+        return scan_dict(spark, load_table(troot)) == oracle_dict(
+            base, all_rows
+        )
+
+    land(42, 1)
+    write_soak_spec(4)
+    specs, errors = scan_instances(str(conf))
+    assert errors == {}
+    fleet = StreamFleet(spark)
+    try:
+        assert [e["event"] for e in fleet.sync(specs)] == ["start"]
+        assert _wait_until(table_settled)
+        run_ids = {fleet._running["soak"][1].query.runId}
+        for cycle in range(3):
+            land(43 + cycle, 1000 * (cycle + 1) + 1)  # batch in flight...
+            write_soak_spec(1 + cycle % 2)  # ...while the spec churns
+            specs, _ = scan_instances(str(conf))
+            assert [e["event"] for e in fleet.sync(specs)] == ["reload"]
+            run_ids.add(fleet._running["soak"][1].query.runId)
+            assert _wait_until(table_settled)
+        assert len(run_ids) == 4
+        h = fleet.health()
+        assert h[0]["active"] and h[0]["error"] is None
+
+        # band-index == from-scratch rebuild of the final state.  Waited
+        # for INSIDE the running fleet: the final epoch's index sync
+        # follows its merge commit within the same micro-batch callback,
+        # so the table settling does not yet mean the sync ran — tearing
+        # the fleet down here would interrupt it (the crash window whose
+        # repair is the NEXT epoch's job, which a stopped stream never
+        # gets).
+        final = load_table(troot)
+        rebuilt = create_band_index(str(tmp_path / "soak_bands2"))
+        refresh_band_index(spark, final, rebuilt)
+
+        def band_set(ix):
+            return {(r["doc_id"], r["band"], r["bucket"])
+                    for r in ix.refresh().scan(spark).collect()}
+
+        want_bands = band_set(rebuilt)
+        idx = load_or_create_band_index(band_root)
+        assert _wait_until(lambda: band_set(idx) == want_bands, timeout=60)
+    finally:
+        fleet.stop_all()
+
+
 def test_stream_fleet_start_error_isolated(spark, tmp_path):
     """A stream spec with a missing table emits start_error; a healthy
     neighbour starts."""

@@ -311,6 +311,25 @@ def test_remove_orphan_manifests(spark, tmp_table_root):
     assert t.scan(spark).count() == 30  # live manifests untouched
 
 
+def test_missing_manifest_raises_corruption_error(spark, tmp_table_root):
+    """A manifest referenced by a live snapshot but deleted out-of-band
+    raises a corrupted-table error NAMING the manifest — never a bare
+    FileNotFoundError, and never a silently-served stale cache entry
+    from a previous parse of the same name."""
+    import glob
+    import os
+
+    import pytest
+
+    t = create_table(tmp_table_root, TOKEN_TABLE_SCHEMA)
+    append(spark, t, base_table_df(spark, 30).repartition(1))
+    t.scan(spark).count()  # warm the manifest parse cache
+    victim = glob.glob(os.path.join(t.root, "metadata", "manifest-*.json"))[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="corrupted table.*manifest"):
+        t.all_entries()
+
+
 def test_remove_orphan_files_refreshes_stale_handle(spark, tmp_table_root):
     """Files committed through ANOTHER handle since this handle was
     loaded are live, not orphans — remove_orphan_files must refresh its
