@@ -252,6 +252,25 @@ def main() -> None:
         ["SortMergeJoin", "CartesianProduct", "Union"],
     ))
 
+    # 10a. LSH hot-bucket cap (round-5 rework): a partial-agg bucket
+    # count + anti-join against the tiny over-cap list, both sides fed
+    # from ONE persisted uncapped band frame — the cap must add NO
+    # window function (the round-4 form forced a full (band,bucket)
+    # exchange + per-partition sort of the whole band frame before the
+    # persist) and no product.
+    from canal_spark.operators.common import release_cached_deps
+    from canal_spark.operators.dedup import _minhash_bands
+
+    capped = _minhash_bands(spark, sf_dir)
+    p10cap = plan_of(capped)
+    release_cached_deps(capped)
+    sections.append((
+        "LSH band frame: hot-bucket cap as partial-agg + anti-join, no window sort",
+        p10cap,
+        ["HashAggregate"],
+        ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     # 10a-bis. winnow family: same delta skeleton (broadcast key
     # semi-join before any hashing), window minima are map-side array
     # exprs inside the Generate — NO window function, no Python, no
