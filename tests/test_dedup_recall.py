@@ -514,3 +514,24 @@ def test_semantic_dedup_tournament_matches_numpy(spark):
         idx = np.where(cells == cell)[0]
         best = min(idx, key=lambda k: (cc[k], ids[k]))
         assert (int(cell), int(ids[best])) not in got
+
+
+def test_cached_deps_flatten_and_release_reaches_band_cache(spark):
+    """attach_cached_deps flattens nested deps: q_dedup_minhash_lsh's
+    result is tagged with the PERSISTED uncapped band frame living one
+    level below the capped view _minhash_bands returns, so one release
+    from the consumer unpersists the real cache (round-5 cap rework —
+    without flattening the release would no-op on the unpersisted view
+    and leak a corpus-scale frame per call)."""
+    from canal_spark.operators.common import release_cached_deps
+    from canal_spark.operators.dedup import q_dedup_minhash_lsh
+
+    pairs = q_dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+    pairs.count()
+    deps = pairs._cached_deps
+    cached = [d for d in deps if d.storageLevel.useMemory or d.storageLevel.useDisk]
+    assert cached, "no persisted dep tagged on the LSH result"
+    release_cached_deps(pairs)
+    for d in cached:
+        lvl = d.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), "release left a dep persisted"
