@@ -85,10 +85,15 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     changes = upd.unionByName(dels)
 
+    # branch= runs the flagship governance shape: every commit of the
+    # pass stages on a branch, one fast-forward publishes (multi-commit
+    # write-audit-publish) — same final state as the direct pass, now in
+    # the driver-smoke path; bench.py measures its overhead separately.
     run_pass(
         spark, table, changes,
         target_file_bytes=4 << 20, target_file_rows=200,
         keep_snapshots=3, measure=False,
+        branch="entry_audit", publish_branch=True,
     )
     result = (
         table.scan(spark)
