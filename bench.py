@@ -25,6 +25,8 @@ Env knobs:
   SPARK_GRAFT_BENCH_SCALE_MULT extra probe at replicas×MULT for
                               machine-readable data-scale linearity
                               (default 10; 0/1 disables)
+  SPARK_GRAFT_BENCH_EXTRAS    "0" drops the branch(WAP)-pass and
+                              cold-archive phases (default on)
 """
 
 from __future__ import annotations
@@ -151,6 +153,10 @@ def bench_archive(spark, root: str, changes) -> dict:
 
 
 def bench_maintenance(spark, sf_dir: str, replicas: int, extras: bool = True) -> dict:
+    # SPARK_GRAFT_BENCH_EXTRAS=0 drops the branch(WAP) + archive phases
+    # (harnesses isolating the core pass — e.g. tools/scaling_bench.py)
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") == "0":
+        extras = False
     from pyspark.sql import functions as F
 
     from canal_spark import create_table

@@ -31,6 +31,9 @@ def run_bench(cpus: int, replicas: int, sf_dir: str, keep_dir: str | None = None
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_REPLICAS=str(replicas),
         SPARK_GRAFT_BENCH_QUERIES="none",
+        # branch/archive extra phases are a base-scale experiment; here
+        # they would only stretch every level's wall
+        SPARK_GRAFT_BENCH_EXTRAS="0",
         # the data-scale probe is a different experiment; at 10x
         # replicas x best-of-N it would dominate every level's wall
         SPARK_GRAFT_BENCH_SCALE_MULT="1",
