@@ -67,7 +67,10 @@ def check_table(
     the manifest), ``duplicate`` (path referenced twice in the
     snapshot), ``partition`` (recorded partition value contradicts the
     file's own min/max stats), ``pos-delete-schema`` (a position-delete
-    file not readable as (file_path, pos) rows).  Warnings never fail
+    file not readable as (file_path, pos) rows), ``manifest`` (a
+    manifest file referenced by table metadata is itself missing or
+    unreadable — reported as the single violation since the entry list
+    is unknowable).  Warnings never fail
     the check: ``dangling-pos-delete`` (pos-delete rows referencing
     rewritten-away files — normal debt, consolidate via
     ``rewrite_pos_deletes``).
@@ -76,7 +79,17 @@ def check_table(
     # missing/bytes/rows/footer validation as data files (a corrupt
     # delete file silently un-deletes rows — worse than a corrupt data
     # file, which at least fails loudly at scan)
-    entries = table.all_entries(snapshot_id)
+    try:
+        entries = table.all_entries(snapshot_id)
+    except RuntimeError as e:
+        # a manifest itself is missing/unreadable (_read_manifest's
+        # corrupted-table guard): the doctor must DIAGNOSE that, not
+        # re-raise it — it is the tool the error message sends the
+        # operator to
+        return {"ok": False, "files": 0,
+                "violations": [{"file": None, "kind": "manifest",
+                                "detail": str(e)}],
+                "warnings": []}
     violations: list[dict] = []
     warnings: list[dict] = []
 

@@ -329,6 +329,15 @@ def test_missing_manifest_raises_corruption_error(spark, tmp_table_root):
     with pytest.raises(RuntimeError, match="corrupted table.*manifest"):
         t.all_entries()
 
+    # the error message sends the operator to the doctor — it must
+    # DIAGNOSE this corruption class, not re-raise it
+    from canal_spark.doctor import check_table
+
+    rep = check_table(spark, t)
+    assert rep["ok"] is False
+    assert rep["violations"][0]["kind"] == "manifest"
+    assert os.path.basename(victim) in rep["violations"][0]["detail"]
+
 
 def test_remove_orphan_files_refreshes_stale_handle(spark, tmp_table_root):
     """Files committed through ANOTHER handle since this handle was

@@ -84,6 +84,7 @@ def main():
                     (name, f"non-scalar output columns {bad} (driver-unhashable)")
                 )
                 print(f"FAIL {name}: non-scalar output columns {bad}")
+                release_cached_deps(sdf)  # builder may have persisted deps
                 continue
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
