@@ -234,8 +234,25 @@ def propagate_min_labels(
             edges.join(labels, edges["doc_a"] == labels["doc"])
             .select(F.col("doc_b").alias("doc"), "lbl")
         )
+        nbr = labels.unionByName(prop).groupBy("doc").agg(
+            F.min("lbl").alias("lbl")
+        )
+        # path halving (pointer jumping): also adopt the label OF the
+        # label — lbl(x) is a node in x's component whose own label is
+        # <= lbl(x) (labels are min-monotone), so min(lbl, lbl(lbl))
+        # stays in-component and preserves the fixed point while
+        # squaring the convergence rate: O(log diameter) rounds instead
+        # of O(diameter).  At 10^9-edge scale each saved round is a
+        # full pass over the edge frame; the halving join touches only
+        # the node-scale label frame.
+        hop = nbr.select(F.col("doc").alias("_ld"), F.col("lbl").alias("_ll"))
         new_labels = _ckpt(
-            labels.unionByName(prop).groupBy("doc").agg(F.min("lbl").alias("lbl"))
+            nbr.join(hop, nbr["lbl"] == hop["_ld"], "left").select(
+                "doc",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_ll"), F.col("lbl"))
+                ).alias("lbl"),
+            )
         )
         # assignment fingerprint: unchanged labels -> identical sum; a
         # changed round colliding back to the same sum is ~2^-64 per
